@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> [sf_dir]
+
+Expects `graft.Verify` to have been run first:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 <verify_out_dir>"
+
+For every query with oracle SQL: run the SQL in DuckDB over views of the
+testdata tables, read the Spark parquet result, sort columns by name and
+rows by all values, and compare exactly. Reports per-query PASS/FAIL and
+a float-tolerance diagnosis on mismatch. Queries without oracle SQL get
+a rows>0 check. This script is validation tooling only — it is not part
+of the library.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    import glob
+    import os
+
+    names = sorted(
+        d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output files")
+            n_fail += 1
+            continue
+        spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracles:
+            status = "pass (rows-only)" if len(spark_df) > 0 else "FAIL (rows-only, 0 rows)"
+            if len(spark_df) > 0:
+                n_pass += 1
+                print(f"pass {name}: rows-only, {len(spark_df)} rows")
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: rows-only check with 0 rows")
+            continue
+        try:
+            oracle_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        s, o = normalize(spark_df), normalize(oracle_df)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} oracle={list(o.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            n_fail += 1
+            continue
+        if s.equals(o):
+            print(f"pass {name}: {len(s)} rows exact")
+            n_pass += 1
+            continue
+        # diagnose: exact match failed — try per-cell with float tolerance
+        close = True
+        for c in s.columns:
+            a, b = s[c], o[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+                if not np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True):
+                    close = False
+                    break
+            elif not a.equals(b):
+                close = False
+                break
+        if close:
+            print(f"FAIL {name}: float-bits-only mismatch ({len(s)} rows) — tighten rounding")
+        else:
+            print(f"FAIL {name}: value mismatch; first diffs:")
+            diff_mask = (s != o).any(axis=1)
+            print(pd.concat([s[diff_mask].head(3), o[diff_mask].head(3)], keys=["spark", "oracle"]))
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(names)} queries")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

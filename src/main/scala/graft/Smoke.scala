@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Discovery, Merge, MergeException, MergeJobs}
+
+/** End-to-end smoke driver for the merge pipeline surface: generates
+  * fixture folders in a temp dir, then exercises discovery → smart
+  * batch → schema probe → merge → CSV export, plus the error paths
+  * (disjoint schemas, unreadable file). Run:
+  *   sbt "runMain graft.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("graft_smoke_").toString
+    println(s"[smoke] fixtures under $root")
+
+    // The reference merges plain single parquet FILES, so fixtures must
+    // be files, not Spark's part-file directories: write then move.
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = s"$root/_stage/${java.util.UUID.randomUUID()}"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val destFile = new java.io.File(dest)
+      destFile.getParentFile.mkdirs()
+      Files.move(part.toPath, destFile.toPath)
+    }
+
+    // B1 identical schemas: a/daily.parquet + b/daily.parquet
+    writeSingle(Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score"), s"$root/a/daily.parquet")
+    writeSingle(Seq((3L, "z", 3.5)).toDF("id", "name", "score"), s"$root/b/daily.parquet")
+    // B2 drift: extra columns differ, order differs
+    writeSingle(Seq((1L, "p", 7)).toDF("id", "name", "extra1"), s"$root/a/drift.parquet")
+    writeSingle(Seq((9.9, 2L, "q")).toDF("extra2", "id", "name"), s"$root/b/drift.parquet")
+    // B5 pandas-style internal column
+    writeSingle(Seq((0L, 1L, "k")).toDF("__index_level_0__", "id", "name"), s"$root/a/indexed.parquet")
+    // B3b disjoint schemas
+    writeSingle(Seq(Tuple1(1L)).toDF("a"), s"$root/a/disjoint.parquet")
+    writeSingle(Seq(Tuple1(2L)).toDF("b"), s"$root/b/disjoint.parquet")
+    // B9 unreadable: not a parquet file
+    Files.write(java.nio.file.Paths.get(s"$root/a/bad.parquet"), "not parquet".getBytes)
+
+    // 1. discovery (case-insensitive ext, recursive, sorted display path)
+    val files = Discovery.scanFolders(spark, Seq(s"$root/a", s"$root/b"))
+    println(s"[smoke] discovered ${files.size} parquet paths:")
+    files.foreach(f => println(s"  ${f.displayPath}"))
+
+    // 2. smart batch (group by file name across folders)
+    val (groups, singles) = Discovery.smartBatch(files)
+    println(s"[smoke] smart-batch: ${groups.map(_._1).mkString(", ")} (+$singles singletons)")
+
+    // 3. build + run merge jobs, with CSV export
+    val jobs = groups.zipWithIndex.map { case ((_, fs), i) => MergeJobs.buildJob(spark, fs, i + 1) }
+    jobs.foreach(j => println(s"[smoke] job '${j.name}' files=${j.files.size} mismatch=${j.hasSchemaMismatch}"))
+    val out = s"$root/out"
+    val (outcomes, remaining) = MergeJobs.runAll(spark, jobs, out, exportCsv = true)
+    outcomes.foreach {
+      case Right(r)          => println(s"[smoke] merged '${r.job.name}' -> ${r.rows} rows")
+      case Left((job, err))  => println(s"[smoke] FAILED '${job.name}': $err")
+    }
+    println(s"[smoke] remaining after auto-remove: ${remaining.map(_.name).mkString(", ")}")
+
+    // 4. inspect merged daily + its CSV (internal column drop check)
+    val daily = spark.read.parquet(s"$out/merged/daily.parquet")
+    println(s"[smoke] merged daily: ${daily.count()} rows, cols=${daily.columns.mkString(",")}")
+    val indexedCsv = spark.read.option("header", "true").csv(s"$out/merged/drift.csv")
+    println(s"[smoke] drift csv cols=${indexedCsv.columns.mkString(",")} rows=${indexedCsv.count()}")
+
+    // 5. error paths
+    try { Merge.alignedUnion(spark, Seq(s"$root/a/disjoint.parquet", s"$root/b/disjoint.parquet")); println("[smoke] ERROR: disjoint did not fail") }
+    catch { case e: MergeException => println(s"[smoke] disjoint error ok: ${e.getMessage}") }
+    try { Merge.probeSchema(spark, s"$root/a/bad.parquet"); println("[smoke] ERROR: bad file did not fail") }
+    catch { case e: MergeException => println(s"[smoke] unreadable error ok: ${e.getMessage}") }
+    println(s"[smoke] mismatch probe on bad file: " +
+      MergeJobs.checkSchemaMismatch(spark, Seq(s"$root/a/bad.parquet", s"$root/a/daily.parquet")))
+
+    // 6. internal column kept in parquet merge, dropped in CSV
+    Merge.merge(spark, Seq(s"$root/a/indexed.parquet"), s"$out/merged/indexed.parquet",
+      csvPath = Some(s"$out/merged/indexed.csv"))
+    val mergedIdx = spark.read.parquet(s"$out/merged/indexed.parquet")
+    val csvIdx = spark.read.option("header", "true").csv(s"$out/merged/indexed.csv")
+    println(s"[smoke] indexed parquet cols=${mergedIdx.columns.sorted.mkString(",")}")
+    println(s"[smoke] indexed csv cols=${csvIdx.columns.sorted.mkString(",")}")
+
+    // 7. flagship entry
+    val e = SparkEntry.entry(spark)
+    println(s"[smoke] entry rows=${e.count()}")
+    e.show(5, truncate = false)
+
+    spark.stop()
+  }
+}

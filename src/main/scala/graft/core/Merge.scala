@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** A merge failed in a way the reference surfaces as a per-batch error
+  * (unreadable footer, empty column intersection, empty batch). */
+final class MergeException(msg: String) extends RuntimeException(msg)
+
+/** The reference's whole data path — scan → schema-align → UNION ALL →
+  * sink (shanytc/parquet-merger `src/main.rs:549-613`) — re-expressed as
+  * a declarative Spark plan.
+  *
+  * Scale notes (the part the reference gets wrong, main.rs:580-601: it
+  * buffers every record batch in RAM, single-threaded):
+  *  - The union is never materialized on the driver; it is a lazy
+  *    `DataFrame` that Spark executes as one pipelined
+  *    scan→project→write stage with one task per file split. No shuffle:
+  *    union is partition concatenation.
+  *  - The compatible fast path reads ALL files through a single
+  *    multi-path parquet scan (one `FileSourceScanExec` that bin-packs
+  *    splits across executors) instead of N union legs.
+  *  - `singleFile = true` mirrors the reference's one-output-file
+  *    contract via `coalesce(1)` (narrow, no shuffle). At 100 TB pass
+  *    `singleFile = false` and the write stays fully parallel.
+  */
+object Merge {
+
+  /** Decided before any row is read, mirroring the reference's
+    * analyze-before-execute split (main.rs:549-578). */
+  sealed trait AlignPlan
+  /** Identical schemas: positional UNION ALL (main.rs:564-569). */
+  case object FastPath extends AlignPlan
+  /** Schema drift: project every file to the common columns, first
+    * file's column order (main.rs:570-577). */
+  final case class Intersect(columns: Seq[String]) extends AlignPlan
+
+  /** Footer-only schema probe (main.rs:433-437); raises the reference's
+    * "Cannot read schema from" error (main.rs:557-561) on failure. */
+  def probeSchema(spark: SparkSession, file: String): StructType =
+    try spark.read.parquet(file).schema
+    catch { case _: Exception => throw new MergeException(s"Cannot read schema from: $file") }
+
+  def plan(schemas: Seq[StructType]): AlignPlan =
+    if (SchemaAlign.allCompatible(schemas)) FastPath
+    else {
+      val common = SchemaAlign.commonColumns(schemas)
+      if (common.isEmpty)
+        throw new MergeException("No common columns found across all files")
+      Intersect(common)
+    }
+
+  /** Aligned UNION ALL over parquet `files` as a lazy DataFrame. */
+  def alignedUnion(spark: SparkSession, files: Seq[String]): DataFrame = {
+    if (files.isEmpty) throw new MergeException("No files in batch")
+    val schemas = files.map(probeSchema(spark, _))
+    plan(schemas) match {
+      case FastPath =>
+        // One distributed scan over every file; passing the schema skips
+        // a second footer-inference pass.
+        spark.read.schema(schemas.head).parquet(files: _*)
+      case Intersect(common) =>
+        val cols = common.map(col)
+        files
+          .map(f => spark.read.parquet(f).select(cols: _*))
+          .reduce(_ unionByName _)
+    }
+  }
+
+  /** Aligned UNION ALL over already-loaded DataFrames — same planning as
+    * [[alignedUnion]] for in-memory composition (schema drift between
+    * the inputs resolves to the first input's common-column order). */
+  def alignedUnionOf(dfs: Seq[DataFrame]): DataFrame = {
+    if (dfs.isEmpty) throw new MergeException("No files in batch")
+    plan(dfs.map(_.schema)) match {
+      case FastPath => dfs.reduce(_ union _)
+      case Intersect(common) =>
+        val cols = common.map(col)
+        dfs.map(_.select(cols: _*)).reduce(_ unionByName _)
+    }
+  }
+
+  /** Full merge job: align → union → parquet sink; returns rows written
+    * (main.rs:601-613 returns the same count). */
+  def merge(
+      spark: SparkSession,
+      files: Seq[String],
+      outPath: String,
+      singleFile: Boolean = true,
+      csvPath: Option[String] = None): Long = {
+    val df  = alignedUnion(spark, files)
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").parquet(outPath)
+    csvPath.foreach(p => exportCsv(spark, outPath, p, singleFile))
+    spark.read.parquet(outPath).count()
+  }
+
+  /** CSV export of a merged parquet (main.rs:693-729): drop `__...__`
+    * internal columns (main.rs:689-691, 702-708); header on; NULL -> ""
+    * and RFC-4180 quoting are Spark CSV defaults, matching the
+    * reference's `escape_csv_field` (main.rs:731-737). Dates/timestamps
+    * emit ISO-8601 — a deliberate deviation from the reference's
+    * `Some(...)` Debug-format quirk (SURVEY §7.5.1). */
+  def exportCsv(
+      spark: SparkSession,
+      parquetPath: String,
+      csvPath: String,
+      singleFile: Boolean = true): Unit = {
+    val df       = spark.read.parquet(parquetPath)
+    val internal = df.columns.filter(SchemaAlign.isInternalColumn)
+    val clean    = df.drop(internal.toIndexedSeq: _*)
+    (if (singleFile) clean.coalesce(1) else clean)
+      .write.mode("overwrite").option("header", "true").csv(csvPath)
+  }
+}

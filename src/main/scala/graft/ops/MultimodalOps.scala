@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** An opaque media payload with typed metadata — the multimodal column
+  * convention: image/audio/video travel as `binary` plus metadata
+  * columns; decode/feature-extraction runs batch-at-a-time in executors.
+  */
+final case class MediaIn(doc_id: Long, source: String, payload: Array[Byte])
+
+/** Deterministic stand-in for decoded media features. A real pipeline
+  * would put pixel dims / duration / fps here. */
+final case class MediaFeat(
+    doc_id: Long,
+    source: String,
+    n_bytes: Long,
+    first_byte: Long,
+    fake_width: Long,
+    fake_height: Long)
+
+/** Multimodal-column operators. The container has no image/audio codecs,
+  * so the DECODE step is a deterministic fake ([[MultimodalOps.decodeStub]]
+  * — byte length + first byte stand in for real features), but the
+  * Spark-side plumbing is real: a `binary` payload column, a typed
+  * `Dataset[MediaIn]`, per-partition batch processing via
+  * `mapPartitions` (the Scala analog of `mapInPandas` batch shape), and
+  * aggregation over the extracted features. Swapping `decodeStub` for a
+  * real codec is a one-function change.
+  */
+object MultimodalOps {
+
+  private def media(s: SparkSession, d: String): Dataset[MediaIn] = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+  }
+
+  /** The clearly-marked decode stub: replace with a real image/audio
+    * decoder. Runs once per partition over an iterator — the batch shape
+    * a vectorized decoder needs. */
+  def decodeStub(rows: Iterator[MediaIn]): Iterator[MediaFeat] =
+    rows.map { m =>
+      val n = m.payload.length.toLong
+      MediaFeat(
+        m.doc_id, m.source, n,
+        if (m.payload.isEmpty) 0L else (m.payload(0) & 0xff).toLong,
+        n % 1920, n % 1080)
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "mm01_media_meta",
+      Some("""SELECT doc_id, source,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 1920 AS BIGINT) AS fake_width,
+             |  CAST(octet_length(encode(text)) % 1080 AS BIGINT) AS fake_height
+             |FROM documents""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+          .select(col("doc_id"), col("source"), col("n_bytes"),
+            (col("n_bytes") % 1920).as("fake_width"),
+            (col("n_bytes") % 1080).as("fake_height"))),
+
+    QueryDef(
+      "mm02_decode_features",
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_first_byte,
+             |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+             |  CAST(sum(octet_length(encode(text)) % 1920) AS BIGINT) AS sum_fake_width
+             |FROM documents GROUP BY source""".stripMargin),
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        media(s, d)
+          .mapPartitions(decodeStub)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("first_byte").cast("long").as("sum_first_byte"),
+            max("n_bytes").cast("long").as("max_bytes"),
+            sum("fake_width").cast("long").as("sum_fake_width"))
+      }),
+
+    QueryDef(
+      "mm03_frame_sample",
+      Some("""SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) % 8)) AS frame_idx
+             |FROM documents""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), length(encode(col("text"), "UTF-8")).cast("long") % 8))
+              .as("frame_idx")))
+  )
+}

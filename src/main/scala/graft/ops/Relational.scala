@@ -1,0 +1,314 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.core.Merge
+
+/** Relational operator surface over the TPC-H-ish driver tables. The
+  * reference engine has NO joins/aggregations/windows/sorts/set-ops
+  * (SURVEY §2.3-2.7 ABSENT) — this module surfaces Spark's built-in
+  * coverage of those categories as oracle-checked queries, written so
+  * Catalyst keeps scans pruned, pushes filters down, and broadcasts the
+  * small dimension sides.
+  *
+  * Determinism rules used throughout (driver hash-compares vs DuckDB):
+  * every ORDER that feeds row_number/limit is made total with a unique
+  * key tie-break; double aggregates are rounded; integer-typed computed
+  * columns are cast to BIGINT on both sides (DuckDB widens, Spark does
+  * not); raw passthrough columns stay untouched (bit-identical parquet
+  * values).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation -------------------------------------------------
+    QueryDef(
+      "q01_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) =>
+        li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    QueryDef(
+      "q02_filter_sum",
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.06""".stripMargin),
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_quantity") < 24 && col("l_discount").between(0.02, 0.06))
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n"))),
+
+    // ---- joins -------------------------------------------------------
+    QueryDef(
+      "q03_segment_revenue",
+      Some("""SELECT c_mktsegment,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, d) =>
+        cust(s, d)
+          .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+          .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n"))),
+
+    QueryDef(
+      "q04_region_customers",
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             |  round(avg(c_acctbal), 2) AS avg_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      (s, d) =>
+        cust(s, d)
+          .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 2).as("avg_bal"))),
+
+    QueryDef(
+      "q05_semi_join",
+      Some("""SELECT c_mktsegment, count(*) AS n_cust
+             |FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, d) =>
+        cust(s, d)
+          .join(
+            ord(s, d).filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))),
+
+    QueryDef(
+      "q06_anti_join",
+      Some("""SELECT c_mktsegment, count(*) AS n_cust
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, d) =>
+        cust(s, d)
+          .join(
+            ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))),
+
+    QueryDef(
+      "q07_outer_join",
+      Some("""SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, d) =>
+        cust(s, d)
+          .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"))),
+
+    // ---- windows -----------------------------------------------------
+    QueryDef(
+      "q08_window_topk",
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+      }),
+
+    QueryDef(
+      "q09_running_sum",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+      }),
+
+    // ---- sort / limit ------------------------------------------------
+    QueryDef(
+      "q10_sort_limit",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, d) =>
+        ord(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)),
+
+    // ---- distinct / set ops -----------------------------------------
+    QueryDef(
+      "q11_distinct",
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"),
+      (s, d) => cust(s, d).select("c_mktsegment", "c_nationkey").distinct()),
+
+    QueryDef(
+      "q12_set_ops",
+      Some("""SELECT 'intersect' AS op, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t1
+             |UNION ALL
+             |SELECT 'except' AS op, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t2""".stripMargin),
+      (s, d) => {
+        val f = ord(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+        val o = ord(s, d).filter(col("o_orderstatus") === "O").select("o_custkey")
+        f.intersect(o).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+          .unionAll(
+            f.except(o).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n")))
+      }),
+
+    // ---- grouping sets ----------------------------------------------
+    QueryDef(
+      "q13_rollup",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS sum_px
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      (s, d) =>
+        li(s, d).rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_px"))),
+
+    QueryDef(
+      "q14_cube",
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_px
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+      (s, d) =>
+        ord(s, d).cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_px"))),
+
+    // ---- scalar functions -------------------------------------------
+    QueryDef(
+      "q15_scalar_funcs",
+      Some("""SELECT p_partkey,
+             |  upper(substr(p_name, 1, 8)) AS name8,
+             |  CAST(length(p_name) AS BIGINT) AS name_len,
+             |  round(p_retailprice * 1.1, 2) AS bumped,
+             |  CAST(p_size % 7 AS BIGINT) AS size_mod7,
+             |  concat(p_brand, '#', p_type) AS brand_type,
+             |  round(abs(p_retailprice - 1000.0), 2) AS dist1k
+             |FROM part""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name8"),
+          length(col("p_name")).cast("long").as("name_len"),
+          round(col("p_retailprice") * 1.1, 2).as("bumped"),
+          (col("p_size") % 7).cast("long").as("size_mod7"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          round(abs(col("p_retailprice") - 1000.0), 2).as("dist1k"))),
+
+    QueryDef(
+      "q16_date_funcs",
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        ord(s, d)
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // ---- count distinct (exact + approximate) -----------------------
+    QueryDef(
+      "q17_count_distinct",
+      Some("""SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, d) =>
+        ord(s, d).groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))),
+
+    // HLL sketch — approximate by design, so no SQL oracle (rows-only).
+    QueryDef(
+      "q18_approx_distinct",
+      None,
+      (s, d) =>
+        ord(s, d).groupBy("o_orderstatus")
+          .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"))),
+
+    // ---- the reference's core operator: aligned UNION ALL -----------
+    QueryDef(
+      "q19_union_merge",
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem) u
+             |GROUP BY l_returnflag""".stripMargin),
+      (s, d) =>
+        Merge.alignedUnionOf(Seq(li(s, d), li(s, d)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
+
+    QueryDef(
+      "q20_drift_merge",
+      Some("""SELECT l_linenumber, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_px
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem) u
+             |GROUP BY l_linenumber""".stripMargin),
+      (s, d) => {
+        // Two schema-drifted views of lineitem: different column sets and
+        // orders; alignedUnionOf must intersect to the first view's order
+        // (reference find_common_columns semantics, main.rs:617-642).
+        val a = li(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        val b = li(s, d).select("l_extendedprice", "l_quantity", "l_tax", "l_orderkey", "l_linenumber")
+        Merge.alignedUnionOf(Seq(a, b))
+          .groupBy("l_linenumber")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_px"))
+      })
+  )
+}

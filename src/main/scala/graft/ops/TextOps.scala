@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over the `documents` table — the
+  * language-ID / quality-scoring / token-counting / fingerprinting
+  * family a training-data pipeline runs at 100 TB. Everything here is
+  * pure codegen'd `functions._` expressions (no UDFs), so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with a
+  * parquet scan; the only shuffles are the final aggregations.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Occurrences of `pat` in `c`, via the engine-portable replace trick
+    * ((len(s) - len(replace(s, pat, ''))) / len(pat)) — identical
+    * left-to-right non-overlapping semantics in Spark and DuckDB. */
+  private def cnt(c: Column, pat: String): Column =
+    (length(c) - length(replace(c, lit(pat), lit("")))) / pat.length
+
+  /** Marker-stopword score used by the language-ID heuristic. The text
+    * is space-padded so word-boundary markers match at the edges. */
+  private def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(m => cnt(padded, s" $m ")).reduce(_ + _)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "tx01_corpus_stats",
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  round(avg(CAST(length(text) AS BIGINT)), 4) AS avg_len,
+             |  CAST(sum(length(text) - length(replace(text, ' ', ''))) + count(*) AS BIGINT) AS n_tokens
+             |FROM documents GROUP BY lang""".stripMargin),
+      (s, d) =>
+        docs(s, d).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          round(avg(length(col("text")).cast("long")), 4).as("avg_len"),
+          (sum(length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) + count(lit(1)))
+            .cast("long").as("n_tokens"))),
+
+    QueryDef(
+      "tx02_token_counts",
+      Some("""SELECT doc_id,
+             |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+             |  CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_ish_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_obs
+             |FROM documents""".stripMargin),
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+            .as("bpe_ish_tokens"),
+          length(col("text")).cast("long").as("n_chars_obs"))),
+
+    QueryDef(
+      "tx03_quality_score",
+      Some("""SELECT doc_id, lang,
+             |  CAST(length(text) AS BIGINT) AS len,
+             |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |        / length(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len,
+             |  CASE WHEN length(text) < 100 THEN 'short'
+             |       WHEN length(text) < 300 THEN 'medium'
+             |       ELSE 'long' END AS len_bucket
+             |FROM documents""".stripMargin),
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"),
+          round(
+            length(replace(col("text"), lit(" "), lit(""))).cast("double") /
+              size(split(trim(col("text")), "\\s+")), 4).as("avg_word_len"),
+          when(length(col("text")) < 100, "short")
+            .when(length(col("text")) < 300, "medium")
+            .otherwise("long").as("len_bucket"))),
+
+    QueryDef(
+      "tx04_lang_id",
+      Some("""WITH s AS (
+             |  SELECT lang, ' ' || text || ' ' AS p FROM documents
+             |), sc AS (
+             |  SELECT lang,
+             |    (length(p) - length(replace(p, ' the ', ''))) / 5.0
+             |      + (length(p) - length(replace(p, ' and ', ''))) / 5.0 AS s_en,
+             |    (length(p) - length(replace(p, ' der ', ''))) / 5.0
+             |      + (length(p) - length(replace(p, ' und ', ''))) / 5.0 AS s_de,
+             |    (length(p) - length(replace(p, ' el ', ''))) / 4.0
+             |      + (length(p) - length(replace(p, ' los ', ''))) / 5.0 AS s_es,
+             |    (length(p) - length(replace(p, ' le ', ''))) / 4.0
+             |      + (length(p) - length(replace(p, ' et ', ''))) / 4.0 AS s_fr
+             |  FROM s)
+             |SELECT lang,
+             |  CASE WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+             |       WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_es) THEN 'fr'
+             |       WHEN s_es > 0 AND s_es >= s_en THEN 'es'
+             |       WHEN s_en > 0 THEN 'en'
+             |       ELSE 'unknown' END AS predicted,
+             |  count(*) AS n
+             |FROM sc GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val sEn = langScore(padded, Seq("the", "and"))
+        val sDe = langScore(padded, Seq("der", "und"))
+        val sEs = langScore(padded, Seq("el", "los"))
+        val sFr = langScore(padded, Seq("le", "et"))
+        docs(s, d)
+          .select(col("lang"),
+            when(sDe > 0 && sDe >= greatest(sEn, sEs, sFr), "de")
+              .when(sFr > 0 && sFr >= greatest(sEn, sEs), "fr")
+              .when(sEs > 0 && sEs >= sEn, "es")
+              .when(sEn > 0, "en")
+              .otherwise("unknown").as("predicted"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+      }),
+
+    QueryDef(
+      "tx05_fingerprint",
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |  count(*) AS n, min(doc_id) AS first_doc
+             |FROM (SELECT * FROM documents
+             |      UNION ALL SELECT * FROM documents) u
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val u = docs(s, d).unionAll(docs(s, d))
+        u.groupBy(md5(encode(regexp_replace(lower(col("text")), "\\s+", " "), "UTF-8")).as("fp"))
+          .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      })
+  )
+}

