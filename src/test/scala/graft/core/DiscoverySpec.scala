@@ -1,0 +1,63 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Fixture B7: discovery + smart-batch semantics (FIXTURES.md). */
+class DiscoverySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_discspec_").toString
+    def writeSingle(dest: String): Unit = {
+      val tmp = s"$r/_stage/${java.util.UUID.randomUUID()}"
+      Seq((1L, "x")).toDF("id", "t").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val destFile = new java.io.File(dest)
+      destFile.getParentFile.mkdirs()
+      Files.move(part.toPath, destFile.toPath)
+    }
+    writeSingle(s"$r/folderA/sales.parquet")
+    writeSingle(s"$r/folderA/misc.parquet")
+    writeSingle(s"$r/folderB/sales.parquet")
+    writeSingle(s"$r/folderC/SALES.PARQUET")
+    Files.write(java.nio.file.Paths.get(s"$r/folderA/notes.txt"), "x".getBytes)
+    r
+  }
+
+  test("scan: case-insensitive .parquet extension; non-parquet skipped; sorted display path") {
+    val files = Discovery.scanFolders(spark,
+      Seq(s"$root/folderA", s"$root/folderB", s"$root/folderC"))
+    assert(files.map(_.displayPath) == Seq("SALES.PARQUET", "misc.parquet", "sales.parquet", "sales.parquet"))
+  }
+
+  test("scan: duplicate roots deduped (main.rs:118-124)") {
+    val once = Discovery.scanFolders(spark, Seq(s"$root/folderA"))
+    val twice = Discovery.scanFolders(spark, Seq(s"$root/folderA", s"$root/folderA"))
+    assert(once.size == twice.size)
+  }
+
+  test("scan: missing root yields nothing, no error") {
+    assert(Discovery.scanFolders(spark, Seq(s"$root/nope")).isEmpty)
+  }
+
+  test("smart-batch: case-SENSITIVE name grouping; singletons excluded; sorted groups") {
+    val files = Discovery.scanFolders(spark,
+      Seq(s"$root/folderA", s"$root/folderB", s"$root/folderC"))
+    val (groups, singles) = Discovery.smartBatch(files)
+    // sales.parquet x2 groups; SALES.PARQUET and misc.parquet are singletons
+    assert(groups.map(_._1) == Seq("sales"))
+    assert(groups.head._2.size == 2)
+    assert(singles == 2)
+  }
+
+  test("display path is relative to its scan root") {
+    val files = Discovery.scanFolders(spark, Seq(root))
+    assert(files.map(_.displayPath).contains("folderA/sales.parquet"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Every registered query runs at sf0.001 and returns sane output; the
+  * DuckDB value-level check is the driver's t2 gate (scripts/check.py
+  * locally) — this spec guards execution + structural invariants. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // Queries whose correct result can be empty at some SF: none today.
+  test("all registered queries execute at sf0.001 with rows > 0") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, sf).count()
+        if (n > 0) None else Some(s"$name: 0 rows")
+      } catch { case e: Exception => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every oracle key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry returns rows (driver smoke gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("dd01 exact dedup collapses the injected duplicate corpus back to its size") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(SparkEntry.queries("dd01_exact_dedup")(spark, sf).count() == n)
+  }
+
+  test("dd02 minhash finds every injected exact duplicate pair") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val pairs = SparkEntry.queries("dd02_minhash_lsh")(spark, sf)
+    // at least one jaccard-1.0 pair per original doc (a, a+100000)
+    import org.apache.spark.sql.functions._
+    val exact = pairs.filter(col("b") === col("a") + 100000L && col("jaccard") === 1.0).count()
+    assert(exact == docs)
+  }
+
+  test("vs03 embedding near-dup finds exactly the injected copies") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val out = SparkEntry.queries("vs03_embed_neardup")(spark, sf)
+    assert(out.count() == n)
+  }
+
+  test("vs01 brute-force top-k: k rows per probe, ranks 1..k") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("vs01_topk_bruteforce")(spark, sf)
+    val perProbe = out.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perProbe.filter(col("n") =!= 10 || col("mx") =!= 10).count() == 0)
+  }
+}
