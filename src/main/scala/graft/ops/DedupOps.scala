@@ -51,6 +51,11 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
   }
 
+  /** (doc_id, shingles array) — compact per-doc set, used for exact
+    * verification without re-exploding per candidate pair. */
+  private def shingleSets(u: DataFrame): DataFrame =
+    u.select(col("doc_id"), shingles(col("text")).as("shs"))
+
   /** (doc_id, shingle) pairs, one row per distinct shingle. */
   private def explodedShingles(u: DataFrame): DataFrame =
     u.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
@@ -95,19 +100,31 @@ object DedupOps {
       "dd04_ngram_jaccard",
       None,
       (s, d) => {
-        // Exact n-gram Jaccard over candidate pairs that share at least
-        // one shingle (inverted-index join), skew-guarded by dropping
-        // shingles that occur in more than 50 docs (stopword shingles
-        // would otherwise produce a quadratic hot bucket at scale).
-        val ex = explodedShingles(dupDocs(s, d))
-        val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        // Exact n-gram Jaccard via an inverted-index candidate join.
+        // Scale guards, in order: (1) each doc posts only its 12
+        // smallest-by-hash shingles into the index (a bottom-k sketch —
+        // identical docs post identical keys, so exact-dup recall is
+        // total and high-Jaccard recall near-total, while posting-list
+        // joins shrink quadratically); (2) keys seen in >50 docs are
+        // dropped (a stopword shingle is a quadratic hot bucket);
+        // (3) a pair must share >=5 keys before the exact verify.
+        val u = dupDocs(s, d)
+        val sets = shingleSets(u)
+        val keyed = sets.select(col("doc_id"),
+          explode(slice(
+            array_sort(transform(col("shs"), x => struct(xxhash64(x).as("h"), x.as("sh")))),
+            1, 12)).as("k"))
+          .select(col("doc_id"), col("k.sh").as("sh"))
+        val rare = keyed.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 50).select("sh")
-        val exRare = ex.join(rare, "sh")
-        val cand = exRare.select(col("doc_id").as("a"), col("sh"))
-          .join(exRare.select(col("doc_id").as("b"), col("sh")), "sh")
+        val postings = keyed.join(rare, "sh")
+        val cand = postings.select(col("doc_id").as("a"), col("sh"))
+          .join(postings.select(col("doc_id").as("b"), col("sh")), "sh")
           .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        verifyJaccard(cand, ex, threshold = 0.8)
+          .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
+          .filter(col("n_keys_common") >= 5)
+          .select("a", "b")
+        verifyJaccard(cand, sets, threshold = 0.8)
       })
   )
 
@@ -136,23 +153,21 @@ object DedupOps {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
-    verifyJaccard(cand, ex, threshold)
+    verifyJaccard(cand, shingleSets(corpus), threshold)
   }
 
-  /** Exact shingle-set Jaccard for candidate (a, b) pairs. */
-  private def verifyJaccard(cand: DataFrame, ex: DataFrame, threshold: Double): DataFrame = {
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(ex.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(ex.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+  /** Exact shingle-set Jaccard for candidate (a, b) pairs, computed on
+    * compact per-doc shingle arrays — one row per pair (array_intersect
+    * / array_union), never a per-shingle re-explosion. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
       .select(col("a"), col("b"),
-        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+        (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+          size(array_union(col("shs_a"), col("shs_b")))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints from token-hash
     * bit majorities; banded into 4×16 bits so any pair within Hamming
