@@ -100,6 +100,23 @@ object Smoke {
     println(s"[smoke] entry rows=${e.count()}")
     e.show(5, truncate = false)
 
+    // 8. streaming surface: windowed agg + stateful sessionization over
+    // the events table staged as a file-source directory
+    val streamDir = Files.createTempDirectory("graft_smoke_stream_")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val src = graft.streaming.EventStream.readEvents(spark, streamDir.toString)
+    val q1 = graft.streaming.EventStream.hourlyCounts(src)
+      .writeStream.outputMode("append").format("memory").queryName("smoke_hourly").start()
+    q1.processAllAvailable(); q1.stop()
+    println(s"[smoke] streaming hourly windows emitted: ${spark.table("smoke_hourly").count()}")
+    val q2 = graft.streaming.EventStream.sessionize(src, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("smoke_sessions").start()
+    q2.processAllAvailable(); q2.stop()
+    println(s"[smoke] streaming sessions closed: ${spark.table("smoke_sessions").count()}")
+    spark.table("smoke_sessions").show(3, truncate = false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event; `ts` stays a timestamp so the watermark column survives
+  * into the stateful operator. */
+final case class Ev(user_id: Long, ts: java.sql.Timestamp) {
+  def tsUs: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+}
+
+/** Open-session accumulator carried in `GroupState`. */
+final case class SessionState(start_us: Long, last_us: Long, n_events: Int)
+
+/** A closed user session. */
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+/** Structured Streaming surface over the `events` table (ABSENT in the
+  * reference, SURVEY §2.10 — this is the engine's streaming extension).
+  * The same transformations run on `readStream` (incremental, stateful)
+  * and on a batch `read` — Spark's unified Dataset API; tests drive the
+  * streaming path with the parquet file as a file source and a memory
+  * sink.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late events beyond 1 hour are dropped, state for closed windows is
+  * evicted); sessionization keeps ONE `SessionState` row per active
+  * user — both survive unbounded input, unlike collect-and-sort
+  * sessionizers.
+  */
+object EventStream {
+
+  /** events schema as the stream source sees it: `ts` arrives as raw
+    * TIMESTAMP(NANOS) which the reader (with nanosAsLong) surfaces as a
+    * nanos Long; [[readEvents]] converts to a microsecond timestamp. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Hourly tumbling-window counts per event type with a 1-hour
+    * watermark: append-mode-safe windowed aggregation. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful sessionization: one state row per user; a session closes
+    * when the gap exceeds `gapMinutes`. Closed sessions are emitted as
+    * soon as the closing event arrives (plus on event-time timeout for
+    * users that go silent). */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = evs.map(e => (e.user_id, e.tsUs)).toSeq.sortBy(_._2)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      if (state.hasTimedOut) {
+        cur.foreach(s => closed += SessionOut(userId, s.start_us, s.last_us, s.n_events))
+        state.remove()
+        cur = None
+      }
+      sorted.foreach { case (_, tsUs) =>
+        cur match {
+          case Some(s) if tsUs - s.last_us <= gapUs =>
+            cur = Some(SessionState(s.start_us, tsUs, s.n_events + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.start_us, s.last_us, s.n_events)
+            cur = Some(SessionState(tsUs, tsUs, 1))
+          case None =>
+            cur = Some(SessionState(tsUs, tsUs, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (!state.hasTimedOut) state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes.toLong * 60000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "30 minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
