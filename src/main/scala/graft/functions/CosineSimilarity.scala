@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two
+  * `array<double>` columns, with whole-stage-codegen support.
+  *
+  * Why not the built-in HOF composition (`aggregate(zip_with(...))`)?
+  * Higher-order functions evaluate their lambda interpreted per element
+  * and allocate an intermediate array per row; this expression compiles
+  * to a tight primitive loop inside WholeStageCodegen — one pass, no
+  * allocation — which matters when scoring billions of candidate pairs.
+  * Evaluation order (left-to-right accumulation) matches the HOF
+  * version, so results are bit-identical and DuckDB-oracle-stable.
+  *
+  * Null elements inside the arrays are treated as 0 (embeddings are
+  * dense); a null array yields null (BinaryExpression null-intolerant
+  * default).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // (type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double x = $a.getDouble($i);
+        |  final double y = $b.getDouble($i);
+        |  $dot += x * y; $na += x * x; $nb += y * y;
+        |}
+        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Engine function surface: Column-API access plus SQL registration for
+  * the custom expressions. Idempotent. */
+object GraftFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** `cosine_sim(a, b)` as a Column over `array<double>` inputs. */
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register `cosine_sim` for SQL / `expr(...)` use in this session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+}

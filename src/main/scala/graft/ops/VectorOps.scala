@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>, dim=64`). All vector math is built-in higher-order
@@ -26,16 +27,25 @@ object VectorOps {
 
   private val Shift = 100000L
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
 
-  /** dot(a, b) as a codegen'd fold in double precision. */
+  /** dot(a, b) via built-in higher-order functions — the composition
+    * fallback (SURVEY §4.3). Interpreted lambda + per-row intermediate
+    * array; kept for reference/tests. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine via HOFs — bit-identical to [[graft.functions.CosineSimilarity]]
+    * (same left-to-right accumulation); kept for reference/tests. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine via the native codegen expression. */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
 
   /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
   private def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Double]] = {
