@@ -88,6 +88,36 @@ object EventOps {
           .select(col("event_type"), col("n"),
             round(col("n") / col("total").cast("double"), 6).as("share"))),
 
+    // As-of join (the canonical time-series operator Spark lacks as a
+    // built-in): for each purchase, the user's most recent click at or
+    // before it. Composed scalably as a union + running max over one
+    // window — a single shuffle on user_id, no range-join explosion.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    QueryDef(
+      "ev06_asof_join",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+             |  epoch_us(c.ts) AS click_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+      (s, d) => {
+        val base = ev(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            when(col("event_type") === "click", 0).otherwise(1).as("side"))
+        // clicks (side 0) sort before purchases at equal ts, so an
+        // equal-timestamp click is visible to the purchase ("at or
+        // before"); running max carries the latest click time forward.
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("click_us", max(when(col("side") === 0, col("ts_us"))).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("event_id"),
+            col("ts_us").as("purchase_us"), col("click_us"))
+      }),
+
     QueryDef(
       "ev05_user_topdays",
       Some("""SELECT user_id, day, n, rn FROM (

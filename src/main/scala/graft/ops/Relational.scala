@@ -288,6 +288,69 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
 
+    // ---- exact percentiles (linear interpolation, both engines) -----
+    QueryDef(
+      "q21_percentiles",
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, d) =>
+        ord(s, d).groupBy("o_orderstatus").agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+          count(lit(1)).as("n"))),
+
+    // ---- GROUPING SETS + grouping() (SQL-only surface in Spark) -----
+    QueryDef(
+      "q22_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                |  count(*) AS n
+                |FROM graft_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      }),
+
+    // ---- pivot (oracle: conditional aggregation) --------------------
+    QueryDef(
+      "q23_pivot",
+      Some("""SELECT user_id % 10 AS bucket,
+             |  count(*) FILTER (WHERE event_type = 'click') AS "click",
+             |  count(*) FILTER (WHERE event_type = 'error') AS "error",
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+             |  count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+             |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))),
+
+    // ---- typed Aggregator UDAF --------------------------------------
+    QueryDef(
+      "q24_custom_agg",
+      Some("""SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 2) AS geomean,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, d) => {
+        val geomean = udaf(graft.functions.GeoMean)
+        ord(s, d).groupBy("o_orderstatus")
+          .agg(round(geomean(col("o_totalprice")), 2).as("geomean"), count(lit(1)).as("n"))
+      }),
+
     QueryDef(
       "q20_drift_merge",
       Some("""SELECT l_linenumber, count(*) AS n,
