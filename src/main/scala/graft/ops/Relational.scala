@@ -277,6 +277,21 @@ object Relational {
         ord(s, d).groupBy("o_orderstatus")
           .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_cust_approx"))),
 
+    // ---- skew-mitigated join (deterministic salting) ----------------
+    QueryDef(
+      "q25_salted_join",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val fact = li(s, d).withColumnRenamed("l_orderkey", "k")
+        val dim = ord(s, d).select(col("o_orderkey").as("k"), col("o_orderpriority"))
+        SkewJoin.saltedInnerJoin(fact, dim, Seq("k"), saltFactor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      }),
+
     // ---- the reference's core operator: aligned UNION ALL -----------
     QueryDef(
       "q19_union_merge",
