@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -118,6 +119,24 @@ object TextOps {
               .otherwise("unknown").as("predicted"))
           .groupBy("lang", "predicted")
           .agg(count(lit(1)).as("n"))
+      }),
+
+    QueryDef(
+      "tx06_vocab_topk",
+      Some("""SELECT tok, n, rnk FROM (
+             |  SELECT tok, count(*) AS n,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS rnk
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents) t
+             |  GROUP BY tok) r
+             |WHERE rnk <= 20""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy(col("n").desc, col("tok"))
+        docs(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 20)
       }),
 
     QueryDef(
