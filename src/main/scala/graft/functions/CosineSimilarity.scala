@@ -79,8 +79,16 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `cosine_sim` for SQL / `expr(...)` use in this session. */
-  def register(spark: SparkSession): Unit =
+  /** `minhash_sig(arr, k)` as a Column over `array<string>` input. */
+  def minhash_sig(arr: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(arr), numHashes))
+
+  /** Register the custom expressions for SQL / `expr(...)` use. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+  }
 }

@@ -138,12 +138,15 @@ object DedupOps {
   def minHashNearDups(corpus: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val ex = explodedShingles(corpus)
 
-    // 64 min-aggregates in one pass; partial (map-side) aggregation makes
-    // this a single light shuffle keyed on doc_id.
-    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Per-row signatures via the native codegen expression — map-side
+    // (no explode/shuffle) AND one tight loop (no per-element lambda
+    // interpretation). See graft.functions.MinHashSignature.
+    val sig = shingleSets(corpus)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_sig(col("shs"), numHashes).as("mh"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*)
 
     // LSH banding: hash each band of the signature; equal band-hash →
     // candidate. posexplode keeps (bandIdx, bandHash) as the join key.
