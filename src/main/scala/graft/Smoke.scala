@@ -117,6 +117,22 @@ object Smoke {
     println(s"[smoke] streaming sessions closed: ${spark.table("smoke_sessions").count()}")
     spark.table("smoke_sessions").show(3, truncate = false)
 
+    // 9. persisted IVF index: cluster-partitioned write + pruned probes
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ivfPath = s"$root/ivf_index"
+    graft.ops.VectorOps.writeIvfIndex(vecs, cents, ivfPath)
+    val cells = new java.io.File(ivfPath).listFiles().count(_.getName.startsWith("cid="))
+    val probes = graft.ops.VectorOps.assignClusters(vecs, cents)
+      .filter(col("vec_id").between(100, 102))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid").as("pcid"))
+    val nn = graft.ops.VectorOps.probeIvfIndex(spark, ivfPath, probes, k = 3)
+    println(s"[smoke] ivf index cells=$cells probe results=${nn.count()}")
+    nn.show(3, truncate = false)
+
     spark.stop()
   }
 }

@@ -47,6 +47,41 @@ object VectorOps {
   /** Cosine via the native codegen expression. */
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
 
+  /** Assign every vector to its nearest centroid (broadcast cross +
+    * deterministic argmax). Input cols: (vec_id, v) and (cid, cv). */
+  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** Materialize the IVF layout: vectors partitioned on disk by their
+    * cluster (`.../cid=N/`). At probe time only the probes' cells are
+    * scanned — partition pruning does the index lookup. This is the
+    * 100 TB path: the brute-force scan becomes a per-cell scan. */
+  def writeIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignClusters(vectors, centroids)
+      .write.partitionBy("cid").mode("overwrite").parquet(path)
+
+  /** Top-k cosine neighbors of each probe within the probe's cell.
+    * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
+    * the scan to the probed partitions. */
+  def probeIvfIndex(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cids = probes.select("pcid").distinct().collect().map(_.get(0))
+    val cells = spark.read.parquet(path).filter(col("cid").isin(cids.toIndexedSeq: _*))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+    cells.join(broadcast(probes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
   private def hyperplanes(nPlanes: Int, dim: Int): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(42)
@@ -117,13 +152,7 @@ object VectorOps {
         val e = emb(s, d)
         val centroids = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid"))
-        val asg = e.crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("v"), col("cid"))
+        val asg = assignClusters(e, centroids)
         val probes = asg.filter(col("vec_id").between(100, 104))
           .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid").as("pcid"))
         val wRank = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
