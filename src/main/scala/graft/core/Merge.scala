@@ -111,6 +111,11 @@ object Merge {
     val internal = df.columns.filter(SchemaAlign.isInternalColumn)
     val clean    = df.drop(internal.toIndexedSeq: _*)
     (if (singleFile) clean.coalesce(1) else clean)
-      .write.mode("overwrite").option("header", "true").csv(csvPath)
+      .write.mode("overwrite")
+      .option("header", "true")
+      // RFC-4180 quote doubling like the reference's escape_csv_field
+      // (Spark's default is backslash-escaping)
+      .option("escape", "\"")
+      .csv(csvPath)
   }
 }

@@ -92,7 +92,7 @@ object VectorOps {
   private def signSignature(v: Column, nPlanes: Int = 16, dim: Int = 64): Column =
     hyperplanes(nPlanes, dim).zipWithIndex
       .map { case (w, j) =>
-        val plane = array(w.map(lit): _*)
+        val plane = array(w.toIndexedSeq.map(lit): _*)
         when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
       }
       .reduce((x, y) => x.bitwiseOR(y))
