@@ -83,6 +83,10 @@ object GraftFunctions {
   def minhash_sig(arr: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(arr), numHashes))
 
+  /** `bottomk_by_hash(arr, k)`: the k smallest-by-hash elements. */
+  def bottomk_by_hash(arr: Column, k: Int): Column =
+    Bridge.column(BottomKByHash(Bridge.expression(arr), k))
+
   /** Register the custom expressions for SQL / `expr(...)` use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -111,10 +111,7 @@ object DedupOps {
         val u = dupDocs(s, d)
         val sets = shingleSets(u)
         val keyed = sets.select(col("doc_id"),
-          explode(slice(
-            array_sort(transform(col("shs"), x => struct(xxhash64(x).as("h"), x.as("sh")))),
-            1, 12)).as("k"))
-          .select(col("doc_id"), col("k.sh").as("sh"))
+          explode(graft.functions.GraftFunctions.bottomk_by_hash(col("shs"), 12)).as("sh"))
         // One shuffle builds the posting lists; pairs are generated
         // inside each list with HOFs (i<j combinations) instead of a
         // posting self-join — no second/third shuffle of the postings.
