@@ -47,13 +47,15 @@ object EventOps {
       "ev02_json_extract",
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+             |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             |        / count(*), 4) AS avg_k
              |FROM events GROUP BY event_type""".stripMargin),
       (s, d) =>
         ev(s, d)
           .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))),
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            round(sum("k").cast("double") / count(lit(1)), 4).as("avg_k"))),
 
     QueryDef(
       "ev03_sessionize",

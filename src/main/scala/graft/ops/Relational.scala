@@ -32,12 +32,17 @@ object Relational {
     // ---- aggregation -------------------------------------------------
     QueryDef(
       "q01_pricing_summary",
+      // Averages are computed as round(sum,2)/count: the rounded sum is
+      // exact (2-decimal source data) and identical in both engines, so
+      // the division and final rounding are bit-deterministic — a bare
+      // round(avg(x),k) can land exactly on a rounding boundary where
+      // the engines' last-ulp sum differences flip the output.
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
              |  round(sum(l_extendedprice), 2) AS sum_base_price,
              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_discount), 4) AS avg_disc,
+             |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+             |  round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
       (s, d) =>
@@ -45,8 +50,8 @@ object Relational {
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
+          round(round(sum("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
     QueryDef(
@@ -84,7 +89,7 @@ object Relational {
     QueryDef(
       "q04_region_customers",
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
-             |  round(avg(c_acctbal), 2) AS avg_bal
+             |  round(round(sum(c_acctbal), 2) / count(*), 4) AS avg_bal
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -94,7 +99,8 @@ object Relational {
           .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 2).as("avg_bal"))),
+          .agg(count(lit(1)).as("n_cust"),
+            round(round(sum("c_acctbal"), 2) / count(lit(1)), 4).as("avg_bal"))),
 
     QueryDef(
       "q05_semi_join",

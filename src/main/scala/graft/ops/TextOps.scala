@@ -34,14 +34,14 @@ object TextOps {
       "tx01_corpus_stats",
       Some("""SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             |  round(avg(CAST(length(text) AS BIGINT)), 4) AS avg_len,
+             |  round(CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_len,
              |  CAST(sum(length(text) - length(replace(text, ' ', ''))) + count(*) AS BIGINT) AS n_tokens
              |FROM documents GROUP BY lang""".stripMargin),
       (s, d) =>
         docs(s, d).groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("total_chars"),
-          round(avg(length(col("text")).cast("long")), 4).as("avg_len"),
+          round(sum(length(col("text")).cast("long")).cast("double") / count(lit(1)), 4).as("avg_len"),
           (sum(length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) + count(lit(1)))
             .cast("long").as("n_tokens"))),
 
