@@ -116,6 +116,15 @@ object Smoke {
     q2.processAllAvailable(); q2.stop()
     println(s"[smoke] streaming sessions closed: ${spark.table("smoke_sessions").count()}")
     spark.table("smoke_sessions").show(3, truncate = false)
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events_copy.parquet"))
+    val q3 = graft.streaming.EventStream.dedupStream(
+        graft.streaming.EventStream.readEvents(spark, streamDir.toString), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("smoke_dedup").start()
+    q3.processAllAvailable(); q3.stop()
+    println(s"[smoke] streaming dedup kept: ${spark.table("smoke_dedup").count()} of " +
+      s"${2 * spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()} duplicated events")
 
     // 9. persisted IVF index: cluster-partitioned write + pruned probes
     import org.apache.spark.sql.functions.{col, broadcast}

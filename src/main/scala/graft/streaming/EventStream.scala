@@ -59,6 +59,15 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeats of `keyCols` arriving within
+    * the watermark horizon — the streaming face of the batch dedup
+    * family (dd01). State is bounded: key fingerprints older than the
+    * watermark are evicted, so this survives unbounded input. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful sessionization: one state row per user; a session closes
     * when the gap exceeds `gapMinutes`. Closed sessions are emitted as
     * soon as the closing event arrives (plus on event-time timeout for

@@ -43,6 +43,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 2)
   }
 
+  test("dedupStream: duplicated source collapses to distinct events") {
+    // stage the SAME file twice: every event arrives twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_stream_dup_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("b.parquet"))
+    val stream = EventStream.readEvents(spark, dupDir.toString)
+    val q = EventStream.dedupStream(stream, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val expected = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(spark.table("deduped").count() == expected)
+  }
+
   test("sessionize: closed sessions respect the gap and cover the data") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.sessionize(stream, gapMinutes = 30)
