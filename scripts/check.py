@@ -43,6 +43,14 @@ def main() -> int:
     names = sorted(
         d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # a registered query that wrote no output is a FAILURE, not absence
+    reg_path = os.path.join(out_dir, "query_names.json")
+    if os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registered = set(json.load(f))
+        for missing in sorted(registered - set(names)):
+            print(f"FAIL {missing}: query produced no output (crashed in Verify)")
+            n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:

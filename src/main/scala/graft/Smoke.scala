@@ -29,15 +29,9 @@ object Smoke {
     println(s"[smoke] fixtures under $root")
 
     // The reference merges plain single parquet FILES, so fixtures must
-    // be files, not Spark's part-file directories: write then move.
-    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
-      val tmp = s"$root/_stage/${java.util.UUID.randomUUID()}"
-      df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-      val destFile = new java.io.File(dest)
-      destFile.getParentFile.mkdirs()
-      Files.move(part.toPath, destFile.toPath)
-    }
+    // be files, not Spark's part-file directories.
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String): Unit =
+      Merge.writeSingleFile(df, dest)
 
     // B1 identical schemas: a/daily.parquet + b/daily.parquet
     writeSingle(Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score"), s"$root/a/daily.parquet")

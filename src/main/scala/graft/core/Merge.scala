@@ -81,17 +81,45 @@ object Merge {
     }
   }
 
+  /** Write `df` as ONE plain file at `dest` — the reference's output
+    * layout (`merged/<name>.parquet` is a file, not a directory):
+    * coalesce(1) into a staging dir, then rename the part file.
+    * Rename is atomic-cheap on HDFS/local; on object stores prefer
+    * `singleFile=false` directory output. */
+  def writeSingleFile(
+      df: DataFrame,
+      dest: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    val spark   = df.sparkSession
+    val staging = new org.apache.hadoop.fs.Path(dest + ".__staging__")
+    val target  = new org.apache.hadoop.fs.Path(dest)
+    val fs      = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.coalesce(1).write.mode("overwrite").format(format).options(options)
+      .save(staging.toString)
+    val part = fs.listStatus(staging)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new MergeException(s"No part file written under $staging"))
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(target.getParent)
+    fs.rename(part, target)
+    fs.delete(staging, true)
+  }
+
   /** Full merge job: align → union → parquet sink; returns rows written
-    * (main.rs:601-613 returns the same count). */
+    * (main.rs:601-613 returns the same count). `singleFile = true`
+    * produces one plain parquet FILE like the reference; `false` keeps
+    * Spark's fully parallel directory output for scale. */
   def merge(
       spark: SparkSession,
       files: Seq[String],
       outPath: String,
       singleFile: Boolean = true,
       csvPath: Option[String] = None): Long = {
-    val df  = alignedUnion(spark, files)
-    val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode("overwrite").parquet(outPath)
+    val df = alignedUnion(spark, files)
+    if (singleFile) writeSingleFile(df, outPath)
+    else df.write.mode("overwrite").parquet(outPath)
     csvPath.foreach(p => exportCsv(spark, outPath, p, singleFile))
     spark.read.parquet(outPath).count()
   }
@@ -110,12 +138,10 @@ object Merge {
     val df       = spark.read.parquet(parquetPath)
     val internal = df.columns.filter(SchemaAlign.isInternalColumn)
     val clean    = df.drop(internal.toIndexedSeq: _*)
-    (if (singleFile) clean.coalesce(1) else clean)
-      .write.mode("overwrite")
-      .option("header", "true")
-      // RFC-4180 quote doubling like the reference's escape_csv_field
-      // (Spark's default is backslash-escaping)
-      .option("escape", "\"")
-      .csv(csvPath)
+    // RFC-4180 quote doubling like the reference's escape_csv_field
+    // (Spark's default is backslash-escaping)
+    val opts = Map("header" -> "true", "escape" -> "\"")
+    if (singleFile) writeSingleFile(clean, csvPath, "csv", opts)
+    else clean.write.mode("overwrite").options(opts).csv(csvPath)
   }
 }

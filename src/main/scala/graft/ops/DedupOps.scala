@@ -117,13 +117,18 @@ object DedupOps {
         // posting self-join — no second/third shuffle of the postings.
         val posts = keyed.groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
           .filter(size(col("ids")).between(2, 50))
+        // the shared-key gate adapts to tiny documents (fewer than 5
+        // posting keys) so exact-duplicate recall stays total
+        val keyCounts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nk"))
         val cand = posts
           .select(explode(flatten(transform(col("ids"), (x, i) =>
             transform(slice(col("ids"), i + 2, size(col("ids"))),
               y => struct(x.as("a"), y.as("b")))))).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
-          .filter(col("n_keys_common") >= 5)
+          .join(keyCounts.select(col("doc_id").as("a"), col("nk").as("nka")), "a")
+          .join(keyCounts.select(col("doc_id").as("b"), col("nk").as("nkb")), "b")
+          .filter(col("n_keys_common") >= least(lit(5), col("nka"), col("nkb")))
           .select("a", "b")
         verifyJaccard(cand, sets, threshold = 0.8)
       })

@@ -70,8 +70,10 @@ object MultimodalOps {
 
     QueryDef(
       "mm02_decode_features",
+      // first byte = first UTF-8 BYTE of the payload (not the first
+      // character's code point — they differ for non-ASCII leads)
       Some("""SELECT source, count(*) AS n,
-             |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_first_byte,
+             |  CAST(sum(CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)) AS BIGINT) AS sum_first_byte,
              |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
              |  CAST(sum(octet_length(encode(text)) % 1920) AS BIGINT) AS sum_fake_width
              |FROM documents GROUP BY source""".stripMargin),

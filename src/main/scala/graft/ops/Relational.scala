@@ -334,15 +334,15 @@ object Relational {
              |  count(*) AS n
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
-      (s, d) => {
-        li(s, d).createOrReplaceTempView("graft_lineitem")
-        s.sql("""SELECT l_returnflag, l_linestatus,
-                |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
-                |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-                |  count(*) AS n
-                |FROM graft_lineitem
-                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
-      }),
+      (s, d) =>
+        li(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"),
+            count(lit(1)).as("n"))),
 
     // ---- pivot (oracle: conditional aggregation) --------------------
     QueryDef(
@@ -358,7 +358,10 @@ object Relational {
         Tables(s, d, "events")
           .groupBy((col("user_id") % 10).as("bucket"))
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-          .agg(count(lit(1)))),
+          .agg(count(lit(1)))
+          // pivot leaves NULL in empty cells; the conditional-agg oracle
+          // (and any sane consumer) expects 0
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
 
     // ---- typed Aggregator UDAF --------------------------------------
     QueryDef(

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `left.keys == right.keys` with the left side's hot
-    * keys spread over `saltFactor` partitionable sub-keys. `saltCols`
-    * picks the left columns hashed into the salt (default: all non-key
-    * columns — deterministic, collision-spread). */
+    * keys spread over `saltFactor` partitionable sub-keys. The salt
+    * hashes `saltCols` (default: all non-key columns) MIXED WITH a
+    * per-row id, so the spread holds even when a hot key's rows carry
+    * identical payloads (a constant-payload hot key would otherwise
+    * collapse to one salt and defeat the whole join). The row id is
+    * stable under task retry (same split ⇒ same ids), so salting stays
+    * deterministic for replays. */
   def saltedInnerJoin(
       left: DataFrame,
       right: DataFrame,
@@ -31,10 +35,9 @@ object SkewJoin {
     require(saltFactor > 0, "saltFactor must be positive")
     val hashCols = (if (saltCols.nonEmpty) saltCols
                     else left.columns.filterNot(keys.contains).toSeq)
-      .map(col)
+      .map(col) :+ monotonically_increasing_id()
     val salted = left.withColumn("__graft_salt",
-      if (hashCols.isEmpty) lit(0)
-      else pmod(xxhash64(hashCols: _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(hashCols: _*), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__graft_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted

@@ -71,11 +71,18 @@ object EventStream {
   /** Stateful sessionization: one state row per user; a session closes
     * when the gap exceeds `gapMinutes`. Closed sessions are emitted as
     * soon as the closing event arrives (plus on event-time timeout for
-    * users that go silent). */
+    * users that go silent). The watermark delay equals the session gap,
+    * so late-data tolerance and session semantics stay consistent.
+    *
+    * Late/out-of-order events (flatMapGroupsWithState does NOT drop
+    * rows behind the watermark) merge into the open session without
+    * regressing its bounds, and the re-armed timeout is clamped above
+    * the current watermark (setTimeoutTimestamp below it throws). */
   def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60000L
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
       val sorted = evs.map(e => (e.user_id, e.tsUs)).toSeq.sortBy(_._2)
@@ -89,7 +96,8 @@ object EventStream {
       sorted.foreach { case (_, tsUs) =>
         cur match {
           case Some(s) if tsUs - s.last_us <= gapUs =>
-            cur = Some(SessionState(s.start_us, tsUs, s.n_events + 1))
+            cur = Some(SessionState(
+              math.min(s.start_us, tsUs), math.max(s.last_us, tsUs), s.n_events + 1))
           case Some(s) =>
             closed += SessionOut(userId, s.start_us, s.last_us, s.n_events)
             cur = Some(SessionState(tsUs, tsUs, 1))
@@ -99,14 +107,17 @@ object EventStream {
       }
       cur.foreach { s =>
         state.update(s)
-        if (!state.hasTimedOut) state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes.toLong * 60000L)
+        if (!state.hasTimedOut) {
+          val target = s.last_us / 1000L + gapMs
+          state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+        }
       }
       closed.result().iterator
     }
 
     events
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", s"$gapMinutes minutes")
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)

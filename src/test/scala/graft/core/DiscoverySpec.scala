@@ -14,14 +14,8 @@ class DiscoverySpec extends AnyFunSuite {
 
   private lazy val root: String = {
     val r = Files.createTempDirectory("graft_discspec_").toString
-    def writeSingle(dest: String): Unit = {
-      val tmp = s"$r/_stage/${java.util.UUID.randomUUID()}"
-      Seq((1L, "x")).toDF("id", "t").coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-      val destFile = new java.io.File(dest)
-      destFile.getParentFile.mkdirs()
-      Files.move(part.toPath, destFile.toPath)
-    }
+    def writeSingle(dest: String): Unit =
+      Merge.writeSingleFile(Seq((1L, "x")).toDF("id", "t"), dest)
     writeSingle(s"$r/folderA/sales.parquet")
     writeSingle(s"$r/folderA/misc.parquet")
     writeSingle(s"$r/folderB/sales.parquet")

@@ -17,14 +17,8 @@ class MergeSpec extends AnyFunSuite {
   private lazy val root = Files.createTempDirectory("graft_mergespec_").toString
 
   /** Plain single parquet FILE (the reference's unit of merge). */
-  private def writeSingle(df: DataFrame, dest: String): Unit = {
-    val tmp = s"$root/_stage/${java.util.UUID.randomUUID()}"
-    df.coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-    val destFile = new java.io.File(dest)
-    destFile.getParentFile.mkdirs()
-    Files.move(part.toPath, destFile.toPath)
-  }
+  private def writeSingle(df: DataFrame, dest: String): Unit =
+    Merge.writeSingleFile(df, dest)
 
   test("B1 identical: positional union, row count = sum of inputs") {
     writeSingle(Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score"), s"$root/b1/f1.parquet")

@@ -43,6 +43,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 2)
   }
 
+  test("sessionize survives late out-of-order events across microbatches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_late_")
+    def ts(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    // batch files processed one per trigger: file 1 advances the
+    // watermark well past file 2's (late) events
+    graft.core.Merge.writeSingleFile(
+      Seq((1L, ts(0), 7L, "click", 1.0, "{}"),
+          (2L, ts(600), 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/a.parquet")
+    graft.core.Merge.writeSingleFile(
+      Seq((3L, ts(300), 7L, "click", 1.0, "{}"))  // 5h late vs watermark
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/b.parquet")
+    // timestamps here are already TimestampType (not nanos Long), so
+    // feed sessionize directly rather than via readEvents
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = EventStream.sessionize(src, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("late_sessions").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // before the fix this crashed with setTimeoutTimestamp < watermark;
+    // now the query completes and sessions never regress end < start
+    val out = spark.table("late_sessions")
+    assert(out.filter(col("end_us") < col("start_us")).count() == 0)
+  }
+
   test("dedupStream: duplicated source collapses to distinct events") {
     // stage the SAME file twice: every event arrives twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft_stream_dup_")
