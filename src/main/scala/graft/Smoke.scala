@@ -52,6 +52,9 @@ object Smoke {
     println(s"[smoke] discovered ${files.size} parquet paths:")
     files.foreach(f => println(s"  ${f.displayPath}"))
 
+    // 1b. file-list search (P4): case-insensitive substring
+    println(s"[smoke] search 'DAILY' -> ${Discovery.filterFiles(files, "DAILY").map(_.displayPath).mkString(", ")}")
+
     // 2. smart batch (group by file name across folders)
     val (groups, singles) = Discovery.smartBatch(files)
     println(s"[smoke] smart-batch: ${groups.map(_._1).mkString(", ")} (+$singles singletons)")

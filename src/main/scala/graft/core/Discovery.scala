@@ -65,6 +65,15 @@ object Discovery {
     (multi, groups.count(_._2.size == 1))
   }
 
+  /** P4 file-list search (main.rs:1035-1044): case-insensitive
+    * substring match against displayPath; empty query keeps all. */
+  def filterFiles(files: Seq[ParquetFileRef], query: String): Seq[ParquetFileRef] =
+    if (query.isEmpty) files
+    else {
+      val q = query.toLowerCase
+      files.filter(_.displayPath.toLowerCase.contains(q))
+    }
+
   def fileName(path: String): String = {
     val i = path.lastIndexOf('/')
     if (i >= 0) path.substring(i + 1) else path

@@ -50,6 +50,18 @@ class DiscoverySpec extends AnyFunSuite {
     assert(singles == 2)
   }
 
+  test("filterFiles: case-insensitive substring search; empty keeps all (P4)") {
+    val files = Seq(
+      ParquetFileRef("/x/folderA/sales.parquet", "folderA/sales.parquet"),
+      ParquetFileRef("/x/folderC/SALES.PARQUET", "SALES.PARQUET"),
+      ParquetFileRef("/x/folderA/misc.parquet", "folderA/misc.parquet"))
+    assert(Discovery.filterFiles(files, "sales").map(_.displayPath) ==
+      Seq("folderA/sales.parquet", "SALES.PARQUET"))
+    assert(Discovery.filterFiles(files, "FOLDERA").size == 2)
+    assert(Discovery.filterFiles(files, "") == files)
+    assert(Discovery.filterFiles(files, "zzz").isEmpty)
+  }
+
   test("display path is relative to its scan root") {
     val files = Discovery.scanFolders(spark, Seq(root))
     assert(files.map(_.displayPath).contains("folderA/sales.parquet"))
