@@ -120,6 +120,11 @@ object Smoke {
         graft.streaming.EventStream.readEvents(spark, streamDir.toString), Seq("event_id"))
       .writeStream.outputMode("append").format("memory").queryName("smoke_dedup").start()
     q3.processAllAvailable(); q3.stop()
+    val q4 = graft.streaming.EventStream.clickToPurchase(
+        graft.streaming.EventStream.readEvents(spark, streamDir.toString), windowMinutes = 60)
+      .writeStream.outputMode("append").format("memory").queryName("smoke_attr").start()
+    q4.processAllAvailable(); q4.stop()
+    println(s"[smoke] streaming click->purchase attributions: ${spark.table("smoke_attr").count()}")
     println(s"[smoke] streaming dedup kept: ${spark.table("smoke_dedup").count()} of " +
       s"${2 * spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()} duplicated events")
 

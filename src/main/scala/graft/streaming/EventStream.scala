@@ -68,6 +68,28 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding `windowMinutes` (attribution-style).
+    * Both sides are watermarked so Spark bounds the join state: click
+    * state older than windowMinutes + watermark is evicted. */
+  def clickToPurchase(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", s"$windowMinutes minutes")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"), col("value"))
+  }
+
   /** Stateful sessionization: one state row per user; a session closes
     * when the gap exceeds `gapMinutes`. Closed sessions are emitted as
     * soon as the closing event arrives (plus on event-time timeout for

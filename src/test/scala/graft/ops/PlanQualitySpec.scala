@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-quality regression guard: the properties verified by hand via
+  * graft.Explain, frozen as assertions. A future edit that silently
+  * drops a pushdown, breaks a broadcast, or introduces a cartesian
+  * product fails here, not at 100 TB. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.treeString
+
+  test("q02: filters push down to the parquet scan; scan is pruned to 3 columns") {
+    val p = plan("q02_filter_sum")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q04: both dimension joins broadcast") {
+    val p = plan("q04_region_customers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q05/q06: semi and anti joins use hash strategies") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      plan(n).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears only in the intended ANN scoring queries") {
+    val allowed = Set("vs01_topk_bruteforce", "vs02_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("the merge fast path is a single multi-path scan (no union legs)") {
+    val df = graft.core.Merge.alignedUnion(spark,
+      Seq(s"$sf/lineitem.parquet", s"$sf/lineitem.parquet"))
+    val p = df.queryExecution.executedPlan.treeString
+    assert(!p.contains("Union"))
+  }
+}

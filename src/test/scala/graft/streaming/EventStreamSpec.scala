@@ -43,6 +43,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 2)
   }
 
+  test("clickToPurchase: stream-stream interval join matches the batch equivalent") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.clickToPurchase(stream, windowMinutes = 60)
+      .writeStream.outputMode("append").format("memory").queryName("attributed").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("attributed")
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val batch = purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 60 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"), col("value"))
+
+    assert(got.count() > 0)
+    // stream emits a subset bounded by watermark sealing; every emitted
+    // row must exist in the batch join and coverage must be near-total
+    assert(got.exceptAll(batch).count() == 0)
+    assert(got.count() >= batch.count() - 50)
+  }
+
   test("sessionize survives late out-of-order events across microbatches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_late_")
