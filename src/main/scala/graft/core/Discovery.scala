@@ -70,8 +70,9 @@ object Discovery {
   def filterFiles(files: Seq[ParquetFileRef], query: String): Seq[ParquetFileRef] =
     if (query.isEmpty) files
     else {
-      val q = query.toLowerCase
-      files.filter(_.displayPath.toLowerCase.contains(q))
+      // Locale.ROOT: default-locale lowercasing breaks under tr_TR (I->ı)
+      val q = query.toLowerCase(java.util.Locale.ROOT)
+      files.filter(_.displayPath.toLowerCase(java.util.Locale.ROOT).contains(q))
     }
 
   def fileName(path: String): String = {

@@ -101,9 +101,13 @@ object Merge {
       .map(_.getPath)
       .find(p => p.getName.startsWith("part-"))
       .getOrElse(throw new MergeException(s"No part file written under $staging"))
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.mkdirs(target.getParent)
-    fs.rename(part, target)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new MergeException(s"Cannot replace existing output: $dest")
+    if (!fs.mkdirs(target.getParent))
+      throw new MergeException(s"Cannot create output directory: ${target.getParent}")
+    // Hadoop rename reports failure via its return value, not exceptions
+    if (!fs.rename(part, target))
+      throw new MergeException(s"Cannot move $part to $dest")
     fs.delete(staging, true)
   }
 

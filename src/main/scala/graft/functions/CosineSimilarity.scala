@@ -87,12 +87,23 @@ object GraftFunctions {
   def bottomk_by_hash(arr: Column, k: Int): Column =
     Bridge.column(BottomKByHash(Bridge.expression(arr), k))
 
+  /** Foldable integer argument of a SQL call (Int or Long literal). */
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int =
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(s"$fn expects a constant integer, got: $other")
+    }
+
   /** Register the custom expressions for SQL / `expr(...)` use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intArg(exprs(1), "minhash_sig")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_by_hash", exprs => BottomKByHash(exprs(0),
+        intArg(exprs(1), "bottomk_by_hash")), "scala_udf")
   }
 }

@@ -45,17 +45,20 @@ object EventOps {
 
     QueryDef(
       "ev02_json_extract",
+      // avg_k = sum(k)/count(k): count(expr) skips nulls in both
+      // engines, so rows without a "k" prop stay out of the average
+      // (exact integer sum / exact count ⇒ boundary-safe rounding)
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-             |        / count(*), 4) AS avg_k
+             |        / count(json_extract_string(props, '$.k')), 4) AS avg_k
              |FROM events GROUP BY event_type""".stripMargin),
       (s, d) =>
         ev(s, d)
           .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-            round(sum("k").cast("double") / count(lit(1)), 4).as("avg_k"))),
+            round(sum("k").cast("double") / count(col("k")), 4).as("avg_k"))),
 
     QueryDef(
       "ev03_sessionize",

@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `left.keys == right.keys` with the left side's hot
-    * keys spread over `saltFactor` partitionable sub-keys. The salt
-    * hashes `saltCols` (default: all non-key columns) MIXED WITH a
-    * per-row id, so the spread holds even when a hot key's rows carry
-    * identical payloads (a constant-payload hot key would otherwise
-    * collapse to one salt and defeat the whole join). The row id is
-    * stable under task retry (same split ⇒ same ids), so salting stays
-    * deterministic for replays. */
+    * keys spread over `saltFactor` partitionable sub-keys. The salt is
+    * derived from row CONTENT (all columns by default) — never from
+    * rand() or row ids, which change when a lost partition of a
+    * non-deterministically-ordered input is recomputed mid-shuffle and
+    * would duplicate/lose join rows. Content-hashing is recompute-
+    * stable; its one degenerate case — a hot key whose rows are fully
+    * identical — means the rows are literal duplicates, where
+    * correctness still holds and AQE skew-split is the right tool. */
   def saltedInnerJoin(
       left: DataFrame,
       right: DataFrame,
@@ -33,9 +34,7 @@ object SkewJoin {
       saltFactor: Int,
       saltCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val hashCols = (if (saltCols.nonEmpty) saltCols
-                    else left.columns.filterNot(keys.contains).toSeq)
-      .map(col) :+ monotonically_increasing_id()
+    val hashCols = (if (saltCols.nonEmpty) saltCols else left.columns.toSeq).map(col)
     val salted = left.withColumn("__graft_salt",
       pmod(xxhash64(hashCols: _*), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__graft_salt",

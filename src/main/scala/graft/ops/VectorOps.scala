@@ -68,13 +68,19 @@ object VectorOps {
 
   /** Top-k cosine neighbors of each probe within the probe's cell.
     * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
-    * the scan to the probed partitions. */
+    * the scan to the probed partitions. Probe sets are small by design,
+    * so they are collected ONCE into a local relation — otherwise the
+    * (possibly expensive) probe derivation would execute twice: for the
+    * cid pruning list and again inside the join. */
   def probeIvfIndex(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame = {
-    GraftFunctions.register(spark)
-    val cids = probes.select("pcid").distinct().collect().map(_.get(0))
-    val cells = spark.read.parquet(path).filter(col("cid").isin(cids.toIndexedSeq: _*))
+    val rows = probes.collect()
+    val cidIdx = probes.schema.fieldIndex("pcid")
+    val cids = rows.map(_.get(cidIdx)).distinct.toIndexedSeq
+    val localProbes = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
+    val cells = spark.read.parquet(path).filter(col("cid").isin(cids: _*))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
-    cells.join(broadcast(probes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+    cells.join(broadcast(localProbes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         cosine(col("pv"), col("v")).as("c"))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -63,10 +63,12 @@ object EventStream {
     * the watermark horizon — the streaming face of the batch dedup
     * family (dd01). State is bounded: key fingerprints older than the
     * watermark are evicted, so this survives unbounded input. */
-  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding `windowMinutes` (attribution-style).
@@ -117,9 +119,16 @@ object EventStream {
       }
       sorted.foreach { case (_, tsUs) =>
         cur match {
-          case Some(s) if tsUs - s.last_us <= gapUs =>
+          // within gap of the open session's [start-gap, last+gap] span:
+          // merge without regressing bounds
+          case Some(s) if tsUs >= s.start_us - gapUs && tsUs - s.last_us <= gapUs =>
             cur = Some(SessionState(
               math.min(s.start_us, tsUs), math.max(s.last_us, tsUs), s.n_events + 1))
+          // stray late event from a long-gone gap window: it is its own
+          // (already-over) session — emit closed, keep the open one
+          case Some(s) if tsUs < s.start_us - gapUs =>
+            closed += SessionOut(userId, tsUs, tsUs, 1)
+          // gap exceeded forward: close current, open new
           case Some(s) =>
             closed += SessionOut(userId, s.start_us, s.last_us, s.n_events)
             cur = Some(SessionState(tsUs, tsUs, 1))
