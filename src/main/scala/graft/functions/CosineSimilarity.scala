@@ -87,6 +87,11 @@ object GraftFunctions {
   def bottomk_by_hash(arr: Column, k: Int): Column =
     Bridge.column(BottomKByHash(Bridge.expression(arr), k))
 
+  /** `heavy_hitters(col, k)` aggregate: Misra-Gries candidate frequent
+    * items as map<string,bigint> (exact when k >= distinct values). */
+  def heavy_hitters(c: Column, k: Int): Column =
+    Bridge.column(HeavyHitters(Bridge.expression(c), k).toAggregateExpression())
+
   /** Foldable integer argument of a SQL call (Int or Long literal). */
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int =
     e.eval() match {
@@ -105,5 +110,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottomk_by_hash", exprs => BottomKByHash(exprs(0),
         intArg(exprs(1), "bottomk_by_hash")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", exprs => HeavyHitters(exprs(0),
+        intArg(exprs(1), "heavy_hitters")).toAggregateExpression(), "scala_udf")
   }
 }

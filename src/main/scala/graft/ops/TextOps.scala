@@ -140,6 +140,23 @@ object TextOps {
       }),
 
     QueryDef(
+      "tx07_heavy_hitters",
+      // k=64 exceeds the corpus vocabulary, so the Misra-Gries summary
+      // is exact and oracle-checkable; with k < |vocab| the same
+      // aggregate degrades gracefully to guaranteed heavy-hitter
+      // candidates (see HeavyHittersSpec).
+      Some("""SELECT tok, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents) t
+             |GROUP BY tok""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .agg(graft.functions.GraftFunctions.heavy_hitters(col("tok"), 64).as("hh"))
+          .select(explode(col("hh")))
+          .toDF("tok", "cnt")),
+
+    QueryDef(
       "tx05_fingerprint",
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
              |  count(*) AS n, min(doc_id) AS first_doc
