@@ -131,8 +131,72 @@ object DedupOps {
           .filter(col("n_keys_common") >= least(lit(5), col("nka"), col("nkb")))
           .select("a", "b")
         verifyJaccard(cand, sets, threshold = 0.8)
+      }),
+
+    QueryDef(
+      "dd05_dup_clusters",
+      // Three copies of every doc (ids +0/+100k/+200k) linked in a
+      // CHAIN (edges only between consecutive copies), so the canonical
+      // id genuinely requires transitive closure. Oracle: recursive CTE.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents
+             |  UNION ALL SELECT doc_id + 200000, text FROM documents
+             |), h AS (SELECT doc_id, md5(text) AS hh FROM u),
+             |edges AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b
+             |  FROM h x JOIN h y ON x.hh = y.hh AND y.doc_id = x.doc_id + 100000),
+             |sym AS (SELECT a AS src, b AS dst FROM edges
+             |        UNION ALL SELECT b, a FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM h
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, lbl FROM r)
+             |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS canonical
+             |FROM reach GROUP BY node""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val u = base
+          .unionByName(base.withColumn("doc_id", col("doc_id") + lit(100000L)))
+          .unionByName(base.withColumn("doc_id", col("doc_id") + lit(200000L)))
+        val h = u.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("hh"))
+        val edges = h.select(col("doc_id").as("a"), col("hh"))
+          .join(h.select(col("doc_id").as("b"), col("hh")), "hh")
+          .filter(col("b") === col("a") + 100000L)
+          .select("a", "b")
+        connectedComponents(h.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("label").as("canonical"))
       })
   )
+
+  /** Connected components by iterative min-label propagation — the
+    * duplicate-CLUSTER resolution step after pair finding: every doc
+    * gets the smallest doc_id reachable through dup edges as its
+    * canonical id. Driver-coordinated loop over distributed joins;
+    * `localCheckpoint` truncates the growing lineage each round (the
+    * standard iterative-algorithm discipline — without it plans double
+    * every iteration). Converges in O(diameter) rounds. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // nodes: (id); edges: (a, b)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
 
   /** MinHash+LSH near-duplicate pairs with an exact-Jaccard verify step.
     * Output: (a, b, jaccard) for candidate pairs whose true shingle-set

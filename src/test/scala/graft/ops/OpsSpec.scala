@@ -46,6 +46,15 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == docs)
   }
 
+  test("dd05 clusters resolve transitively: every copy points to the chain base") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dd05_dup_clusters")(spark, sf)
+    // copies carry ids base+100000/base+200000; canonical must be base
+    assert(out.filter(col("canonical") =!= col("doc_id") % 100000).count() == 0)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == 3 * n)
+  }
+
   test("vs03 embedding near-dup finds exactly the injected copies") {
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
     val out = SparkEntry.queries("vs03_embed_neardup")(spark, sf)
