@@ -30,9 +30,14 @@ case class HeavyHitters(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   require(k > 0 && k <= 100000, "k must be in (0, 100000]")
+
+  // analysis-time type check / implicit cast (type inferred:
+  // AbstractDataType is private[sql])
+  override def inputTypes = Seq(StringType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -34,11 +34,13 @@ object DedupOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
-  /** documents ∪ (documents with shifted ids): every text now appears
-    * exactly twice under distinct ids. */
-  private def dupDocs(s: SparkSession, d: String): DataFrame = {
+  /** `copies` shifted copies of the documents table (ids offset by
+    * i*Shift): every text appears `copies` times under distinct ids. */
+  private def dupDocs(s: SparkSession, d: String, copies: Int = 2): DataFrame = {
     val base = docs(s, d)
-    base.unionByName(base.withColumn("doc_id", col("doc_id") + lit(Shift)))
+    (1 until copies)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * Shift)))
+      .foldLeft(base)(_ unionByName _)
   }
 
   /** Distinct word-3-shingles of `text`, built with codegen'd
@@ -157,14 +159,11 @@ object DedupOps {
              |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS canonical
              |FROM reach GROUP BY node""".stripMargin),
       (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), col("text"))
-        val u = base
-          .unionByName(base.withColumn("doc_id", col("doc_id") + lit(100000L)))
-          .unionByName(base.withColumn("doc_id", col("doc_id") + lit(200000L)))
-        val h = u.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("hh"))
+        val h = dupDocs(s, d, copies = 3)
+          .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("hh"))
         val edges = h.select(col("doc_id").as("a"), col("hh"))
           .join(h.select(col("doc_id").as("b"), col("hh")), "hh")
-          .filter(col("b") === col("a") + 100000L)
+          .filter(col("b") === col("a") + lit(Shift))
           .select("a", "b")
         connectedComponents(h.select(col("doc_id").as("id")), edges)
           .select(col("id").as("doc_id"), col("label").as("canonical"))
@@ -193,8 +192,12 @@ object DedupOps {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
+      // release the superseded round's checkpoint blocks — without this
+      // every iteration pins a full labels copy in the block manager
+      labels.rdd.unpersist()
       labels = next
     }
+    sym.rdd.unpersist()
     labels
   }
 

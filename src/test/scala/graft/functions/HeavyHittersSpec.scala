@@ -55,6 +55,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(many == one)
   }
 
+  test("non-string input fails at analysis (or casts), never executor-side CCE") {
+    GraftFunctions.register(spark)
+    val df = Seq(1L, 2L, 2L).toDF("v")
+    df.createOrReplaceTempView("hh_long")
+    // either a clean analysis error or an implicit cast is acceptable;
+    // an executor-side ClassCastException is not
+    try {
+      val m = spark.sql("SELECT heavy_hitters(v, 4) AS m FROM hh_long")
+        .head.getMap[String, Long](0).toMap
+      assert(m == Map("1" -> 1L, "2" -> 2L))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        assert(e.getMessage.toLowerCase.contains("type"))
+    }
+  }
+
   test("group-by usage and SQL registration") {
     GraftFunctions.register(spark)
     val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z")).toDF("g", "v")
