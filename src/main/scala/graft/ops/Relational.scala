@@ -298,6 +298,23 @@ object Relational {
           .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
       }),
 
+    // ---- scalar subquery --------------------------------------------
+    QueryDef(
+      "q26_scalar_subquery",
+      Some("""SELECT o_orderstatus, count(*) AS n_above
+             |FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             |GROUP BY o_orderstatus""".stripMargin),
+      (s, d) => {
+        val o = ord(s, d)
+        // scalar subquery: the global average joins in as a 1-row
+        // broadcast (no second pass over a collected constant)
+        val globalAvg = o.agg(avg("o_totalprice").as("gavg"))
+        o.join(broadcast(globalAvg), col("o_totalprice") > col("gavg"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_above"))
+      }),
+
     // ---- the reference's core operator: aligned UNION ALL -----------
     QueryDef(
       "q19_union_merge",

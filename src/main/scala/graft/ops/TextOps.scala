@@ -140,6 +140,27 @@ object TextOps {
       }),
 
     QueryDef(
+      "tx08_stopword_filter",
+      // content-token stream after stopword removal — the normalize step
+      // before shingling/training. array_remove-chain keeps it codegen'd.
+      Some("""SELECT lang, count(*) AS n_content_tokens,
+             |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+             |FROM (
+             |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents) t
+             |WHERE tok NOT IN ('the', 'a', 'and', 'of', 'to')
+             |GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val stop = Seq("the", "a", "and", "of", "to")
+        docs(s, d)
+          .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .filter(!col("tok").isin(stop: _*))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_content_tokens"),
+            countDistinct(col("tok")).as("n_distinct"))
+      }),
+
+    QueryDef(
       "tx07_heavy_hitters",
       // k=64 exceeds the corpus vocabulary, so the Misra-Gries summary
       // is exact and oracle-checkable; with k < |vocab| the same

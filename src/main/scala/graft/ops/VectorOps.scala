@@ -103,6 +103,24 @@ object VectorOps {
       }
       .reduce((x, y) => x.bitwiseOR(y))
 
+  /** Join-based IVF probe: no driver collect — Spark's dynamic
+    * partition pruning restricts the index scan to the probed cells at
+    * runtime (verified: `dynamicpruningexpression` lands in the scan's
+    * PartitionFilters). Use this when the probe set is itself a large
+    * distributed relation; [[probeIvfIndex]] (collect + static isin)
+    * fits small interactive probe sets. */
+  def probeIvfIndexDpp(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame = {
+    val cells = spark.read.parquet(path)
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+    cells.join(probes.hint("broadcast"),
+        col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
