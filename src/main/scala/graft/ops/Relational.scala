@@ -315,6 +315,51 @@ object Relational {
           .agg(count(lit(1)).as("n_above"))
       }),
 
+    // ---- full outer join --------------------------------------------
+    QueryDef(
+      "q27_full_outer",
+      Some("""SELECT coalesce(f.k, o.k) AS custkey,
+             |  coalesce(f.n_f, 0) AS n_f, coalesce(o.n_o, 0) AS n_o
+             |FROM (SELECT o_custkey AS k, count(*) AS n_f FROM orders
+             |      WHERE o_orderstatus = 'F' GROUP BY 1) f
+             |FULL OUTER JOIN
+             |     (SELECT o_custkey AS k, count(*) AS n_o FROM orders
+             |      WHERE o_orderstatus = 'O' GROUP BY 1) o
+             |ON f.k = o.k""".stripMargin),
+      (s, d) => {
+        val f = ord(s, d).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("n_f"))
+        val o = ord(s, d).filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("n_o"))
+        f.join(o, col("fk") === col("ok"), "full_outer")
+          .select(
+            coalesce(col("fk"), col("ok")).as("custkey"),
+            coalesce(col("n_f"), lit(0L)).as("n_f"),
+            coalesce(col("n_o"), lit(0L)).as("n_o"))
+      }),
+
+    // ---- remaining window functions ---------------------------------
+    QueryDef(
+      "q28_window_misc",
+      Some("""SELECT o_orderkey,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  lag(o_orderkey, 1) OVER w AS prev_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d).select(
+          col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"))
+      }),
+
     // ---- the reference's core operator: aligned UNION ALL -----------
     QueryDef(
       "q19_union_merge",
