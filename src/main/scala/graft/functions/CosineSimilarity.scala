@@ -92,6 +92,10 @@ object GraftFunctions {
   def heavy_hitters(c: Column, k: Int): Column =
     Bridge.column(HeavyHitters(Bridge.expression(c), k).toAggregateExpression())
 
+  /** `word_shingles(text, n)`: distinct word n-grams, one pass. */
+  def word_shingles(c: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n))
+
   /** Foldable integer argument of a SQL call (Int or Long literal). */
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int =
     e.eval() match {
