@@ -117,5 +117,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => HeavyHitters(exprs(0),
         intArg(exprs(1), "heavy_hitters")).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        intArg(exprs(1), "word_shingles")), "scala_udf")
   }
 }

@@ -49,4 +49,10 @@ class WordShinglesSpec extends AnyFunSuite {
   test("unicode text shingles cleanly (byte-level tokenization on space only)") {
     assert(sh("héllo wörld déjà vu", 2) == Seq("héllo wörld", "wörld déjà", "déjà vu"))
   }
+
+  test("SQL registration") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT word_shingles('a b c d', 2) AS s").head.getSeq[String](0)
+    assert(viaSql == Seq("a b", "b c", "c d"))
+  }
 }
