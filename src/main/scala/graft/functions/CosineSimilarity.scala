@@ -96,6 +96,10 @@ object GraftFunctions {
   def word_shingles(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
 
+  /** `simhash_sig(tokens)`: 64-bit SimHash of a token array. */
+  def simhash_sig(c: Column): Column =
+    Bridge.column(SimHashSignature(Bridge.expression(c)))
+
   /** Foldable integer argument of a SQL call (Int or Long literal). */
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int =
     e.eval() match {
@@ -120,5 +124,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         intArg(exprs(1), "word_shingles")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSignature(exprs(0)), "scala_udf")
   }
 }

@@ -255,17 +255,10 @@ object DedupOps {
     * distance <= 3 shares at least one exact band (pigeonhole). Output:
     * (a, b, hamming). */
   def simHashNearDups(corpus: DataFrame, maxHamming: Int): DataFrame = {
-    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val h = toks.withColumn("th", xxhash64(col("tok")))
-    // Per-bit majority: sum +1/-1 per token occurrence, one agg pass.
-    val bitCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val bitSums = h.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    val sig = bitSums.select(col("doc_id"), fp.as("sim"))
+    // Per-row signature via the native expression — no explode, no
+    // 64-aggregate shuffle (see graft.functions.SimHashSignature).
+    val sig = corpus.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash_sig(split(col("text"), " ")).as("sim"))
 
     val bandCols = (0 until 4).map(b =>
       shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)))
