@@ -10,7 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * sets the bits with positive tally. One map-side pass — replaces the
   * explode + 64 per-bit `sum(when(...))` aggregates shape, which
   * shuffles every (doc, token) pair and runs 64 branch expressions per
-  * token. Null elements are skipped; an empty array yields 0L. */
+  * token. Null elements are skipped; an empty array yields 0L.
+  *
+  * Hashing basis: XXH64 over the UTF-8 bytes with seed 0. NOT
+  * bit-compatible with Spark's `xxhash64(...)` SQL function (seed 42,
+  * different composition) — fingerprints computed by other means must
+  * not be compared against these. */
 case class SimHashSignature(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 

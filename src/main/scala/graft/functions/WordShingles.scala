@@ -31,19 +31,22 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    // token boundaries (byte offsets), skipping empty tokens
-    val starts = mutable.ArrayBuffer.empty[Int]
-    val ends = mutable.ArrayBuffer.empty[Int]
+    // token boundaries (byte offsets), skipping empty tokens; primitive
+    // int arrays (an ArrayBuffer[Int] would box every offset in the hot
+    // path this expression exists to avoid); max tokens = (len+1)/2
+    val maxToks = bytes.length / 2 + 1
+    val starts = new Array[Int](maxToks)
+    val ends = new Array[Int](maxToks)
+    var nToks = 0
     var i = 0
     var tokStart = -1
     while (i <= bytes.length) {
       val isSep = i == bytes.length || bytes(i) == ' '.toByte
       if (isSep) {
-        if (tokStart >= 0) { starts += tokStart; ends += i; tokStart = -1 }
+        if (tokStart >= 0) { starts(nToks) = tokStart; ends(nToks) = i; nToks += 1; tokStart = -1 }
       } else if (tokStart < 0) tokStart = i
       i += 1
     }
-    val nToks = starts.length
     if (nToks == 0) return new GenericArrayData(Array.empty[Any])
     val out = new mutable.LinkedHashSet[UTF8String]
     val nShingles = math.max(nToks - n + 1, 1)

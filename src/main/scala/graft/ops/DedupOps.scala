@@ -55,9 +55,6 @@ object DedupOps {
   private def shingleSets(u: DataFrame): DataFrame =
     u.select(col("doc_id"), shingles(col("text")).as("shs"))
 
-  /** (doc_id, shingle) pairs, one row per distinct shingle. */
-  private def explodedShingles(u: DataFrame): DataFrame =
-    u.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -239,16 +236,23 @@ object DedupOps {
 
   /** Exact shingle-set Jaccard for candidate (a, b) pairs, computed on
     * compact per-doc shingle arrays — one row per pair (array_intersect
-    * / array_union), never a per-shingle re-explosion. */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    * / array_union), never a per-shingle re-explosion. Two EMPTY sets
+    * (blank documents) are identical: 0/0 is defined as 1.0, not the
+    * NULL Spark's division would produce (which would silently drop an
+    * exact-duplicate pair of blank docs). */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val unionSize = size(array_union(col("shs_a"), col("shs_b")))
     cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
-          size(array_union(col("shs_a"), col("shs_b")))).as("j"))
+        when(unionSize === 0, lit(1.0))
+          .otherwise(
+            size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") / unionSize)
+          .as("j"))
       .filter(col("j") >= threshold)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
+  }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints from token-hash
     * bit majorities; banded into 4×16 bits so any pair within Hamming
