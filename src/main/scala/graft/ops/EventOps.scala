@@ -60,6 +60,23 @@ object EventOps {
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
             round(sum("k").cast("double") / count(col("k")), 4).as("avg_k"))),
 
+    // map-typed JSON: parse props to map<string,bigint>, explode entries
+    QueryDef(
+      "ev07_map_explode",
+      Some("""SELECT k, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v
+             |FROM (SELECT unnest(json_keys(props)) AS k, props FROM events) t
+             |GROUP BY k""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .select(explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType))))
+          .toDF("k", "v")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), sum("v").cast("long").as("sum_v"))),
+
     QueryDef(
       "ev03_sessionize",
       Some("""WITH x AS (
