@@ -345,7 +345,9 @@ object Relational {
              |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
              |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
              |  lead(o_orderkey, 1) OVER w AS next_key,
-             |  lag(o_orderkey, 1) OVER w AS prev_key
+             |  lag(o_orderkey, 1) OVER w AS prev_key,
+             |  round(percent_rank() OVER w, 6) AS prk,
+             |  round(cume_dist() OVER w, 6) AS cdist
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
@@ -357,7 +359,9 @@ object Relational {
           dense_rank().over(w).cast("long").as("drnk"),
           ntile(4).over(w).cast("long").as("quartile"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"),
-          lag(col("o_orderkey"), 1).over(w).as("prev_key"))
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cdist"))
       }),
 
     // ---- the reference's core operator: aligned UNION ALL -----------
