@@ -29,12 +29,15 @@ object Discovery {
       val rootPath = new Path(root)
       val fs       = rootPath.getFileSystem(conf)
       if (fs.exists(rootPath)) {
-        val rootDir = fs.makeQualified(rootPath).toUri.getPath
+        // Full URI strings (scheme + authority preserved): hdfs://nn/a/b
+        // stays addressable on its own filesystem instead of silently
+        // resolving against the default FS downstream.
+        val rootDir = fs.makeQualified(rootPath).toString
         val it      = fs.listFiles(rootPath, true)
         while (it.hasNext) {
           val st = it.next()
           if (st.isFile && st.getPath.getName.toLowerCase.endsWith(".parquet")) {
-            val full = st.getPath.toUri.getPath
+            val full = st.getPath.toString
             out += ParquetFileRef(full, relativize(rootDir, full, st.getPath.getName))
           }
         }

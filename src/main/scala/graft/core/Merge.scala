@@ -93,22 +93,33 @@ object Merge {
       options: Map[String, String] = Map.empty): Unit = {
     val spark   = df.sparkSession
     val staging = new org.apache.hadoop.fs.Path(dest + ".__staging__")
+    val tmp     = new org.apache.hadoop.fs.Path(dest + ".__tmp__")
     val target  = new org.apache.hadoop.fs.Path(dest)
     val fs      = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.coalesce(1).write.mode("overwrite").format(format).options(options)
-      .save(staging.toString)
-    val part = fs.listStatus(staging)
-      .map(_.getPath)
-      .find(p => p.getName.startsWith("part-"))
-      .getOrElse(throw new MergeException(s"No part file written under $staging"))
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new MergeException(s"Cannot replace existing output: $dest")
-    if (!fs.mkdirs(target.getParent))
-      throw new MergeException(s"Cannot create output directory: ${target.getParent}")
-    // Hadoop rename reports failure via its return value, not exceptions
-    if (!fs.rename(part, target))
-      throw new MergeException(s"Cannot move $part to $dest")
-    fs.delete(staging, true)
+    // Staging (and the temp sibling) are cleaned up on EVERY exit path;
+    // the target is replaced with a sibling-to-sibling rename so the
+    // destination-missing window is a single metadata op, not a write.
+    try {
+      df.coalesce(1).write.mode("overwrite").format(format).options(options)
+        .save(staging.toString)
+      val part = fs.listStatus(staging)
+        .map(_.getPath)
+        .find(p => p.getName.startsWith("part-"))
+        .getOrElse(throw new MergeException(s"No part file written under $staging"))
+      if (!fs.mkdirs(target.getParent))
+        throw new MergeException(s"Cannot create output directory: ${target.getParent}")
+      // Hadoop rename/delete report failure via return value, not exceptions
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (!fs.rename(part, tmp))
+        throw new MergeException(s"Cannot move $part to $tmp")
+      if (fs.exists(target) && !fs.delete(target, true))
+        throw new MergeException(s"Cannot replace existing output: $dest")
+      if (!fs.rename(tmp, target))
+        throw new MergeException(s"Cannot move $tmp to $dest")
+    } finally {
+      fs.delete(staging, true)
+      fs.delete(tmp, true)
+    }
   }
 
   /** Full merge job: align → union → parquet sink; returns rows written

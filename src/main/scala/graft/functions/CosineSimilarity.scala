@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null elements inside the arrays are treated as 0 (embeddings are
   * dense); a null array yields null (BinaryExpression null-intolerant
-  * default).
+  * default). A zero-norm input also yields null rather than 0/0 = NaN:
+  * Spark sorts NaN above every double, so a NaN score would pass
+  * `score > threshold` filters and rank first in every top-k window.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -28,6 +30,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
+
+  // null not only on null inputs but also on zero-norm vectors
+  override def nullable: Boolean = true
 
   override def prettyName: String = "cosine_sim"
 
@@ -42,7 +47,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,7 +66,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
         |  final double y = $b.getDouble($i);
         |  $dot += x * y; $na += x * x; $nb += y * y;
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |if ($na == 0.0 || $nb == 0.0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |}
       """.stripMargin
     })
 

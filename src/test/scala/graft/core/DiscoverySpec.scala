@@ -66,4 +66,14 @@ class DiscoverySpec extends AnyFunSuite {
     val files = Discovery.scanFolders(spark, Seq(root))
     assert(files.map(_.displayPath).contains("folderA/sales.parquet"))
   }
+
+  test("fullPath keeps the filesystem scheme so non-default FS paths stay addressable") {
+    val files = Discovery.scanFolders(spark, Seq(root))
+    assert(files.nonEmpty)
+    // local FS qualifies to file: — an hdfs:// or s3a:// root would keep
+    // its own scheme/authority the same way
+    assert(files.forall(_.fullPath.startsWith("file:")))
+    // and the scheme-qualified paths are directly readable
+    assert(spark.read.parquet(files.head.fullPath).count() == 1)
+  }
 }

@@ -112,4 +112,30 @@ class MergeSpec extends AnyFunSuite {
     assert(remaining.map(_.name) == Seq("clash"))
     assert(spark.read.parquet(s"$root/w3/out/merged/same.parquet").count() == 2)
   }
+
+  test("writeSingleFile: failed write leaves no staging/tmp litter and keeps prior output") {
+    val dest = s"$root/cleanup/out.parquet"
+    writeSingle(Seq((1L, "keep")).toDF("id", "t"), dest)
+    // CSV cannot serialize an array column -> the staged write throws
+    val bad = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    intercept[Exception] {
+      Merge.writeSingleFile(bad, dest, "csv", Map("header" -> "true"))
+    }
+    // ignore LocalFileSystem .crc sidecars
+    def visible(d: java.io.File) = d.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    val dir = new java.io.File(s"$root/cleanup")
+    assert(visible(dir) == Set("out.parquet"), s"leftover files: ${visible(dir).mkString(", ")}")
+    // prior output untouched (failure happened before the swap)
+    assert(spark.read.parquet(dest).count() == 1)
+  }
+
+  test("writeSingleFile: overwrite replaces an existing single-file output") {
+    val dest = s"$root/overwrite/out.parquet"
+    writeSingle(Seq((1L, "old")).toDF("id", "t"), dest)
+    writeSingle(Seq((2L, "new"), (3L, "new")).toDF("id", "t"), dest)
+    assert(spark.read.parquet(dest).count() == 2)
+    val names = new java.io.File(s"$root/overwrite")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(names == Set("out.parquet"))
+  }
 }

@@ -48,4 +48,27 @@ class CosineSimilaritySpec extends AnyFunSuite {
     val v = spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c").head.getDouble(0)
     assert(math.abs(v - 1.0) < 1e-12)
   }
+
+  test("zero-norm vector yields null (not NaN) in both eval paths") {
+    GraftFunctions.register(spark)
+    // codegen path (literal arrays fold through WholeStageCodegen project)
+    val sqlRows = spark.sql(
+      """SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c1,
+        |       cosine_sim(array(1.0d, 2.0d), array(0.0d, 0.0d)) AS c2""".stripMargin).head
+    assert(sqlRows.isNullAt(0) && sqlRows.isNullAt(1))
+    // interpreted path: eval directly on the expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val zero = Literal.create(ArrayData.toArrayData(Array(0.0, 0.0)), ArrayType(DoubleType))
+    val one  = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0)), ArrayType(DoubleType))
+    assert(CosineSimilarity(zero, one).eval(null) == null)
+    assert(CosineSimilarity(one, zero).eval(null) == null)
+    // a NaN score would outrank every real score in a desc sort — the
+    // null contract keeps zero vectors out of top-k results entirely
+    val ranked = spark.sql(
+      """SELECT c FROM (SELECT cosine_sim(array(0.0d), array(1.0d)) AS c
+        |  UNION ALL SELECT 0.5d) ORDER BY c DESC NULLS LAST LIMIT 1""".stripMargin).head
+    assert(ranked.getDouble(0) == 0.5)
+  }
 }
