@@ -13,7 +13,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warmup: absorb one-time JVM/engine costs (Janino + whole-stage
+    // codegen infrastructure, parquet reader + Hadoop FS init, JIT)
+    // so the first measured query isn't charged ~7s of cold-start.
+    // Exercises scan + shuffle + join + window + HOF codegen paths.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      li.groupBy("l_returnflag").agg(sum("l_quantity")).queryExecution.toRdd.count()
+      li.withColumn("rn",
+          row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .filter(col("rn") === 1).queryExecution.toRdd.count()
+      spark.range(100).select(
+        aggregate(transform(sequence(lit(1), lit(5)), x => x * col("id")),
+          lit(0L), (a, x) => a + x).as("s")).queryExecution.toRdd.count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (non-fatal): ${e.getMessage}")
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd forces every output column to be computed (a plain count()
       // would let Catalyst prune the projections away).
@@ -28,7 +47,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total covers successful queries only; -1 markers must not shrink it
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -118,8 +118,13 @@ object GraftFunctions {
         throw new IllegalArgumentException(s"$fn expects a constant integer, got: $other")
     }
 
-  /** Register the custom expressions for SQL / `expr(...)` use. */
+  /** Register the custom expressions for SQL / `expr(...)` use.
+    * Idempotent: re-registering the same session is a no-op so repeated
+    * query invocations don't spam "function replaced" warnings. */
   def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
