@@ -161,6 +161,65 @@ object DedupOps {
           .select("a", "b")
         connectedComponents(h.select(col("doc_id").as("id")), edges)
           .select(col("id").as("doc_id"), col("label").as("canonical"))
+      }),
+
+    QueryDef(
+      "dd06_exact_jaccard",
+      // EXACT all-pairs shingle Jaccard >= 0.8 — the oracle-checkable
+      // tier of the near-dup family (dd02/dd04 are its sketch-
+      // accelerated scale paths). Recall is total by construction: any
+      // pair with J >= 0.8 > 0 shares a shingle, so the inverted-index
+      // equi-join enumerates it; no bucket caps, no posting sketches.
+      // The DuckDB oracle re-derives word_shingles' tokenization with
+      // list lambdas (space-split, empties dropped, distinct 3-gram
+      // windows, short docs collapse to one whole-text shingle).
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(shs) AS n FROM sh)
+             |SELECT a, b,
+             |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = a
+             |JOIN sz sb ON sb.doc_id = b
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin),
+      (s, d) => {
+        val sets = shingleSets(dupDocs(s, d)).filter(size(col("shs")) > 0)
+        val post = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+        // one shuffle builds posting lists; i<j pair expansion inside
+        // each list (HOFs) — no posting self-join
+        val inter = post.groupBy("sh")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("i"))
+        val sz = sets.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+        val j = col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")
+        inter
+          .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .filter(j >= 0.8)
+          .select(col("a"), col("b"), round(j, 4).as("jaccard"))
       })
   )
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Banded (bucketized) interval join — the scale-safe plan for range
+  * predicates Spark would otherwise execute as a broadcast nested-loop
+  * or cartesian join.
+  *
+  * A naive `a JOIN b ON a.k = b.k AND abs(a.t - b.t) <= W` gives
+  * Catalyst only the equi-key `k`; every same-key pair is then tested
+  * against the range — O(n²) per key, fatal for a hot key at 100 TB.
+  * Banding adds a derived equi-key: bucket `t` into width-W bins, have
+  * one side also probe its ±1 neighbor bins, and join on
+  * `(k, bin)` — a plain shuffled hash join. Any pair within W is in
+  * the same or adjacent bins (|t_a - t_b| <= W ⇒ |bin_a - bin_b| <= 1),
+  * so recall is exact; the residual range filter runs only inside
+  * 3-bin neighborhoods, so per-key work is O(n · density), not O(n²).
+  * Each pair matches exactly one of the three probe bins (bins are
+  * disjoint), so no dedup pass is needed.
+  *
+  * (The reference `shanytc/parquet-merger` has no joins at all —
+  * `src/main.rs` is file concatenation — so this operator belongs to
+  * the north-star extension surface.)
+  */
+object RangeJoin {
+
+  /** Pairs (a, b) of rows from `df` sharing `key` with
+    * |timeA - timeB| <= window, a.id < b.id. `time` and `window` must
+    * share a unit (integral). */
+  def bandedSelfJoin(df: DataFrame, key: String, id: String, time: String,
+      window: Long): DataFrame = {
+    // exact integral floor-div: (t - pmod) is an exact multiple of
+    // `window`, so the double division is exact — no float-boundary
+    // misbinning (floor(t/W) as double can land one bin off within an
+    // ulp of a bin edge)
+    val bin = (t: Column) =>
+      ((t - pmod(t, lit(window))) / lit(window)).cast("long")
+    val post = df.select(col(key), col(id).as("a"), col(time).as("ta"),
+      bin(col(time)).as("bin"))
+    val probe = df.select(col(key), col(id).as("b"), col(time).as("tb"),
+      explode(array(bin(col(time)) - 1, bin(col(time)), bin(col(time)) + 1)).as("bin"))
+    post.join(probe, Seq(key, "bin"))
+      .filter(col("a") < col("b") && abs(col("ta") - col("tb")) <= window)
+      .select(col(key), col("a"), col("b"), abs(col("ta") - col("tb")).as("dt"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "rj01_range_join",
+      // Co-occurrence pairs: events of the same user within 5 minutes.
+      // Oracle states the range join directly; the Spark plan is the
+      // banded equi-join (recall-exact, see module doc).
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
+             |SELECT x.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(min(abs(x.tus - y.tus)) AS BIGINT) AS min_dt_us
+             |FROM e x JOIN e y
+             |  ON x.user_id = y.user_id AND x.event_id < y.event_id
+             |  AND abs(x.tus - y.tus) <= 300000000
+             |GROUP BY x.user_id""".stripMargin),
+      (s, d) => {
+        // ts is parquet TIMESTAMP(NANOS) read as Long; DIV 1000 is the
+        // same ns→µs truncation DuckDB's TIMESTAMP cast performs.
+        val e = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+        bandedSelfJoin(e, key = "user_id", id = "event_id", time = "tus",
+          window = 300000000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), min(col("dt")).as("min_dt_us"))
+      })
+  )
+}

@@ -462,6 +462,47 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             round(sum("l_quantity"), 2).as("sum_qty"),
             round(sum("l_extendedprice"), 2).as("sum_px"))
+      }),
+
+    QueryDef(
+      "q29_unpivot",
+      // wide→long unpivot via stack() (Spark's Generator-based UNPIVOT;
+      // no join, no shuffle beyond the final agg). Oracle states it as
+      // the equivalent per-metric UNION ALL.
+      Some("""SELECT l_returnflag, 'qty' AS metric,
+             |  round(sum(l_quantity), 2) AS total FROM lineitem GROUP BY 1
+             |UNION ALL
+             |SELECT l_returnflag, 'price' AS metric,
+             |  round(sum(l_extendedprice), 2) AS total FROM lineitem GROUP BY 1""".stripMargin),
+      (s, d) =>
+        li(s, d)
+          .select(col("l_returnflag"),
+            expr("stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (metric, val)"))
+          .groupBy("l_returnflag", "metric")
+          .agg(round(sum("val"), 2).as("total"))),
+
+    QueryDef(
+      "q30_exists_subquery",
+      // correlated EXISTS / NOT EXISTS surface — Catalyst rewrites both
+      // to semi/anti joins (the same physical shape as q05/q06), so the
+      // SQL-facing form costs nothing extra at scale.
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 100000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o2
+             |                  WHERE o2.o_custkey = c.c_custkey
+             |                    AND o2.o_orderstatus = 'F')""".stripMargin),
+      (s, d) => {
+        cust(s, d).createOrReplaceTempView("customer")
+        ord(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                |WHERE EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 100000)
+                |  AND NOT EXISTS (SELECT 1 FROM orders o2
+                |                  WHERE o2.o_custkey = c.c_custkey
+                |                    AND o2.o_orderstatus = 'F')""".stripMargin)
       })
   )
 }

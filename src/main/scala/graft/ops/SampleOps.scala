@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Every op keys its randomness on `md5(doc_id)` instead of `rand()`:
+  * at 100 TB a sample must be (a) reproducible run-to-run, (b) stable
+  * under task retries and partition recomputation — a lost executor
+  * re-draws `rand()` and silently changes the sample — and (c)
+  * consistent across engines, so the DuckDB oracle can check it
+  * exactly. (The reference `shanytc/parquet-merger` has no sampling at
+  * all — `src/main.rs` merges whole files — so this family is part of
+  * the north-star extension surface.)
+  *
+  * Scale shapes:
+  *  - sp01 Bernoulli: map-only scan, zero shuffles; predicate is a
+  *    string compare on a codegen'd md5 — pushes through any plan.
+  *  - sp02 stratified quota: ONE shuffle (window partitionBy stratum);
+  *    each stratum's rows hash-partition to one task, top-k by window.
+  *  - sp03 global uniform k: sort+limit compiles to
+  *    TakeOrderedAndProject — per-partition partial top-k, then a
+  *    driver-side merge of k-element heaps; no global sort at scale.
+  *  - sp04 weighted priority: identical shape to sp03; the priority is
+  *    hash/weight, so P(selected) grows with the weight while staying
+  *    exactly reproducible (division of a 52-bit-exact integer by a
+  *    BIGINT weight is correctly-rounded IEEE on both engines).
+  */
+object SampleOps {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Portable per-row hash key: lowercase-hex md5 of the decimal doc_id
+    * string — byte-identical between Spark and DuckDB. */
+  private def hkey: Column = md5(col("doc_id").cast("string").cast("binary"))
+
+  /** First 13 hex digits of the key as an exact BIGINT (52 bits, exact
+    * in a double). Spark side: conv(hex,16,10). */
+  private def hval: Column = conv(substring(hkey, 1, 13), 16, 10).cast("long")
+
+  /** DuckDB equivalent of [[hval]]: 13-digit hex→int via strpos digit
+    * arithmetic (DuckDB 1.0 has no hex-parse builtin). */
+  private val oracleHval: String = {
+    val digits = (1 to 13)
+      .map(i => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * ${math.pow(16, 13 - i).toLong}")
+      .mkString(" + ")
+    s"CAST($digits AS BIGINT)"
+  }
+
+  // 10% of the md5 hex space: keys below 0x1999...a (26/256 would be the
+  // 2-digit version; the full-width threshold is exact to 128 bits).
+  private val P10Threshold = "1999999999999999999999999999999a"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "sp01_hash_sample",
+      Some(s"""SELECT doc_id, lang, n_chars
+             |FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+             |WHERE h < '$P10Threshold'""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .withColumn("h", hkey)
+          .filter(col("h") < lit(P10Threshold))
+          .select("doc_id", "lang", "n_chars")),
+
+    QueryDef(
+      "sp02_stratified_sample",
+      Some("""SELECT doc_id, lang
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(hkey, col("doc_id"))
+        docs(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("doc_id", "lang")
+      }),
+
+    QueryDef(
+      "sp03_bottomk_sample",
+      Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+             |FROM documents ORDER BY h LIMIT 50""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), hkey.as("h"))
+          .orderBy("h")
+          .limit(50)),
+
+    QueryDef(
+      "sp04_weighted_sample",
+      Some(s"""SELECT doc_id, n_chars
+             |FROM (
+             |  SELECT doc_id, n_chars,
+             |    $oracleHval / CAST(n_chars AS DOUBLE) AS priority
+             |  FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+             |        FROM documents WHERE n_chars > 0))
+             |ORDER BY priority, doc_id LIMIT 50""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            (hval.cast("double") / col("n_chars").cast("double")).as("priority"))
+          .orderBy("priority", "doc_id")
+          .limit(50)
+          .select("doc_id", "n_chars"))
+  )
+}

@@ -188,6 +188,38 @@ object TextOps {
         val u = docs(s, d).unionAll(docs(s, d))
         u.groupBy(md5(encode(regexp_replace(lower(col("text")), "\\s+", " "), "UTF-8")).as("fp"))
           .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      }),
+
+    QueryDef(
+      "tx09_tfidf",
+      // TF-IDF per (doc, term), the weighting step before embedding /
+      // near-dup ranking. Two shuffles total: tf groups the exploded
+      // token stream (map-side combinable); df reuses tf's already-
+      // distinct (doc, tok) pairs instead of re-aggregating raw tokens.
+      // N arrives via a broadcast single-row cross join (no collect).
+      // The tf >= 2 gate is integral — no float-boundary selection.
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT t.doc_id, t.tok, CAST(t.tf AS BIGINT) AS tf,
+             |  CAST(d.df AS BIGINT) AS df,
+             |  round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+             |FROM tf t JOIN df d USING (tok) CROSS JOIN n
+             |WHERE t.tf >= 2""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).select(count(lit(1)).as("n"))
+        tf.join(idf, "tok")
+          .crossJoin(broadcast(n))
+          .filter(col("tf") >= 2)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
       })
   )
 }

@@ -213,6 +213,39 @@ object VectorOps {
           .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("c"))
           .filter(col("c") > 0.99)
           .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs04_quantize",
+      // Int8 scalar quantization — the storage/IO lever for ANN at
+      // 100 TB (4x smaller vectors, SIMD-friendly int dot products).
+      // Per-vector max-abs scale; q_i = floor(v_i/s*127 + 0.5) (identical
+      // IEEE ops on both engines — no round() half-mode ambiguity);
+      // output is the reconstruction cosine per vector, the fidelity
+      // metric a pipeline monitors before switching its index to int8.
+      // Everything is codegen'd HOFs over the array column: map-only,
+      // zero shuffles.
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS scale
+             |  FROM e),
+             |q AS (
+             |  SELECT vec_id, v,
+             |    list_transform(v,
+             |      x -> floor(x / scale * 127 + 0.5) * scale / 127) AS deq
+             |  FROM s WHERE scale > 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(v, deq), 4) AS recon_cos
+             |FROM q""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+          .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("scale") > 0)
+          .withColumn("deq", transform(col("v"),
+            x => floor(x / col("scale") * 127 + lit(0.5)) * col("scale") / 127))
+        e.select(col("vec_id"), round(cosine(col("v"), col("deq")), 4).as("recon_cos"))
       })
   )
 }

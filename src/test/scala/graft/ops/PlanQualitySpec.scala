@@ -42,8 +42,10 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("BroadcastNestedLoopJoin appears only in the intended ANN scoring queries") {
     // vs01/vs02: corpus streams once against broadcast probes/centroids;
-    // q26: 1-row broadcast scalar threshold — all intentional BNLJ uses
-    val allowed = Set("vs01_topk_bruteforce", "vs02_ivf_topk", "q26_scalar_subquery")
+    // q26: 1-row broadcast scalar threshold; tx09: 1-row broadcast corpus
+    // count N — all intentional BNLJ uses
+    val allowed = Set("vs01_topk_bruteforce", "vs02_ivf_topk",
+      "q26_scalar_subquery", "tx09_tfidf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
