@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Cluster deployment entry point: registers the engine's native
+  * Catalyst expressions into every session created on a cluster
+  * configured with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * This is the idiomatic way to ship custom expressions to a real
+  * multi-tenant cluster — no per-session `register(spark)` call, SQL
+  * and `expr("...")` users get the functions everywhere (thriftserver,
+  * notebooks, spark-submit). The per-session
+  * [[graft.functions.GraftFunctions.register]] remains for embedded /
+  * library use. (The reference `shanytc/parquet-merger` has no function
+  * surface at all — `src/main.rs` — this belongs to the north-star
+  * extension mandate.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects a constant integer, got: $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(arr, k) - k-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_sig"))))
+    ext.injectFunction((FunctionIdentifier("bottomk_by_hash"),
+      info("bottomk_by_hash", "bottomk_by_hash(arr, k) - k smallest-by-hash elements"),
+      (es: Seq[Expression]) => BottomKByHash(es(0), intArg(es(1), "bottomk_by_hash"))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
+      (es: Seq[Expression]) => WordShingles(es(0), intArg(es(1), "word_shingles"))))
+    ext.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHashSignature(es(0))))
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries frequent items"),
+      (es: Seq[Expression]) =>
+        HeavyHitters(es(0), intArg(es(1), "heavy_hitters")).toAggregateExpression()))
+  }
+}

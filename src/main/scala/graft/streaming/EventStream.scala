@@ -70,6 +70,26 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Streaming NEAR-duplicate suppression: drop records whose content
+    * *fingerprint* (normalized-text MinHash signature, computed by the
+    * native `minhash_sig` expression map-side) was already seen within
+    * the watermark horizon. Exact duplicates and whitespace/case
+    * variants collapse to the same signature, so this is the streaming
+    * face of the dd02 batch near-dup path; state holds one fingerprint
+    * per distinct signature and is watermark-evicted, so it survives
+    * unbounded input. */
+  def nearDupStream(records: DataFrame, textCol: String, numHashes: Int = 16): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    records
+      .withColumn("fp",
+        graft.functions.GraftFunctions.minhash_sig(
+          graft.functions.GraftFunctions.word_shingles(norm, 3), numHashes)
+          .cast("string"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding `windowMinutes` (attribution-style).
     * Both sides are watermarked so Spark bounds the join state: click

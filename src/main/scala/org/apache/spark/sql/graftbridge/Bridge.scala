@@ -12,4 +12,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a `spark.sql.extensions`-style configurator to a fresh
+    * registry (FunctionRegistry is `private[sql]`) and report which of
+    * `names` resolve — lets tests verify extension wiring without
+    * tearing down the shared session. */
+  def extensionFunctionNames(
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit,
+      names: Seq[String]): Seq[String] = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    val reg = ext.registerFunctions(
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
+    names.filter(n =>
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+  }
 }

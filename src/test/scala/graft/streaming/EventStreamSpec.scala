@@ -124,6 +124,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() == expected)
   }
 
+  test("nearDupStream: near-identical texts collapse to one per fingerprint") {
+    // stage the same file twice → every record's text arrives at least
+    // twice; whitespace/case variants also share a fingerprint
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_stream_neardup_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("b.parquet"))
+    val stream = EventStream.readEvents(spark, dupDir.toString)
+    val q = EventStream.nearDupStream(stream, "props")
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // one survivor per distinct normalized text
+    val expected = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(regexp_replace(lower(trim(col("props"))), "\\s+", " ").as("t"))
+      .distinct().count()
+    assert(spark.table("neardup").count() == expected)
+  }
+
   test("sessionize: closed sessions respect the gap and cover the data") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.sessionize(stream, gapMinutes = 30)
