@@ -34,4 +34,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // built in the default zone and must agree with the UTC session
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

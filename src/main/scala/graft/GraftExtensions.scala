@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHashSignature(es(0))))
+    ext.injectFunction((FunctionIdentifier("oph_minhash_sig"),
+      info("oph_minhash_sig", "oph_minhash_sig(arr, k) - one-permutation MinHash, k bins"),
+      (es: Seq[Expression]) => OphMinHash(es(0), intArg(es(1), "oph_minhash_sig"))))
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries frequent items"),
       (es: Seq[Expression]) =>

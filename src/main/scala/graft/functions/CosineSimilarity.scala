@@ -93,6 +93,12 @@ object GraftFunctions {
   def minhash_sig(arr: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(arr), numHashes))
 
+  /** `oph_minhash_sig(arr, k)`: one-permutation MinHash (k bins, one
+    * hash per element, rotation densification) — the k×-cheaper scale
+    * path for signature computation. */
+  def oph_minhash_sig(arr: Column, numBins: Int): Column =
+    Bridge.column(OphMinHash(Bridge.expression(arr), numBins))
+
   /** `bottomk_by_hash(arr, k)`: the k smallest-by-hash elements. */
   def bottomk_by_hash(arr: Column, k: Int): Column =
     Bridge.column(BottomKByHash(Bridge.expression(arr), k))
@@ -141,5 +147,8 @@ object GraftFunctions {
         intArg(exprs(1), "word_shingles")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSignature(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "oph_minhash_sig", exprs => OphMinHash(exprs(0),
+        intArg(exprs(1), "oph_minhash_sig")), "scala_udf")
   }
 }

@@ -202,22 +202,24 @@ object DedupOps {
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin),
       (s, d) => {
         val sets = shingleSets(dupDocs(s, d)).filter(size(col("shs")) > 0)
-        val post = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
-        // one shuffle builds posting lists; i<j pair expansion inside
-        // each list (HOFs) — no posting self-join
-        val inter = post.groupBy("sh")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        // set sizes ride along as a scalar in each posting, so the
+        // Jaccard denominator needs NO join back to the shingle sets
+        // (which would re-shingle the corpus twice more): the whole op
+        // is exactly two shuffles — posting groupBy, pair groupBy.
+        val post = sets.select(col("doc_id"),
+          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+        val pairs = post.groupBy("sh")
+          .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
           .select(explode(flatten(transform(col("ids"), (x, i) =>
             transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+              y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
+                y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
           .agg(count(lit(1)).as("i"))
-        val sz = sets.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
         val j = col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")
-        inter
-          .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
-          .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        pairs
           .filter(j >= 0.8)
           .select(col("a"), col("b"), round(j, 4).as("jaccard"))
       })
@@ -261,12 +263,14 @@ object DedupOps {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    // Per-row signatures via the native codegen expression — map-side
-    // (no explode/shuffle) AND one tight loop (no per-element lambda
-    // interpretation). See graft.functions.MinHashSignature.
+    // Per-row signatures via the native one-permutation-hashing
+    // expression — map-side (no explode/shuffle), one tight loop, and
+    // ONE xxhash64 per shingle instead of `numHashes` (the signature
+    // pass is pure hash compute at corpus scale; OPH is the 64× lever).
+    // See graft.functions.OphMinHash.
     val sig = shingleSets(corpus)
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.minhash_sig(col("shs"), numHashes).as("mh"))
+        graft.functions.GraftFunctions.oph_minhash_sig(col("shs"), numHashes).as("mh"))
       .select(col("doc_id") +:
         (0 until numHashes).map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*)
 
