@@ -157,6 +157,40 @@ object EventOps {
         daily
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 2)
+      }),
+
+    QueryDef(
+      "ev08_funnel",
+      // Ordered conversion funnel view→click→purchase: each stage's
+      // timestamp must strictly follow the previous stage's first
+      // occurrence. Three equi-joins + min-aggregations (each
+      // map-side-combinable); the single-row stage counts meet in
+      // broadcast cross joins — no collect, no window over all events.
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tus > t1 GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tus > t2 GROUP BY e.user_id)
+             |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+             |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+             |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("t1"))
+        val s2 = e.join(s1, "user_id")
+          .filter(col("event_type") === "click" && col("tus") > col("t1"))
+          .groupBy("user_id").agg(min("tus").as("t2"))
+        val s3 = e.join(s2, "user_id")
+          .filter(col("event_type") === "purchase" && col("tus") > col("t2"))
+          .groupBy("user_id").agg(min("tus").as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
       })
   )
 }

@@ -111,6 +111,29 @@ object SampleOps {
             (hval.cast("double") / col("n_chars").cast("double")).as("priority"))
           .orderBy("priority", "doc_id")
           .limit(50)
-          .select("doc_id", "n_chars"))
+          .select("doc_id", "n_chars")),
+
+    QueryDef(
+      "sp05_train_test_split",
+      // Deterministic 80/20 train/test split on the id hash — the split
+      // a 100 TB pipeline can re-derive on any engine at any time with
+      // guaranteed disjointness (a row's side is a pure function of its
+      // id; no split manifest to store or drift). Map-only + a 2-group
+      // aggregate; id_sum is the cross-engine membership checksum.
+      Some("""SELECT split, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccccccccccccccccccccccccccd'
+             |         THEN 'train' ELSE 'test' END AS split
+             |  FROM documents)
+             |GROUP BY split""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            when(hkey < lit("cccccccccccccccccccccccccccccccd"), lit("train"))
+              .otherwise(lit("test")).as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum")))
   )
 }
