@@ -144,6 +144,40 @@ object Smoke {
     println(s"[smoke] ivf index cells=$cells probe results=${nn.count()}")
     nn.show(3, truncate = false)
 
+    // 10. compaction: many small files -> target-sized files
+    {
+      val inDir = java.nio.file.Files.createTempDirectory("graft_smoke_compact_")
+      import spark.implicits._
+      val files = (0 until 6).map { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_smoke_cstage_")
+        (0 until 200).map(r => i.toLong * 1000 + r).toDF("id")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = inDir.resolve(s"f$i.parquet"); java.nio.file.Files.move(part.toPath, dst)
+        dst.toString
+      }
+      val bytes = files.map(f => new java.io.File(f).length()).sum
+      val (rows, nOut) = graft.core.Merge.compact(
+        spark, files, s"$root/compacted", bytes / 2)
+      println(s"[smoke] compacted 6 files -> $nOut files, $rows rows")
+    }
+
+    // 11. continuous merge: checkpointed exactly-once folder ingest
+    {
+      val inDir = java.nio.file.Files.createTempDirectory("graft_smoke_cm_in_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val schema = graft.core.Merge.probeSchema(
+        spark, inDir.resolve("events.parquet").toString)
+      val q = graft.streaming.MergeStream.continuousMerge(
+        spark, inDir.toString, s"$root/cm_out", s"$root/cm_ckpt", schema)
+      q.awaitTermination()
+      println(s"[smoke] continuous merge ingested rows=" +
+        spark.read.parquet(s"$root/cm_out").count())
+    }
+
     spark.stop()
   }
 }

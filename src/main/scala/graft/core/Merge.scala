@@ -139,6 +139,43 @@ object Merge {
     spark.read.parquet(outPath).count()
   }
 
+  /** Small-file compaction — the reference's merge workflow stated as
+    * the maintenance operation a 100 TB lake actually runs. Instead of
+    * the reference's one-output-file contract (main.rs:603-611, which
+    * cannot scale past a single writer), the merged data is rewritten
+    * into ~`targetBytes` output files, sized from the inputs' real
+    * on-disk footprint:
+    *
+    *  - file count = ceil(totalInputBytes / targetBytes), so output
+    *    sizes track the target regardless of input fragmentation;
+    *  - `coalesce` (narrow, no shuffle) when reducing file count —
+    *    each output task concatenates whole input splits;
+    *  - `repartition` (round-robin shuffle) only when asked to *grow*
+    *    the file count, where a shuffle is unavoidable for balance.
+    *
+    * Returns (rows, outputFiles). */
+  def compact(
+      spark: SparkSession,
+      files: Seq[String],
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = alignedUnion(spark, files)
+    val sized =
+      if (nOut <= df.rdd.getNumPartitions) df.coalesce(nOut)
+      else df.repartition(nOut)
+    sized.write.mode("overwrite").parquet(outPath)
+    val out = spark.read.parquet(outPath)
+    val parts = out.inputFiles.length
+    (out.count(), parts)
+  }
+
   /** CSV export of a merged parquet (main.rs:693-729): drop `__...__`
     * internal columns (main.rs:689-691, 702-708); header on; NULL -> ""
     * and RFC-4180 quoting are Spark CSV defaults, matching the

@@ -61,6 +61,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() == n)
   }
 
+  test("sketch tiers validate against the exact tier: dd02/dd04 ⊆ dd06, high recall") {
+    import org.apache.spark.sql.functions._
+    // dd06 is the oracle-checked exact all-pairs Jaccard >= 0.8; the
+    // sketch-accelerated paths must produce only true pairs (precision
+    // 1.0 — both verify exactly) and nearly all of them (recall)
+    val exact = SparkEntry.queries("dd06_exact_jaccard")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    for (name <- Seq("dd02_minhash_lsh", "dd04_ngram_jaccard")) {
+      val got = SparkEntry.queries(name)(spark, sf)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val falsePos = got -- exact
+      assert(falsePos.isEmpty, s"$name produced non-near-dup pairs: ${falsePos.take(5)}")
+      val recall = got.size.toDouble / exact.size
+      assert(recall >= 0.95, s"$name recall $recall below 0.95")
+    }
+  }
+
   test("vs01 brute-force top-k: k rows per probe, ranks 1..k") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("vs01_topk_bruteforce")(spark, sf)
