@@ -213,9 +213,14 @@ object TextOps {
         val tok = docs(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        // df as a window count over tf's already-distinct (doc, tok)
+        // rows: one extra shuffle by tok, but NO second tokenize pass
+        // and no self-join (a groupBy-then-join formulation re-runs the
+        // whole explode subtree — Spark doesn't share subplans)
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("tok")))
         val n = docs(s, d).select(count(lit(1)).as("n"))
-        tf.join(idf, "tok")
+        withDf
           .crossJoin(broadcast(n))
           .filter(col("tf") >= 2)
           .select(col("doc_id"), col("tok"), col("tf"), col("df"),
