@@ -238,15 +238,24 @@ object DedupOps {
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check: labels only ever DECREASE (min propagation), so
+    // sum(label) strictly decreases until the fixed point — one cheap
+    // aggregate per round instead of a join+filter+count over all nodes.
+    // decimal(38,0) sum: a bigint sum could wrap at extreme node counts
+    // and fake a fixed point
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       // release the superseded round's checkpoint blocks — without this
       // every iteration pins a full labels copy in the block manager
       labels.rdd.unpersist()
