@@ -191,6 +191,39 @@ object EventOps {
         s1.agg(count(lit(1)).as("n_view"))
           .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
           .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+      }),
+
+    QueryDef(
+      "ev09_retention",
+      // Cohort retention (D1/D7): users bucketed by first-active day;
+      // retained = active exactly cohort+1 / cohort+7 days later. Two
+      // shuffles (distinct user-days, cohort min) + one equi-join;
+      // date arithmetic stays integral (DATE + int), day rendered as a
+      // string only at the output boundary.
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+             |  FROM events),
+             |coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+             |  CAST(count(DISTINCT CASE WHEN a.day = cohort + 1
+             |                           THEN a.user_id END) AS BIGINT) AS d1,
+             |  CAST(count(DISTINCT CASE WHEN a.day = cohort + 7
+             |                           THEN a.user_id END) AS BIGINT) AS d7
+             |FROM coh c JOIN act a USING (user_id)
+             |GROUP BY cohort""".stripMargin),
+      (s, d) => {
+        val act = ev(s, d)
+          .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+          .distinct()
+        val coh = act.groupBy("user_id").agg(min("day").as("cohort"))
+        act.join(coh, "user_id")
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("day") === date_add(col("cohort"), 1),
+              col("user_id"))).as("d1"),
+            countDistinct(when(col("day") === date_add(col("cohort"), 7),
+              col("user_id"))).as("d7"))
       })
   )
 }

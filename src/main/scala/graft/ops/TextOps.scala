@@ -225,6 +225,43 @@ object TextOps {
           .filter(col("tf") >= 2)
           .select(col("doc_id"), col("tok"), col("tf"), col("df"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+      }),
+
+    QueryDef(
+      "tx10_bigram_lm",
+      // Bigram conditional probabilities p(w2|w1) — the n-gram LM
+      // statistics pass of a text pipeline. Bigrams keep multiplicity
+      // (an HOF over the token array, map-side; word_shingles dedups so
+      // it can't be used here); the conditioning total c(w1·) is a
+      // window over the bigram counts — no second tokenize pass, no
+      // join. The c >= 3 gate is integral; p is a ratio of exact
+      // counts (IEEE-identical division, rounded 4dp).
+      Some("""WITH tk AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM tk),
+             |c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+             |SELECT bigram, c, p FROM (
+             |  SELECT bigram, CAST(c AS BIGINT) AS c,
+             |    round(c / CAST(sum(c) OVER (
+             |      PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE), 4) AS p
+             |  FROM c) t
+             |WHERE c >= 3""".stripMargin),
+      (s, d) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val bigrams = docs(s, d)
+          .filter(size(toks) >= 2)
+          .select(explode(transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))).as("bigram"))
+        val counts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(substring_index(col("bigram"), " ", 1))
+        counts
+          .withColumn("p", round(col("c") / sum("c").over(w).cast("double"), 4))
+          .filter(col("c") >= 3)
+          .select(col("bigram"), col("c"), col("p"))
       })
   )
 }
