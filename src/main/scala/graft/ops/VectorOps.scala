@@ -246,6 +246,40 @@ object VectorOps {
           .withColumn("deq", transform(col("v"),
             x => floor(x / col("scale") * 127 + lit(0.5)) * col("scale") / 127))
         e.select(col("vec_id"), round(cosine(col("v"), col("deq")), 4).as("recon_cos"))
+      }),
+
+    QueryDef(
+      "vs05_kmeans_step",
+      // One Lloyd iteration refitting the IVF index centroids: assign
+      // every vector to its nearest centroid (same deterministic
+      // cosine-argmax as vs02), then per-centroid element-wise mean.
+      // posexplode keeps the mean a flat (cid, dim) aggregation — one
+      // shuffle, map-side combinable, dims bounded — instead of a
+      // zip_with fold that would serialize whole vectors through an
+      // aggregation buffer. This is how the vs02/IVF layout gets
+      // periodically retrained at 100 TB.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |x AS (SELECT asg.cid, unnest(e.v) AS val,
+             |        generate_subscripts(e.v, 1) AS dim
+             |      FROM asg JOIN e USING (vec_id))
+             |SELECT cid, CAST(dim AS BIGINT) AS dim,
+             |  round(avg(val), 4) AS c_new, CAST(count(*) AS BIGINT) AS n
+             |FROM x GROUP BY cid, dim""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        assignClusters(e, centroids)
+          .select(col("cid"), posexplode(col("v")))
+          .toDF("cid", "pos", "val")
+          .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
+          .agg(round(avg("val"), 4).as("c_new"), count(lit(1)).as("n"))
       })
   )
 }
