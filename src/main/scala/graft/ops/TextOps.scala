@@ -251,11 +251,15 @@ object TextOps {
              |  FROM c) t
              |WHERE c >= 3""".stripMargin),
       (s, d) => {
-        val toks = split(trim(col("text")), "\\s+")
+        // materialize the token array as an attribute FIRST: embedding
+        // the split() expression inside the lambda re-splits the text
+        // on every element_at — O(tokens²) per document
         val bigrams = docs(s, d)
-          .filter(size(toks) >= 2)
-          .select(explode(transform(sequence(lit(1), size(toks) - 1),
-            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))).as("bigram"))
+          .select(split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)))).as("bigram"))
         val counts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c"))
         val w = Window.partitionBy(substring_index(col("bigram"), " ", 1))
         counts
