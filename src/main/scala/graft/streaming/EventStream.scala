@@ -77,7 +77,9 @@ object EventStream {
     * variants collapse to the same signature, so this is the streaming
     * face of the dd02 batch near-dup path; state holds one fingerprint
     * per distinct signature and is watermark-evicted, so it survives
-    * unbounded input. */
+    * unbounded input. Null texts fingerprint to null and blank texts to
+    * the empty-set signature — each group keeps ONE survivor per
+    * watermark horizon, consistent with "identical content dedupes". */
   def nearDupStream(records: DataFrame, textCol: String, numHashes: Int = 16): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     records
