@@ -224,6 +224,38 @@ object EventOps {
               col("user_id"))).as("d1"),
             countDistinct(when(col("day") === date_add(col("cohort"), 7),
               col("user_id"))).as("d7"))
+      }),
+
+    QueryDef(
+      "ev10_iqr_outliers",
+      // Robust (IQR-fence) outlier detection per event type — quality
+      // filtering by distribution, not fixed thresholds. Exact
+      // percentiles (portable, cf. q21) feed a broadcast 5-row fence
+      // join; min/max outliers are raw parquet doubles (bit-identical
+      // passthrough), the count is integral. Fence arithmetic is
+      // written in the same operation order on both engines.
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.25) AS q1,
+             |    quantile_cont(value, 0.75) AS q3
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+             |  min(e.value) AS min_out, max(e.value) AS max_out
+             |FROM events e JOIN q USING (event_type)
+             |WHERE e.value > q3 + 1.5 * (q3 - q1)
+             |   OR e.value < q1 - 1.5 * (q3 - q1)
+             |GROUP BY e.event_type""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+        val fences = e.groupBy("event_type").agg(
+          percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        e.join(broadcast(fences), "event_type")
+          .filter(col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")) ||
+            col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_outliers"),
+            min("value").as("min_out"), max("value").as("max_out"))
       })
   )
 }

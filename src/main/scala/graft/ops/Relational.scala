@@ -482,6 +482,34 @@ object Relational {
           .agg(round(sum("val"), 2).as("total"))),
 
     QueryDef(
+      "q31_range_frame",
+      // RANGE (value-based) window frame — distinct surface from q09's
+      // ROWS frame: the 7-day trailing revenue per status, framed on an
+      // integer day index so gaps in the calendar are handled by the
+      // frame semantics, not by row counting.
+      Some("""WITH daily AS (
+             |  SELECT o_orderstatus,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day_idx,
+             |    sum(o_totalprice) AS day_total
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderstatus, CAST(day_idx AS BIGINT) AS day_idx,
+             |  round(sum(day_total) OVER (PARTITION BY o_orderstatus
+             |    ORDER BY day_idx
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+             |FROM daily""".stripMargin),
+      (s, d) => {
+        val daily = ord(s, d)
+          .groupBy(col("o_orderstatus"),
+            datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+              .cast("long").as("day_idx"))
+          .agg(sum("o_totalprice").as("day_total"))
+        val w = Window.partitionBy("o_orderstatus").orderBy("day_idx")
+          .rangeBetween(-6, 0)
+        daily.select(col("o_orderstatus"), col("day_idx"),
+          round(sum("day_total").over(w), 2).as("trailing_7d"))
+      }),
+
+    QueryDef(
       "q30_exists_subquery",
       // correlated EXISTS / NOT EXISTS surface — Catalyst rewrites both
       // to semi/anti joins (the same physical shape as q05/q06), so the
