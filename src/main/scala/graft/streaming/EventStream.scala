@@ -59,6 +59,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window rates: overlapping 1-hour windows advancing every
+    * `slideMinutes` — the smoothed-rate view a monitoring pipeline
+    * reads. Each event lands in 60/slideMinutes windows; state stays
+    * watermark-bounded exactly like the tumbling case. */
+  def slidingCounts(events: DataFrame, slideMinutes: Int): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", s"$slideMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within
     * the watermark horizon — the streaming face of the batch dedup
     * family (dd01). State is bounded: key fingerprints older than the

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Results must not depend on parallelism: the same query at different
+  * shuffle-partition counts must produce identical row sets. Guards the
+  * determinism contract behind every oracle hash-match (a 1000-executor
+  * cluster is "just" a bigger partition count). Representative queries:
+  * one per nondeterminism risk class — window tie-break, distributed
+  * double aggregation, iterative convergence, sketch candidates, top-k
+  * selection, percentile interpolation. */
+class DeterminismSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val names = Seq(
+    "sp02_stratified_sample", // window tie-break
+    "vs05_kmeans_step",       // distributed double means
+    "dd05_dup_clusters",      // iterative fixpoint
+    "dd02_minhash_lsh",       // LSH candidates + verify
+    "sp04_weighted_sample",   // global top-k by float priority
+    "ev10_iqr_outliers")      // percentile interpolation + fences
+
+  test("results identical at shuffle.partitions = 3 vs 8") {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      val got = names.map { n =>
+        conf.set("spark.sql.shuffle.partitions", "3")
+        val a = rows(SparkEntry.queries(n)(spark, sf))
+        conf.set("spark.sql.shuffle.partitions", "8")
+        val b = rows(SparkEntry.queries(n)(spark, sf))
+        (n, a == b, a.size)
+      }
+      val bad = got.filterNot(_._2)
+      assert(bad.isEmpty, s"parallelism-dependent results: ${bad.map(_._1)}")
+      assert(got.forall(_._3 > 0))
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}

@@ -124,6 +124,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() == expected)
   }
 
+  test("slidingCounts: streaming sliding windows match the batch equivalent") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.slidingCounts(stream, slideMinutes = 15)
+      .writeStream.outputMode("append").format("memory").queryName("sliding").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sliding")
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+    assert(got.count() > 0)
+    // every sealed emitted window must equal its batch counterpart
+    assert(got.exceptAll(batch).count() == 0)
+    // the last ~2 hours of 15-min-slide windows (≤12 per event type
+    // present there) may be unsealed at end-of-input; everything else is
+    assert(got.count() >= batch.count() - 12)
+  }
+
   test("nearDupStream: near-identical texts collapse to one per fingerprint") {
     // stage the same file twice → every record's text arrives at least
     // twice; whitespace/case variants also share a fingerprint
