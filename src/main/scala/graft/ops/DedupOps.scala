@@ -222,6 +222,50 @@ object DedupOps {
         pairs
           .filter(j >= 0.8)
           .select(col("a"), col("b"), round(j, 4).as("jaccard"))
+      }),
+
+    QueryDef(
+      "dd07_span_dedup",
+      // Span-level (sub-document) duplication profile: for every doc,
+      // the fraction of its distinct 5-token spans that also occur in
+      // some OTHER document — the signal behind substring-level train-
+      // set decontamination ("dedup the repeated boilerplate, keep the
+      // doc"). Cross-doc sharing is computed with one window over the
+      // exploded span postings (per-doc spans are already distinct, so
+      // `count over (partition by span)` IS the doc-frequency) — no
+      // self-join, two shuffles total. The oracle re-derives
+      // word_shingles(5) with DuckDB list lambdas (cf. dd06).
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+             |n AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS ndocs FROM post)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+             |  round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+             |FROM n GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val sets = docs(s, d)
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.word_shingles(col("text"), 5).as("shs"))
+          .filter(size(col("shs")) > 0)
+        val post = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+        val dupFlag = when(count(lit(1)).over(Window.partitionBy("sh")) >= 2, 1L).otherwise(0L)
+        post
+          .withColumn("is_dup", dupFlag)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum("is_dup").cast("long").as("n_dup_spans"),
+            round(sum("is_dup") / count(lit(1)).cast("double"), 4).as("dup_frac"))
       })
   )
 

@@ -256,6 +256,55 @@ object EventOps {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_outliers"),
             min("value").as("min_out"), max("value").as("max_out"))
+      }),
+
+    QueryDef(
+      "ev11_zscore_anomaly",
+      // Volume-anomaly detection: per event type, flag days whose count
+      // deviates >= 2 sigma from the trailing 7-day window. Mean and
+      // variance are built from exact integer window sums (n, sum,
+      // sum-of-squares) cast to double and combined with the SAME
+      // operation order on both engines — bit-identical z, so the
+      // |z| >= 2 selection and the 4dp rounding are both engine-exact.
+      // One shuffle (daily rollup); the window rides the same partitioning.
+      Some("""WITH dc AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT event_type, day, n,
+             |    CAST(count(*) OVER tw AS DOUBLE) AS cnt,
+             |    CAST(sum(n) OVER tw AS DOUBLE) AS s,
+             |    CAST(sum(n * n) OVER tw AS DOUBLE) AS ss
+             |  FROM dc
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+             |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+             |z AS (
+             |  SELECT event_type, day, n,
+             |    (n - s / cnt) / sqrt((ss - s * s / cnt) / (cnt - 1)) AS zv,
+             |    (ss - s * s / cnt) / (cnt - 1) AS variance, cnt
+             |  FROM w)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  CAST(n AS BIGINT) AS n, round(zv, 4) AS z
+             |FROM z
+             |WHERE cnt >= 7 AND variance > 0 AND abs(zv) >= 2""".stripMargin),
+      (s, d) => {
+        val dc = ev(s, d)
+          .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val tw = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        val z = dc.select(col("event_type"), col("day"), col("n"),
+          count(lit(1)).over(tw).cast("double").as("cnt"),
+          sum("n").over(tw).cast("double").as("s"),
+          sum(col("n") * col("n")).over(tw).cast("double").as("ss"))
+          .withColumn("variance",
+            (col("ss") - col("s") * col("s") / col("cnt")) / (col("cnt") - 1))
+          .withColumn("zv",
+            (col("n") - col("s") / col("cnt")) /
+              sqrt((col("ss") - col("s") * col("s") / col("cnt")) / (col("cnt") - 1)))
+        z.filter(col("cnt") >= 7 && col("variance") > 0 && abs(col("zv")) >= 2)
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n").cast("long").as("n"), round(col("zv"), 4).as("z"))
       })
   )
 }

@@ -266,6 +266,99 @@ object TextOps {
           .withColumn("p", round(col("c") / sum("c").over(w).cast("double"), 4))
           .filter(col("c") >= 3)
           .select(col("bigram"), col("c"), col("p"))
+      }),
+
+    QueryDef(
+      "tx11_repetition",
+      // Repetition statistics per document (the Gopher-style "repetition
+      // removal" signal): duplicated-bigram fraction and the share of
+      // the single most frequent bigram. Bigrams keep multiplicity (HOF
+      // over the materialized token array, cf. tx10); both ratios are
+      // exact-integer divisions, so the 4dp rounding is boundary-safe.
+      // One explode + two map-side-combinable aggregations.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM tk),
+             |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+             |  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_share
+             |FROM c GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val bigrams = docs(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat(element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1)))).as("bigram"))
+        bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").cast("long").as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            round(lit(1) - count(lit(1)) / sum("c").cast("double"), 4).as("dup_frac"),
+            round(max("c") / sum("c").cast("double"), 4).as("top_share"))
+      }),
+
+    QueryDef(
+      "tx12_gopher_rules",
+      // Gopher-style document-quality rule flags. Every flag is an
+      // INTEGER comparison (mean-word-length bounds become
+      // 2*n_words <= n_chars <= 12*n_words; digit-ratio <= 0.2 becomes
+      // 5*n_digits <= len) — no float boundaries anywhere, so the gate
+      // selection is engine-exact. Map-only: one projection pass, no
+      // shuffle; at 100 TB this is the shape of a keep/drop filter stage.
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             |    CAST(length(text) AS BIGINT) AS len,
+             |    CAST(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END AS BIGINT) AS n_stop
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  CAST(CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS ok_nwords,
+             |  CAST(CASE WHEN n_chars >= 2 * n_words AND n_chars <= 12 * n_words
+             |       THEN 1 ELSE 0 END AS BIGINT) AS ok_wordlen,
+             |  CAST(CASE WHEN 5 * n_digits <= len THEN 1 ELSE 0 END AS BIGINT) AS ok_symbols,
+             |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+             |  CAST(CASE WHEN n_words BETWEEN 10 AND 1000
+             |        AND n_chars >= 2 * n_words AND n_chars <= 12 * n_words
+             |        AND 5 * n_digits <= len AND n_stop >= 2
+             |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val flag = (c: Column) => when(c, 1L).otherwise(0L)
+        val m = docs(s, d).select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+          length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("n_digits"),
+          length(col("text")).cast("long").as("len"),
+          Seq("the", "and", "of", "to", "a")
+            .map(sw => flag(padded.contains(s" $sw ")))
+            .reduce(_ + _).as("n_stop"))
+        val okW = col("n_words").between(10, 1000)
+        val okL = col("n_chars") >= lit(2) * col("n_words") &&
+          col("n_chars") <= lit(12) * col("n_words")
+        val okS = lit(5) * col("n_digits") <= col("len")
+        val okT = col("n_stop") >= 2
+        m.select(col("doc_id"), col("n_words"),
+          flag(okW).as("ok_nwords"), flag(okL).as("ok_wordlen"),
+          flag(okS).as("ok_symbols"), flag(okT).as("ok_stop"),
+          flag(okW && okL && okS && okT).as("keep"))
       })
   )
 }
