@@ -531,6 +531,64 @@ object Relational {
                 |  AND NOT EXISTS (SELECT 1 FROM orders o2
                 |                  WHERE o2.o_custkey = c.c_custkey
                 |                    AND o2.o_orderstatus = 'F')""".stripMargin)
+      }),
+
+    QueryDef(
+      "q32_median_mode",
+      // Median (exact interpolated percentile, portable — cf. q21) and
+      // deterministic MODE per group. Spark's mode() and DuckDB's mode()
+      // do not document tie-breaking, so the mode is computed the
+      // portable way: count per value, rank by (count DESC, value) —
+      // the smallest most-frequent value wins in both engines.
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, l_quantity AS q, count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |md AS (
+             |  SELECT l_returnflag, q AS mode_qty FROM (
+             |    SELECT l_returnflag, q,
+             |      row_number() OVER (PARTITION BY l_returnflag
+             |        ORDER BY c DESC, q) AS rn FROM m) t
+             |  WHERE rn = 1),
+             |me AS (
+             |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+             |    count(*) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT me.l_returnflag, CAST(me.n AS BIGINT) AS n,
+             |  round(me.median_qty, 4) AS median_qty, md.mode_qty
+             |FROM me JOIN md USING (l_returnflag)""".stripMargin),
+      (s, d) => {
+        val counts = li(s, d).groupBy(col("l_returnflag"), col("l_quantity").as("q"))
+          .agg(count(lit(1)).as("c"))
+        val wMode = Window.partitionBy("l_returnflag").orderBy(col("c").desc, col("q"))
+        val md = counts.withColumn("rn", row_number().over(wMode))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("q").as("mode_qty"))
+        val me = li(s, d).groupBy("l_returnflag")
+          .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+            count(lit(1)).as("n"))
+        me.join(broadcast(md), "l_returnflag")
+          .select(col("l_returnflag"), col("n"), col("median_qty"), col("mode_qty"))
+      }),
+
+    QueryDef(
+      "q33_ignore_nulls",
+      // IGNORE NULLS carry-forward (the gap-fill / last-observation-
+      // carried-forward window surface): per customer, each order also
+      // reports the most recent FULFILLED order's price at or before it.
+      // One shuffle on o_custkey; prices are raw parquet doubles
+      // (bit-identical passthrough, no rounding needed).
+      Some("""SELECT o_custkey, o_orderkey,
+             |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+             |    IGNORE NULLS) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_f_price
+             |FROM orders""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+          last(when(col("o_orderstatus") === "F", col("o_totalprice")), ignoreNulls = true)
+            .over(w).as("last_f_price"))
       })
   )
 }

@@ -280,6 +280,70 @@ object VectorOps {
           .toDF("cid", "pos", "val")
           .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
           .agg(round(avg("val"), 4).as("c_new"), count(lit(1)).as("n"))
+      }),
+
+    QueryDef(
+      "vs06_recall_eval",
+      // Recall@10 of the IVF (single-cell probe) index against the
+      // brute-force ground truth — the quality metric a pipeline tracks
+      // before trading exactness for the partition-pruned scan. Both
+      // rankings are total orders (cos DESC, neighbor_id), so the top-k
+      // sets — and hence the recall ratio of two exact integers — are
+      // engine-deterministic. The ground-truth pass streams the corpus
+      // once per probe batch (broadcast probes); at 100 TB this runs on
+      // a sampled probe set, which is exactly the shape here.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
+             |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |bf AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS rn
+             |  FROM p, e WHERE e.vec_id <> probe_id) t WHERE rn <= 10),
+             |ivf AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS rn
+             |  FROM p JOIN asg ON asg.cid = p.pcid
+             |  JOIN e ON e.vec_id = asg.vec_id
+             |  WHERE e.vec_id <> probe_id) t WHERE rn <= 10)
+             |SELECT bf.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  round(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE), 4) AS recall
+             |FROM bf LEFT JOIN ivf
+             |  ON bf.probe_id = ivf.probe_id AND bf.neighbor_id = ivf.neighbor_id
+             |GROUP BY bf.probe_id""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val asg = assignClusters(e, centroids)
+        val probes = asg.filter(col("vec_id").between(100, 104))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid").as("pcid"))
+        val wRank = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        def topk(cand: DataFrame): DataFrame = cand
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val bf = topk(e.join(broadcast(probes), col("vec_id") =!= col("probe_id")))
+        val ivf = topk(asg.join(broadcast(probes),
+          col("cid") === col("pcid") && col("vec_id") =!= col("probe_id")))
+        val hit = when(col("hit_mark").isNotNull, 1L).otherwise(0L)
+        bf.join(ivf.withColumn("hit_mark", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(hit).cast("long").as("n_hit"),
+            round(sum(hit) / count(lit(1)).cast("double"), 4).as("recall"))
       })
   )
 }
