@@ -71,6 +71,38 @@ object RangeJoin {
           window = 300000000L)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"), min(col("dt")).as("min_dt_us"))
+      }),
+
+    QueryDef(
+      "rj02_asof_tolerance",
+      // As-of join WITH max staleness (attribution windows: the click
+      // must be within 1 hour before the purchase, else no match).
+      // Same union + running-max single-window plan as ev06 — the
+      // tolerance is a post-filter on the carried value, since any
+      // older click is older still. One shuffle on user_id; nothing
+      // quadratic. Oracle: DuckDB ASOF LEFT JOIN + the same staleness
+      // CASE (integral microsecond arithmetic, engine-exact).
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+             |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+             |       THEN epoch_us(c.ts) END AS click_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+      (s, d) => {
+        val base = Tables(s, d, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"),
+            when(col("event_type") === "click", 0).otherwise(1).as("side"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "side")
+          .rowsBetween(Long.MinValue, 0)
+        base
+          .withColumn("last_click", max(when(col("side") === 0, col("ts_us"))).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("event_id"), col("ts_us").as("purchase_us"),
+            when(col("ts_us") - col("last_click") <= 3600000000L, col("last_click"))
+              .as("click_us"))
       })
   )
 }

@@ -589,6 +589,40 @@ object Relational {
         ord(s, d).select(col("o_custkey"), col("o_orderkey"),
           last(when(col("o_orderstatus") === "F", col("o_totalprice")), ignoreNulls = true)
             .over(w).as("last_f_price"))
+      }),
+
+    QueryDef(
+      "q35_csv_roundtrip",
+      // CSV sink FIDELITY, oracle-checked: rows (including a string
+      // with an embedded comma and double-quote, and raw parquet
+      // doubles) go out through the RFC-4180 CSV writer and back in
+      // through the CSV reader, then aggregate. The oracle aggregates
+      // the parquet directly — any quoting/escaping/number-format loss
+      // in the round trip breaks the hash match. Doubles survive
+      // exactly because Spark writes the shortest round-trip decimal.
+      // The CSV write is parallel (one file per task — the scale path;
+      // single-file export stays a batch-side option, cf. Merge).
+      Some("""SELECT l_returnflag || ',"x' AS tag, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt_").toString
+        val opts = Map("header" -> "true", "escape" -> "\"")
+        li(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            concat(col("l_returnflag"), lit(",\"x")).as("tag"))
+          .write.mode("overwrite").options(opts).csv(tmp)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("tag", StringType)))
+        s.read.schema(schema).options(opts).csv(tmp)
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            sum("l_orderkey").cast("long").as("sum_key"))
       })
   )
 }

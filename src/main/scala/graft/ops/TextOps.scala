@@ -359,6 +359,47 @@ object TextOps {
           flag(okW).as("ok_nwords"), flag(okL).as("ok_wordlen"),
           flag(okS).as("ok_symbols"), flag(okT).as("ok_stop"),
           flag(okW && okL && okS && okT).as("keep"))
+      }),
+
+    QueryDef(
+      "tx13_perplexity",
+      // Per-document mean negative log-likelihood under the corpus
+      // bigram LM (tx10's model, ungated) — the LM-based quality score
+      // a filtering pipeline ranks documents by. Probabilities are
+      // ratios of exact counts (identical doubles in both engines);
+      // the per-doc avg sums a handful of -ln(p) terms whose 4dp
+      // rounding is insensitive to summation order. Two shuffles
+      // (bigram count, doc rollup) + one shuffle join on bigram.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM tk),
+             |c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+             |p AS (SELECT bigram, c / CAST(sum(c) OVER (
+             |        PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE) AS p
+             |      FROM c)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(avg(-ln(p.p)), 4) AS nll
+             |FROM bg JOIN p USING (bigram)
+             |GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val bigrams = docs(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat(element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1)))).as("bigram"))
+        val w = Window.partitionBy(substring_index(col("bigram"), " ", 1))
+        val probs = bigrams.groupBy("bigram").agg(count(lit(1)).as("c"))
+          .select(col("bigram"), (col("c") / sum("c").over(w).cast("double")).as("p"))
+        bigrams.join(probs, "bigram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(col("p"))), 4).as("nll"))
       })
   )
 }

@@ -103,6 +103,22 @@ object EventStream {
       .drop("fp")
   }
 
+  /** Stream-static enrichment: join the stream against a static
+    * dimension (user → segment, product → category …) and aggregate per
+    * enriched key. The static side re-resolves per micro-batch (Spark
+    * re-plans the batch side each trigger) and broadcasts when small —
+    * the standard dimension-enrichment shape; no streaming state beyond
+    * the windowed aggregation, which stays watermark-bounded. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, dimKey: String,
+      dimValue: String): DataFrame =
+    events
+      .join(broadcast(dim), col("user_id") === col(dimKey))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col(dimValue))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(dimValue),
+        col("n"), col("sum_value"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding `windowMinutes` (attribution-style).
     * Both sides are watermarked so Spark bounds the join state: click

@@ -43,6 +43,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 2)
   }
 
+  test("enrichedCounts: stream-static dimension join matches the batch equivalent") {
+    import spark.implicits._
+    val dim = (0L until 200L).map(u => (u, if (u % 3 == 0) "gold" else "std"))
+      .toDF("dim_user", "segment")
+    val stream = EventStream.readEvents(spark, streamDir)
+    val q = EventStream.enrichedCounts(stream, dim, "dim_user", "segment")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("enriched")
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .join(dim, col("user_id") === col("dim_user"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n"), col("sum_value"))
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(got.count() >= batch.count() - 2)
+  }
+
   test("clickToPurchase: stream-stream interval join matches the batch equivalent") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.clickToPurchase(stream, windowMinutes = 60)
