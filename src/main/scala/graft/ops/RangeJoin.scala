@@ -103,6 +103,33 @@ object RangeJoin {
           .select(col("user_id"), col("event_id"), col("ts_us").as("purchase_us"),
             when(col("ts_us") - col("last_click") <= 3600000000L, col("last_click"))
               .as("click_us"))
+      }),
+
+    QueryDef(
+      "q36_fuzzy_match",
+      // Fuzzy string matching (entity resolution): pairs of distinct
+      // source labels within edit distance 2. The pair search is the
+      // banded equi-join on LENGTH (levenshtein(a,b) <= 2 implies
+      // |len(a)-len(b)| <= 2, so length-binning with ±1 probes has
+      // total recall) — the same O(n·density) blocking discipline as
+      // rj01, never an all-pairs cross; at larger label corpora you
+      // would compound the block key with a prefix/phonetic bucket.
+      // Levenshtein itself is the standard DP in both engines.
+      Some("""WITH s AS (SELECT DISTINCT source FROM documents)
+             |SELECT a.source AS a, b.source AS b,
+             |  CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON a.source < b.source
+             |WHERE levenshtein(a.source, b.source) <= 2""".stripMargin),
+      (s, d) => {
+        val labels = docs(s, d).select(col("source")).distinct()
+          .select(col("source"), lit(0L).as("blk"),
+            length(col("source")).cast("long").as("len"))
+        bandedSelfJoin(labels, key = "blk", id = "source", time = "len", window = 2L)
+          .filter(levenshtein(col("a"), col("b")) <= 2)
+          .select(col("a"), col("b"),
+            levenshtein(col("a"), col("b")).cast("long").as("dist"))
       })
   )
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 }
