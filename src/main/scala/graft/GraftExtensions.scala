@@ -57,5 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries frequent items"),
       (es: Seq[Expression]) =>
         HeavyHitters(es(0), intArg(es(1), "heavy_hitters")).toAggregateExpression()))
+    // optimizer extension: naive `k = k AND abs(t1-t2) <= W` joins are
+    // rewritten to the banded (k, time-bin) equi-join — see
+    // graft.plans.BandedRangeJoin
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
   }
 }

@@ -27,4 +27,25 @@ object Bridge {
     names.filter(n =>
       reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
   }
+
+  /** Optimizer rules an extensions configurator would inject into a
+    * session (`buildOptimizerRules` is `private[sql]`). */
+  def extensionOptimizerRules(
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    ext.buildOptimizerRules(spark)
+  }
+
+  /** DataFrame over an explicit logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — lets tests execute a hand-rewritten plan. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
