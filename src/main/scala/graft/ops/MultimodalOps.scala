@@ -11,6 +11,9 @@ import graft.{QueryDef, Tables}
   */
 final case class MediaIn(doc_id: Long, source: String, payload: Array[Byte])
 
+/** One model-scored row out of a batched inference call. */
+final case class Scored(doc_id: Long, score: Double)
+
 /** Deterministic stand-in for decoded media features. A real pipeline
   * would put pixel dims / duration / fps here. */
 final case class MediaFeat(
@@ -51,6 +54,24 @@ object MultimodalOps {
         n % 1920, n % 1080)
     }
 
+  /** Batched-inference plumbing: assemble fixed-size batches inside
+    * each partition (`grouped` over the row iterator — the shape a GPU
+    * model server or vectorized codec wants: ONE call per `batchSize`
+    * rows, not one per row) and emit per-row scores. The scoring stub
+    * is deterministic per row, so results are independent of
+    * partitioning and batch boundaries (asserted in OpsSpec) — the
+    * invariant that makes batched inference retry-safe under Spark's
+    * task re-execution. */
+  def inferBatched(rows: Iterator[MediaIn], batchSize: Int): Iterator[Scored] =
+    rows.grouped(batchSize).flatMap { batch =>
+      // one "model call" for the whole batch; per-row deterministic fake
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        val fb = if (m.payload.isEmpty) 0L else (m.payload(0) & 0xff).toLong
+        Scored(m.doc_id, ((n * 31 + fb) % 1000).toDouble / 1000.0)
+      }
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -88,6 +109,26 @@ object MultimodalOps {
             sum("first_byte").cast("long").as("sum_first_byte"),
             max("n_bytes").cast("long").as("max_bytes"),
             sum("fake_width").cast("long").as("sum_fake_width"))
+      }),
+
+    QueryDef(
+      "mm04_batch_inference",
+      // The batched-inference scores, oracle-checked: the score is a
+      // pure function of the payload (exact integer arithmetic over
+      // byte length + first byte, one final exact division), so the
+      // batch assembly can't change results — only throughput.
+      Some("""SELECT doc_id,
+             |  ((octet_length(encode(text)) * 31
+             |    + CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)) % 1000)
+             |    / 1000.0 AS score
+             |FROM documents WHERE octet_length(encode(text)) > 0""".stripMargin),
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        media(s, d)
+          .filter(m => m.payload.nonEmpty)
+          .mapPartitions(it => inferBatched(it, batchSize = 32))
+          .toDF("doc_id", "score")
       }),
 
     QueryDef(

@@ -623,6 +623,34 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             round(sum("l_quantity"), 2).as("sum_qty"),
             sum("l_orderkey").cast("long").as("sum_key"))
+      }),
+
+    QueryDef(
+      "q37_multiset_ops",
+      // Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+      // multiplicities, the surface q12's DISTINCT variants don't cover.
+      // Both compile to one aggregation computing per-row counts on
+      // each side plus a replication generator — no join explosion.
+      Some("""SELECT 'except' AS op, l_returnflag, l_linestatus FROM (
+             |  SELECT l_returnflag, l_linestatus FROM lineitem
+             |  EXCEPT ALL
+             |  SELECT l_returnflag, l_linestatus FROM lineitem
+             |  WHERE l_quantity > 10) e
+             |UNION ALL
+             |SELECT 'intersect' AS op, l_returnflag, l_linestatus FROM (
+             |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 20
+             |  INTERSECT ALL
+             |  SELECT l_returnflag, l_linestatus FROM lineitem
+             |  WHERE l_quantity > 10) i""".stripMargin),
+      (s, d) => {
+        val base = li(s, d).select("l_returnflag", "l_linestatus")
+        val hi = li(s, d).filter(col("l_quantity") > 10)
+          .select("l_returnflag", "l_linestatus")
+        val lo = li(s, d).filter(col("l_quantity") <= 20)
+          .select("l_returnflag", "l_linestatus")
+        base.exceptAll(hi).select(lit("except").as("op"), col("l_returnflag"), col("l_linestatus"))
+          .unionByName(lo.intersectAll(hi)
+            .select(lit("intersect").as("op"), col("l_returnflag"), col("l_linestatus")))
       })
   )
 }

@@ -85,4 +85,27 @@ class OpsSpec extends AnyFunSuite {
     val perProbe = out.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
     assert(perProbe.filter(col("n") =!= 10 || col("mx") =!= 10).count() == 0)
   }
+
+  test("inferBatched: scores are independent of batch size and partitioning") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val media = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn].filter(_.payload.nonEmpty)
+    def run(batch: Int, parts: Int): Map[Long, Double] =
+      media.repartition(parts)
+        .mapPartitions(it => MultimodalOps.inferBatched(it, batch))
+        .collect().map(s => s.doc_id -> s.score).toMap
+    val ref = run(32, 4)
+    assert(ref.size == 500)
+    assert(run(7, 4) == ref)
+    assert(run(32, 13) == ref)
+    // every batch is full except possibly the last one per partition
+    val sizes = media.repartition(4)
+      .mapPartitions(it => it.grouped(32).map(_.size))
+      .collect()
+    assert(sizes.forall(_ <= 32))
+    assert(sizes.count(_ < 32) <= 4)
+  }
 }
