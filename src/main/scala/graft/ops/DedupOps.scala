@@ -266,6 +266,33 @@ object DedupOps {
           .agg(count(lit(1)).as("n_spans"),
             sum("is_dup").cast("long").as("n_dup_spans"),
             round(sum("is_dup") / count(lit(1)).cast("double"), 4).as("dup_frac"))
+      }),
+
+    QueryDef(
+      "dd08_incremental_dedup",
+      // INCREMENTAL dedup — the production shape: a new batch dedups
+      // against the existing corpus WITHOUT re-deduplicating the
+      // corpus. One left_anti join on the content fingerprint; corpus
+      // cost is a fingerprint scan, and at 100 TB the corpus side is a
+      // pre-materialized fingerprint table, so daily batches never
+      // touch the raw lake. Batch = shifted doc ids 100000-100249 with
+      // the same texts as corpus docs 0-249 (dupes) plus 100250+ whose
+      // originals are NOT in the corpus (novel content to admit).
+      Some("""WITH corpus AS (
+             |  SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h, lang
+             |  FROM documents)
+             |SELECT b.doc_id, b.lang FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)""".stripMargin),
+      (s, d) => {
+        val corpus = docs(s, d).filter(col("doc_id") < 250)
+          .select(md5(encode(col("text"), "UTF-8")).as("h"))
+        val batch = docs(s, d)
+          .select((col("doc_id") + Shift).as("doc_id"),
+            md5(encode(col("text"), "UTF-8")).as("h"), col("lang"))
+        batch.join(corpus, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("lang"))
       })
   )
 

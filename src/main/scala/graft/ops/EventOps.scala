@@ -305,6 +305,26 @@ object EventOps {
         z.filter(col("cnt") >= 7 && col("variance") > 0 && abs(col("zv")) >= 2)
           .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
             col("n").cast("long").as("n"), round(col("zv"), 4).as("z"))
-      })
+      }),
+
+    QueryDef(
+      "ev13_value_histogram",
+      // Equi-width value histogram per event type — the distribution
+      // profile a monitoring/quality pipeline keeps. Bucketing is
+      // floor(value/width) clamped to [0, 19]: floor on IDENTICAL
+      // parquet doubles is engine-exact, so bucket assignment is too
+      // (no width_bucket, whose edge semantics differ across engines).
+      // One map-side-combinable aggregation — the 100 TB shape.
+      Some("""SELECT event_type,
+             |  CAST(least(greatest(floor(value / 5.0), 0), 19) AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  round(sum(value), 2) AS sum_v
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .groupBy(col("event_type"),
+            least(greatest(floor(col("value") / 5.0), lit(0)), lit(19))
+              .cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")))
   )
 }

@@ -400,6 +400,61 @@ object TextOps {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             round(avg(-log(col("p"))), 4).as("nll"))
+      }),
+
+    QueryDef(
+      "tx14_containment",
+      // CONTAINMENT similarity |A∩B| / |A| — the asymmetric companion
+      // to dd06's Jaccard: detects when one document's shingle set is
+      // (nearly) a subset of another's, which symmetric Jaccard misses
+      // for very different sizes. Same two-shuffle inverted-index plan
+      // as dd06 (sizes ride in the postings); emitted per direction
+      // with an integral-count >= gate evaluated on exact ints.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents),
+             |tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb,
+             |    count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / na, 4) AS cont_a_in_b
+             |FROM inter WHERE 10 * i >= 9 * na""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d)
+        val u = base.select(col("doc_id"), col("text"))
+          .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val sets = u
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs"))
+          .filter(size(col("shs")) > 0)
+        val post = sets.select(col("doc_id"),
+          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+        post.groupBy("sh")
+          .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
+                y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"))
+          .agg(count(lit(1)).as("i"))
+          // integral gate: containment >= 0.9 without a float boundary
+          .filter(lit(10) * col("i") >= lit(9) * col("na"))
+          .select(col("a"), col("b"),
+            round(col("i").cast("double") / col("na"), 4).as("cont_a_in_b"))
       })
   )
 }
