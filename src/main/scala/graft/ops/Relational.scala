@@ -651,6 +651,23 @@ object Relational {
         base.exceptAll(hi).select(lit("except").as("op"), col("l_returnflag"), col("l_linestatus"))
           .unionByName(lo.intersectAll(hi)
             .select(lit("intersect").as("op"), col("l_returnflag"), col("l_linestatus")))
-      })
+      }),
+
+    QueryDef(
+      "q38_decimal_agg",
+      // Exact DECIMAL money aggregation — the fixed-point surface the
+      // double-based queries deliberately avoid. Once cast to
+      // DECIMAL(18,2), sums are EXACT in both engines (no rounding
+      // discipline needed); the result is emitted as its canonical
+      // string so the scale survives the hash compare.
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_dec
+             |FROM orders GROUP BY 1""".stripMargin),
+      (s, d) =>
+        ord(s, d)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("string").as("total_dec")))
   )
 }

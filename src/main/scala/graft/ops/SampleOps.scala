@@ -134,6 +134,42 @@ object SampleOps {
             when(hkey < lit("cccccccccccccccccccccccccccccccd"), lit("train"))
               .otherwise(lit("test")).as("split"))
           .groupBy("split")
-          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum")))
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))),
+
+    QueryDef(
+      "sp06_weighted_mix",
+      // Deterministic data-mixture construction (source up/down-
+      // sampling, the w-weighted replication step of training-corpus
+      // mixing): source idx < 5 gets weight 2.5, the rest 0.5. Each doc
+      // materializes floor(w) copies plus one more iff its id hash
+      // falls below frac(w) — so expected replication is exactly w,
+      // membership is a pure function of the id (retry-stable,
+      // engine-reproducible), and the materialization is a map-side
+      // explode, no shuffle until the audit aggregate. The oracle
+      // computes the same counts arithmetically (sum of k) — checking
+      // the explode produced exactly k replicas per doc.
+      Some("""WITH k AS (
+             |  SELECT source, doc_id,
+             |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 2 ELSE 0 END
+             |    + CASE WHEN md5(CAST(doc_id AS VARCHAR))
+             |             < '80000000000000000000000000000000'
+             |           THEN 1 ELSE 0 END AS k
+             |  FROM documents)
+             |SELECT source, CAST(sum(k) AS BIGINT) AS n_out,
+             |  CAST(count(CASE WHEN k >= 1 THEN 1 END) AS BIGINT) AS n_docs_kept
+             |FROM k GROUP BY source""".stripMargin),
+      (s, d) => {
+        val base = when(substring(col("source"), 4, 10).cast("int") < 5, 2).otherwise(0)
+        val extra = when(hkey < lit("80000000000000000000000000000000"), 1).otherwise(0)
+        docs(s, d)
+          .select(col("source"), col("doc_id"), (base + extra).as("k"))
+          .filter(col("k") >= 1)
+          // the actual replica materialization: k rows per doc
+          .select(col("source"), col("doc_id"),
+            explode(sequence(lit(1), col("k"))).as("rep"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_out"),
+            countDistinct(col("doc_id")).as("n_docs_kept"))
+      })
   )
 }
