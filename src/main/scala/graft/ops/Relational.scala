@@ -668,6 +668,62 @@ object Relational {
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-              .cast("string").as("total_dec")))
+              .cast("string").as("total_dec"))),
+
+    QueryDef(
+      "q39_json_roundtrip",
+      // JSON-lines source/sink fidelity: rows leave through the JSON
+      // writer (longs, doubles, strings) and return through the JSON
+      // reader with an explicit schema, then aggregate; the oracle
+      // aggregates the parquet directly. Parallel write, schema-on-read
+      // — the interchange path for pipelines that stage JSONL.
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json_rt_").toString
+        ord(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").json(tmp)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderpriority", StringType)))
+        s.read.schema(schema).json(tmp)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").cast("long").as("sum_key"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+      }),
+
+    QueryDef(
+      "q40_collection_funcs",
+      // Higher-order / collection function surface in one pass:
+      // transform, filter, zip_with, sort + slice, distinct-count —
+      // all codegen-compatible HOFs over a token array, scalar-ized to
+      // strings/ints at the output boundary for the hash compare.
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+             |  array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS first3,
+             |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+             |  CAST(list_sum(list_transform(list_zip(toks, list_reverse(toks)),
+             |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS n_palindromic
+             |FROM t""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"),
+            size(filter(col("toks"), x => length(x) > 4)).cast("long").as("n_long"),
+            concat_ws(",", slice(array_sort(array_distinct(col("toks"))), 1, 3)).as("first3"),
+            aggregate(transform(col("toks"), x => length(x)), lit(0L),
+              (acc, x) => acc + x).as("sum_len"),
+            aggregate(
+              zip_with(col("toks"), reverse(col("toks")),
+                (a, b) => when(a === b, 1L).otherwise(0L)),
+              lit(0L), (acc, x) => acc + x).as("n_palindromic")))
   )
 }
