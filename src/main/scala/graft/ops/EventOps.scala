@@ -325,6 +325,24 @@ object EventOps {
           .groupBy(col("event_type"),
             least(greatest(floor(col("value") / 5.0), lit(0)), lit(19))
               .cast("long").as("bucket"))
-          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
+
+    // Mergeable approx-quantile sketch (Greenwald-Khanna via
+    // percentile_approx) — the single-pass, bounded-memory tier above
+    // q21/ev10's exact percentiles: at 100 TB the sketch merges across
+    // partitions in O(accuracy) space instead of buffering per-group
+    // values. Sketch internals aren't ANSI-expressible → rows-only;
+    // OpsSpec bounds its error against the exact percentiles.
+    QueryDef(
+      "ev14_approx_quantiles",
+      None,
+      (s, d) =>
+        ev(s, d)
+          .groupBy("event_type")
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
+            .as("qs"))
+          .select(col("event_type"),
+            element_at(col("qs"), 1).as("p50_approx"),
+            element_at(col("qs"), 2).as("p95_approx")))
   )
 }

@@ -724,6 +724,41 @@ object Relational {
             aggregate(
               zip_with(col("toks"), reverse(col("toks")),
                 (a, b) => when(a === b, 1L).otherwise(0L)),
-              lit(0L), (acc, x) => acc + x).as("n_palindromic")))
+              lit(0L), (acc, x) => acc + x).as("n_palindromic"))),
+
+    QueryDef(
+      "q41_null_handling",
+      // The NULL-semantics surface in one query: nulls born from a left
+      // join, COALESCE defaults, NULLIF, and NULL-SAFE equality
+      // (Spark's <=> / SQL's IS NOT DISTINCT FROM) — the comparison
+      // that treats two NULLs as equal, which plain = silently drops.
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_acctbal FROM customer),
+             |o AS (
+             |  SELECT o_custkey, count(*) AS n_ord
+             |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1),
+             |j AS (
+             |  SELECT c.c_custkey, c.c_acctbal, o.n_ord
+             |  FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey)
+             |SELECT
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(n_ord) AS BIGINT) AS n_matched,
+             |  CAST(sum(coalesce(n_ord, 0)) AS BIGINT) AS total_ord,
+             |  CAST(count(CASE WHEN n_ord IS NOT DISTINCT FROM NULL
+             |                  THEN 1 END) AS BIGINT) AS n_null_safe,
+             |  CAST(count(nullif(coalesce(n_ord, 0), 0)) AS BIGINT) AS n_nonzero
+             |FROM j""".stripMargin),
+      (s, d) => {
+        val c = cust(s, d).select("c_custkey", "c_acctbal")
+        val o = ord(s, d).filter(col("o_totalprice") > 200000)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("n_ord")).as("n_matched"),
+            sum(coalesce(col("n_ord"), lit(0))).cast("long").as("total_ord"),
+            count(when(col("n_ord") <=> lit(null), 1)).as("n_null_safe"),
+            count(nullif(coalesce(col("n_ord"), lit(0)), lit(0))).as("n_nonzero"))
+      })
   )
 }

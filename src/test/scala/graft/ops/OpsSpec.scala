@@ -86,6 +86,25 @@ class OpsSpec extends AnyFunSuite {
     assert(perProbe.filter(col("n") =!= 10 || col("mx") =!= 10).count() == 0)
   }
 
+  test("ev14 approx quantiles are within tolerance of the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("ev14_approx_quantiles")(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val exact = ev.groupBy("event_type").agg(
+      percentile(col("value"), lit(0.5)).as("p50"),
+      percentile(col("value"), lit(0.95)).as("p95"))
+    val joined = approx.join(exact, "event_type").collect()
+    assert(joined.length == 5)
+    joined.foreach { r =>
+      val (a50, a95) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))
+      val (e50, e95) = (r.getAs[Double]("p50"), r.getAs[Double]("p95"))
+      // GK with accuracy=1000 ⇒ rank error <= n/1000; generous value
+      // tolerance for the bounded-range event values
+      assert(math.abs(a50 - e50) <= math.max(0.05 * math.abs(e50), 0.5), r.toString)
+      assert(math.abs(a95 - e95) <= math.max(0.05 * math.abs(e95), 0.5), r.toString)
+    }
+  }
+
   test("inferBatched: scores are independent of batch size and partitioning") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
