@@ -103,6 +103,22 @@ object EventStream {
       .drop("fp")
   }
 
+  /** Session windows via the built-in `session_window` generator — the
+    * declarative alternative to [[sessionize]]'s explicit state machine
+    * (Spark merges overlapping per-event gap windows internally; state
+    * is watermark-bounded). Works identically over batch and stream;
+    * EventStreamSpec cross-checks its per-user session counts against
+    * the flatMapGroupsWithState implementation. */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   /** Stream-static enrichment: join the stream against a static
     * dimension (user → segment, product → category …) and aggregate per
     * enriched key. The static side re-resolves per micro-batch (Spark

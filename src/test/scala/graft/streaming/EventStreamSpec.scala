@@ -43,6 +43,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 2)
   }
 
+  test("sessionWindowStats agrees with the stateful sessionizer on session counts") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    // batch mode: session_window works on a plain DataFrame
+    val declarative = EventStream.sessionWindowStats(ev, gapMinutes = 30)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+
+    // the ev03 lag-based formulation (oracle-checked) as ground truth
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val lagBased = ev
+      .select(col("user_id"), col("event_id"),
+        when(us - lag(us, 1).over(w) > 1800000000L, 1L).otherwise(0L).as("new_sess"))
+      .groupBy("user_id")
+      .agg((lit(1) + sum("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+
+    val diff = declarative.join(lagBased, "user_id")
+      .filter(declarative("n_sessions") =!= lagBased("n_sessions") ||
+        declarative("n_events") =!= lagBased("n_events"))
+    assert(declarative.count() == lagBased.count())
+    assert(diff.count() == 0)
+  }
+
   test("enrichedCounts: stream-static dimension join matches the batch equivalent") {
     import spark.implicits._
     val dim = (0L until 200L).map(u => (u, if (u % 3 == 0) "gold" else "std"))
