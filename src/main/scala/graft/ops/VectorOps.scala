@@ -344,6 +344,60 @@ object VectorOps {
           .agg(count(lit(1)).as("n_true"),
             sum(hit).cast("long").as("n_hit"),
             round(sum(hit) / count(lit(1)).cast("double"), 4).as("recall"))
+      }),
+
+    QueryDef(
+      "vs07_dim_truncation",
+      // Dimension-truncation quality (the Matryoshka/MRL question: how
+      // much ranking survives keeping the first 16 of 64 dims?):
+      // top-10 by truncated-prefix cosine vs the full-dim ground
+      // truth, overlap per probe. Prefix slicing is free at scan time
+      // (a narrower vector column); a 4x-shorter vector is a 4x
+      // cheaper scan+score for the coarse pass of a two-stage
+      // retrieve-then-rerank pipeline — this query measures what that
+      // coarse pass loses. Both rankings are total orders, so the
+      // overlap is engine-deterministic.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 100 AND 104),
+             |bf AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS rn
+             |  FROM p, e WHERE e.vec_id <> probe_id) t WHERE rn <= 10),
+             |tr AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY list_cosine_similarity(
+             |        list_slice(pv, 1, 16), list_slice(e.v, 1, 16)) DESC,
+             |        e.vec_id) AS rn
+             |  FROM p, e WHERE e.vec_id <> probe_id) t WHERE rn <= 10)
+             |SELECT bf.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  round(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE), 4) AS overlap
+             |FROM bf LEFT JOIN tr
+             |  ON bf.probe_id = tr.probe_id AND bf.neighbor_id = tr.neighbor_id
+             |GROUP BY bf.probe_id""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id").between(100, 104))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val wRank = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        def top10(score: Column): DataFrame = e
+          .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), score.as("c"))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val bf = top10(cosine(col("pv"), col("v")))
+        val tr = top10(cosine(slice(col("pv"), 1, 16), slice(col("v"), 1, 16)))
+        val hit = when(col("hit_mark").isNotNull, 1L).otherwise(0L)
+        bf.join(tr.withColumn("hit_mark", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(hit).cast("long").as("n_kept"),
+            round(sum(hit) / count(lit(1)).cast("double"), 4).as("overlap"))
       })
   )
 }

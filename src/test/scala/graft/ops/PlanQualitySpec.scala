@@ -45,8 +45,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // q26: 1-row broadcast scalar threshold; tx09: 1-row broadcast corpus
     // count N — all intentional BNLJ uses
     val allowed = Set("vs01_topk_bruteforce", "vs02_ivf_topk",
-      "vs05_kmeans_step", "vs06_recall_eval", "q26_scalar_subquery",
-      "tx09_tfidf", "ev08_funnel")
+      "vs05_kmeans_step", "vs06_recall_eval", "vs07_dim_truncation",
+      "q26_scalar_subquery", "tx09_tfidf", "ev08_funnel")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
