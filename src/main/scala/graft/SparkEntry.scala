@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Merge
-import graft.ops.{DedupOps, EventOps, Layout, MultimodalOps, RangeJoin, Relational, SampleOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, EventOps, Layout, MultimodalOps, Pipeline, RangeJoin, Relational, SampleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * The operator inventory lives in the ops modules; each contributes
@@ -15,7 +15,7 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++
       DedupOps.defs ++ VectorOps.defs ++ MultimodalOps.defs ++
-      SampleOps.defs ++ RangeJoin.defs ++ Layout.defs
+      SampleOps.defs ++ RangeJoin.defs ++ Layout.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Exercises the reference's whole data path (schema-aligned
