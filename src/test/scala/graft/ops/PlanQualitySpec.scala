@@ -59,4 +59,17 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.treeString
     assert(!p.contains("Union"))
   }
+
+  test("shuffle budgets: map-only ops plan ZERO exchanges; pipelines stay within budget") {
+    def shuffles(name: String): Int = "Exchange".r.findAllIn(plan(name)).size
+    // pure map-side ops — the shapes that must scan-and-go at 100 TB
+    for (n <- Seq("sp01_hash_sample", "tx02_token_counts", "tx03_quality_score",
+        "tx12_gopher_rules", "mm01_media_meta", "q34_zorder_key", "vs04_quantize"))
+      assert(shuffles(n) == 0, s"$n should be map-only, got ${shuffles(n)} exchanges")
+    // the full prep pipeline: fingerprint window + final agg (+ AQE reuse)
+    assert(shuffles("pp01_training_pipeline") <= 3,
+      s"pp01 grew to ${shuffles("pp01_training_pipeline")} exchanges")
+    // exact dedup: one fingerprint shuffle (agg partial/final pair)
+    assert(shuffles("dd01_exact_dedup") <= 2)
+  }
 }
