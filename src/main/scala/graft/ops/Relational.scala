@@ -759,6 +759,28 @@ object Relational {
             sum(coalesce(col("n_ord"), lit(0))).cast("long").as("total_ord"),
             count(when(col("n_ord") <=> lit(null), 1)).as("n_null_safe"),
             count(nullif(coalesce(col("n_ord"), lit(0)), lit(0))).as("n_nonzero"))
+      }),
+
+    QueryDef(
+      "q42_lateral_topn",
+      // Correlated LATERAL subquery (per-customer top-2 orders) — the
+      // SQL-standard form of per-group top-k. Catalyst decorrelates the
+      // LIMIT-per-group into a window over one shuffled join (same
+      // physical shape as q08's explicit window) — the SQL surface
+      // costs nothing extra at scale.
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin),
+      (s, d) => {
+        cust(s, d).createOrReplaceTempView("customer")
+        ord(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+                |FROM customer c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders
+                |  WHERE o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
       })
   )
 }
