@@ -26,7 +26,11 @@ class DeterminismSpec extends AnyFunSuite {
     "dd05_dup_clusters",      // iterative fixpoint
     "dd02_minhash_lsh",       // LSH candidates + verify
     "sp04_weighted_sample",   // global top-k by float priority
-    "ev10_iqr_outliers")      // percentile interpolation + fences
+    "ev10_iqr_outliers",      // percentile interpolation + fences
+    "sp06_weighted_mix",      // hash-gated explode replication
+    "pp01_training_pipeline", // multi-stage composition (gate→dedup→split)
+    "tx13_perplexity",        // double sums across a shuffled join
+    "vs06_recall_eval")       // two rankings joined on tie-broken top-k
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf
