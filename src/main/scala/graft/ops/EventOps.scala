@@ -327,6 +327,45 @@ object EventOps {
               .cast("long").as("bucket"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
 
+    QueryDef(
+      "ev15_windowed_funnel",
+      // Time-BOUNDED conversion funnel: each stage must follow the
+      // previous within 24h (ev08's unbounded variant admits any later
+      // event — unrealistic for attribution). Same staged min-join
+      // shape, with integral microsecond window bounds; the scalar
+      // stage counts meet in broadcast crosses.
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tus > t1
+             |         AND tus <= t1 + 86400000000 GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tus > t2
+             |         AND tus <= t2 + 86400000000 GROUP BY e.user_id)
+             |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+             |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_24h,
+             |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_24h""".stripMargin),
+      (s, d) => {
+        val dayUs = 86400000000L
+        val e = ev(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("t1"))
+        val s2 = e.join(s1, "user_id")
+          .filter(col("event_type") === "click" && col("tus") > col("t1") &&
+            col("tus") <= col("t1") + dayUs)
+          .groupBy("user_id").agg(min("tus").as("t2"))
+        val s3 = e.join(s2, "user_id")
+          .filter(col("event_type") === "purchase" && col("tus") > col("t2") &&
+            col("tus") <= col("t2") + dayUs)
+          .groupBy("user_id").agg(min("tus").as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_24h")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_24h")))
+      }),
+
     // Mergeable approx-quantile sketch (Greenwald-Khanna via
     // percentile_approx) — the single-pass, bounded-memory tier above
     // q21/ev10's exact percentiles: at 100 TB the sketch merges across

@@ -455,6 +455,43 @@ object TextOps {
           .filter(lit(10) * col("i") >= lit(9) * col("na"))
           .select(col("a"), col("b"),
             round(col("i").cast("double") / col("na"), 4).as("cont_a_in_b"))
+      }),
+
+    QueryDef(
+      "tx15_keyword_extraction",
+      // Top-3 TF-IDF keywords per document — tx09's weighting composed
+      // with a per-doc window top-k: the keyword/tagging stage of a
+      // document pipeline. Rank ties break on the token (total order);
+      // the tfidf VALUE is only emitted (rounded), never used as a
+      // selection boundary — rank selection is deterministic.
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT t.doc_id, t.tok,
+             |    CAST(row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY t.tf * ln(CAST(n.n AS DOUBLE) / d.df) DESC, t.tok)
+             |      AS BIGINT) AS rnk,
+             |    round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+             |  FROM tf t JOIN df d USING (tok) CROSS JOIN n)
+             |SELECT doc_id, tok, rnk, tfidf FROM scored WHERE rnk <= 3""".stripMargin),
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("tok")))
+        val n = docs(s, d).select(count(lit(1)).as("n"))
+        val score = col("tf") * log(col("n").cast("double") / col("df"))
+        val w = Window.partitionBy("doc_id").orderBy(score.desc, col("tok"))
+        withDf
+          .crossJoin(broadcast(n))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("tok"), col("rnk"), round(score, 4).as("tfidf"))
       })
   )
 }
