@@ -132,6 +132,37 @@ object MultimodalOps {
       }),
 
     QueryDef(
+      "mm05_payload_chunking",
+      // Fixed-size chunking of binary payloads (the multipart-upload /
+      // shard-for-object-storage shape): each payload becomes
+      // ceil(n/64) chunk descriptors with exact offsets and a ragged
+      // final chunk. Map-side explode over an integral sequence — no
+      // shuffle until the audit aggregate checks total coverage.
+      Some("""WITH c AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    unnest(range(0, CAST((octet_length(encode(text)) + 63) // 64
+             |      AS BIGINT))) AS chunk_idx
+             |  FROM documents WHERE octet_length(encode(text)) > 0)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(least(64, n - chunk_idx * 64)) AS BIGINT) AS covered_bytes,
+             |  CAST(max(n) AS BIGINT) AS n_bytes
+             |FROM c GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val n = length(encode(col("text"), "UTF-8")).cast("long")
+        val nChunks = ((n + 63) - pmod(n + 63, lit(64L))) / 64
+        Tables(s, d, "documents")
+          .select(col("doc_id"), n.as("n"), nChunks.cast("long").as("nc"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(least(lit(64L), col("n") - col("chunk_idx") * 64))
+              .cast("long").as("covered_bytes"),
+            max("n").cast("long").as("n_bytes"))
+      }),
+
+    QueryDef(
       "mm03_frame_sample",
       Some("""SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) % 8)) AS frame_idx
              |FROM documents""".stripMargin),

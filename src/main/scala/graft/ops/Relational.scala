@@ -781,6 +781,28 @@ object Relational {
                 |  SELECT o_orderkey, o_totalprice FROM orders
                 |  WHERE o_custkey = c.c_custkey
                 |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
-      })
+      }),
+
+    QueryDef(
+      "q43_regex_groups",
+      // Regex CAPTURE-GROUP extraction (the surface beyond ev02's JSON
+      // path access): pull the numeric payload out of the props text
+      // with a group reference, plus a full-match count per row.
+      // Map-only projection + one aggregate.
+      Some("""SELECT event_type,
+             |  CAST(sum(TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1)
+             |    AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(sum(length(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_numbers
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            // non-matches extract to '' → Spark casts to NULL and sum
+            // skips them; the oracle mirrors with TRY_CAST
+            sum(regexp_extract(col("props"), "\"k\": (-?[0-9]+)", 1).cast("long"))
+              .cast("long").as("sum_k"),
+            sum(size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))))
+              .cast("long").as("n_numbers")))
   )
 }
