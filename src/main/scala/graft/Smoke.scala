@@ -178,6 +178,41 @@ object Smoke {
         spark.read.parquet(s"$root/cm_out").count())
     }
 
+    // 12. Z-order clustered layout: bounded per-file key rectangles
+    {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val zdir = s"$root/zorder"
+      graft.ops.Layout.zorderWrite(li,
+        graft.ops.Layout.zvalue(col("l_partkey"), col("l_suppkey") * 16, 8), zdir, 8)
+      import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+      val touched = spark.read.parquet(zdir)
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin(col("l_suppkey")).as("mn"), fmax(col("l_suppkey")).as("mx"))
+        .where(col("mn") <= 1 && col("mx") >= 0).count()
+      println(s"[smoke] zorder layout: suppkey<=1 intersects $touched of 8 files")
+    }
+
+    // 13. streaming keyed upsert (CDC apply)
+    {
+      import spark.implicits._
+      val in = java.nio.file.Files.createTempDirectory("graft_smoke_ups_in_")
+      val table = s"$root/ups_table"
+      val base = (1L to 20L).map(i => (i, 0L, s"v$i")).toDF("id", "version", "payload")
+      graft.ops.Upsert.writeBucketed(base, table, "id", nBuckets = 4)
+      val stage = java.nio.file.Files.createTempDirectory("graft_smoke_ups_st_")
+      Seq((5L, 1L, "updated"), (21L, 1L, "inserted"))
+        .toDF("id", "version", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve("c1.parquet"))
+      val schema = graft.core.Merge.probeSchema(spark, in.resolve("c1.parquet").toString)
+      val q = graft.streaming.MergeStream.upsertStream(
+        spark, in.toString, schema, table, "id", "version", 4, s"$root/ups_ckpt")
+      q.awaitTermination()
+      println(s"[smoke] streaming upsert: table now ${spark.read.parquet(table).count()} rows")
+    }
+
     spark.stop()
   }
 }
