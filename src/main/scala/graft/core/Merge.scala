@@ -81,6 +81,19 @@ object Merge {
     }
   }
 
+  /** OUTER-union drift mode — the complement of the reference's
+    * intersection semantics: keep the UNION of all columns, padding
+    * inputs that lack one with NULL (`unionByName(allowMissingColumns)`
+    * — Spark's analog of parquet `mergeSchema`). Data is never dropped;
+    * downstream must tolerate nulls. The reference only implements
+    * intersection (main.rs:617-642); both modes are offered because a
+    * lake ingesting evolving schemas usually wants widening, not
+    * silent column loss. */
+  def alignedUnionOuter(dfs: Seq[DataFrame]): DataFrame = {
+    if (dfs.isEmpty) throw new MergeException("No files in batch")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Write `df` as ONE plain file at `dest` — the reference's output
     * layout (`merged/<name>.parquet` is a file, not a directory):
     * coalesce(1) into a staging dir, then rename the part file.

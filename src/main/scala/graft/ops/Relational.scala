@@ -803,6 +803,37 @@ object Relational {
             sum(regexp_extract(col("props"), "\"k\": (-?[0-9]+)", 1).cast("long"))
               .cast("long").as("sum_k"),
             sum(size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))))
-              .cast("long").as("n_numbers")))
+              .cast("long").as("n_numbers"))),
+
+    QueryDef(
+      "q44_outer_drift",
+      // OUTER-union schema evolution (Merge.alignedUnionOuter): drifted
+      // inputs keep the UNION of columns with NULL padding — the
+      // widening mode q20's intersection drift deliberately is not.
+      // The audit counts padded nulls per column, so the oracle is
+      // sensitive to which side was padded.
+      Some("""SELECT l_linenumber, count(*) AS n,
+             |  CAST(count(l_quantity) AS BIGINT) AS n_qty,
+             |  CAST(count(l_tax) AS BIGINT) AS n_tax,
+             |  round(sum(coalesce(l_quantity, 0)), 2) AS sum_qty,
+             |  round(sum(coalesce(l_tax, 0)), 2) AS sum_tax
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, NULL AS l_tax
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, NULL AS l_quantity, l_tax
+             |  FROM lineitem) u
+             |GROUP BY l_linenumber""".stripMargin),
+      (s, d) => {
+        val a = li(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+        val b = li(s, d).select("l_orderkey", "l_linenumber", "l_tax")
+        Merge.alignedUnionOuter(Seq(a, b))
+          .groupBy("l_linenumber")
+          .agg(count(lit(1)).as("n"),
+            count(col("l_quantity")).as("n_qty"),
+            count(col("l_tax")).as("n_tax"),
+            round(sum(coalesce(col("l_quantity"), lit(0))), 2).as("sum_qty"),
+            round(sum(coalesce(col("l_tax"), lit(0))), 2).as("sum_tax"))
+      })
   )
 }
