@@ -366,6 +366,42 @@ object EventOps {
           .crossJoin(s3.agg(count(lit(1)).as("n_purchase_24h")))
       }),
 
+    QueryDef(
+      "ev16_gap_fill",
+      // Calendar densification (gap fill): every day in each type's
+      // [min, max] range gets a row, zero-filled where no events
+      // landed — the step before any trailing-window statistic (ev11's
+      // z-scores silently skip missing days without it). The calendar
+      // is a per-type sequence explode (bounded by the date span, not
+      // the event count) left-joined back to the daily rollup.
+      Some("""WITH dc AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+             |      FROM dc GROUP BY 1),
+             |cal AS (SELECT event_type,
+             |          CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |            CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+             |        FROM b)
+             |SELECT c.event_type, strftime(c.day, '%Y-%m-%d') AS day,
+             |  CAST(coalesce(dc.n, 0) AS BIGINT) AS n
+             |FROM cal c LEFT JOIN dc
+             |  ON dc.event_type = c.event_type AND dc.day = c.day""".stripMargin),
+      (s, d) => {
+        val dc = ev(s, d)
+          .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val cal = dc.groupBy("event_type")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+        cal.join(dc, Seq("event_type", "day"), "left")
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n"))
+      }),
+
     // Mergeable approx-quantile sketch (Greenwald-Khanna via
     // percentile_approx) — the single-pass, bounded-memory tier above
     // q21/ev10's exact percentiles: at 100 TB the sketch merges across
