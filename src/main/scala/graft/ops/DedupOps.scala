@@ -293,6 +293,49 @@ object DedupOps {
             md5(encode(col("text"), "UTF-8")).as("h"), col("lang"))
         batch.join(corpus, Seq("h"), "left_anti")
           .select(col("doc_id"), col("lang"))
+      }),
+
+    QueryDef(
+      "dd09_cluster_stats",
+      // Cluster-size audit after transitive resolution — the
+      // measurement a dedup run reports ("how big do dup families
+      // get?"). Same chained 3-copy corpus as dd05; the connected-
+      // components labels roll up to per-cluster sizes, then to a
+      // size histogram (two cheap aggregates after the CC fixpoint).
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents
+             |  UNION ALL SELECT doc_id + 200000, text FROM documents
+             |), h AS (SELECT doc_id, md5(text) AS hh FROM u),
+             |edges AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b
+             |  FROM h x JOIN h y ON x.hh = y.hh AND y.doc_id = x.doc_id + 100000),
+             |sym AS (SELECT a AS src, b AS dst FROM edges
+             |        UNION ALL SELECT b, a FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM h
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, lbl FROM r),
+             |canon AS (
+             |  SELECT node, min(lbl) AS canonical FROM reach GROUP BY node),
+             |sizes AS (
+             |  SELECT canonical, count(*) AS cluster_size FROM canon GROUP BY 1)
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |  CAST(count(*) AS BIGINT) AS n_clusters
+             |FROM sizes GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val h = dupDocs(s, d, copies = 3)
+          .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("hh"))
+        val edges = h.select(col("doc_id").as("a"), col("hh"))
+          .join(h.select(col("doc_id").as("b"), col("hh")), "hh")
+          .filter(col("b") === col("a") + lit(Shift))
+          .select("a", "b")
+        connectedComponents(h.select(col("doc_id").as("id")), edges)
+          .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size").cast("long").as("cluster_size"), col("n_clusters"))
       })
   )
 
