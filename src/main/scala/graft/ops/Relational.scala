@@ -834,6 +834,25 @@ object Relational {
             count(col("l_tax")).as("n_tax"),
             round(sum(coalesce(col("l_quantity"), lit(0))), 2).as("sum_qty"),
             round(sum(coalesce(col("l_tax"), lit(0))), 2).as("sum_tax"))
-      })
+      }),
+
+    QueryDef(
+      "q45_string_agg",
+      // Ordered string aggregation (LISTAGG/STRING_AGG): the
+      // denormalize-to-text step for exports and prompts. Composed as
+      // sorted-distinct collect + join so the concatenation order is a
+      // TOTAL order — engine-deterministic, unlike bare
+      // string_agg/collect_list whose input order is physical.
+      Some("""SELECT c_mktsegment,
+             |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, d) =>
+        cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
+            count(lit(1)).as("n")))
   )
 }
