@@ -402,6 +402,47 @@ object EventOps {
             coalesce(col("n"), lit(0L)).cast("long").as("n"))
       }),
 
+    QueryDef(
+      "ev17_multi_touch",
+      // Multi-touch attribution: each purchase's value splits EQUALLY
+      // across the same user's clicks in the preceding hour; per user,
+      // the total credited value. The pair search is a user-key
+      // equi-join with an integral time-range residual (rj01's banded
+      // discipline applies at scale); credit = value / n_clicks is a
+      // ratio of a raw parquet double by an exact integer — identical
+      // division both engines, summed then rounded at the boundary.
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS pus, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS cus
+             |  FROM events WHERE event_type = 'click'),
+             |pairs AS (
+             |  SELECT p.user_id, p.event_id, p.value, count(*) AS n_clicks
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |    AND c.cus <= p.pus AND c.cus > p.pus - 3600000000
+             |  GROUP BY 1, 2, 3)
+             |SELECT user_id,
+             |  CAST(count(*) AS BIGINT) AS n_attributed,
+             |  round(sum(value), 2) AS credited_value
+             |FROM pairs GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("tus").as("pus"), col("value"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tus").as("cus"))
+        p.join(c, Seq("user_id"))
+          .filter(col("cus") <= col("pus") && col("cus") > col("pus") - 3600000000L)
+          .groupBy("user_id", "event_id", "value")
+          .agg(count(lit(1)).as("n_clicks"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_attributed"),
+            round(sum("value"), 2).as("credited_value"))
+      }),
+
     // Mergeable approx-quantile sketch (Greenwald-Khanna via
     // percentile_approx) — the single-pass, bounded-memory tier above
     // q21/ev10's exact percentiles: at 100 TB the sketch merges across

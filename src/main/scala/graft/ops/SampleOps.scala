@@ -170,6 +170,23 @@ object SampleOps {
           .groupBy("source")
           .agg(count(lit(1)).as("n_out"),
             countDistinct(col("doc_id")).as("n_docs_kept"))
-      })
+      }),
+
+    QueryDef(
+      "sp07_systematic_sample",
+      // Systematic (every k-th) sampling on the id — the schema-free
+      // companion to sp01's hash Bernoulli: exact 1-in-20 rate with a
+      // fixed phase, zero randomness, zero shuffles before the audit
+      // aggregate. Appropriate when ids are assignment-order and a
+      // stratified-by-position sample is wanted.
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(min(doc_id) AS BIGINT) AS first_id
+             |FROM documents WHERE doc_id % 20 = 3""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .filter(pmod(col("doc_id"), lit(20)) === 3)
+          .agg(count(lit(1)).as("n"), sum("doc_id").cast("long").as("id_sum"),
+            min("doc_id").cast("long").as("first_id")))
   )
 }
