@@ -443,6 +443,36 @@ object EventOps {
             round(sum("value"), 2).as("credited_value"))
       }),
 
+    QueryDef(
+      "ev18_rolling_wau",
+      // Rolling 7-day distinct active users (WAU) — the engagement
+      // metric every product pipeline reports. Spark has no DISTINCT
+      // window aggregate, so it is composed as size(collect_set) over
+      // a RANGE frame on the distinct (user, day) pairs; the global
+      // window is bounded by users×days, not events (at 100 TB,
+      // partition by a coarse time bucket and stitch the boundary
+      // week). Exact integers end-to-end.
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(date_trunc('day', ts) AS DATE)) AS day_idx
+             |  FROM events)
+             |SELECT DISTINCT CAST(day_idx AS BIGINT) AS day_idx,
+             |  CAST(count(DISTINCT user_id) OVER (ORDER BY day_idx
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS wau
+             |FROM ud""".stripMargin),
+      (s, d) => {
+        val ud = ev(s, d)
+          .select(col("user_id"),
+            datediff(to_date(date_trunc("day", col("ts"))),
+              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
+          .distinct()
+        val w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+        ud.select(col("day_idx"),
+            size(collect_set(col("user_id")).over(w)).cast("long").as("wau"))
+          .distinct()
+      }),
+
     // Mergeable approx-quantile sketch (Greenwald-Khanna via
     // percentile_approx) — the single-pass, bounded-memory tier above
     // q21/ev10's exact percentiles: at 100 TB the sketch merges across
