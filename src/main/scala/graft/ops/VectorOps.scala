@@ -347,6 +347,49 @@ object VectorOps {
       }),
 
     QueryDef(
+      "vs08_centroid_shift",
+      // Convergence monitoring for the IVF refit: cosine between each
+      // OLD centroid and the vs05-refit mean — the metric that decides
+      // when Lloyd iterations stop (shift_cos → 1). New centroids are
+      // assembled from the per-(cid, dim) means ROUNDED FIRST (4dp) on
+      // both engines, so the vectors entering the cosine are identical
+      // and the comparison is engine-exact.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |x AS (SELECT asg.cid, unnest(e.v) AS val,
+             |        generate_subscripts(e.v, 1) AS dim
+             |      FROM asg JOIN e USING (vec_id)),
+             |nc AS (SELECT cid, dim, round(avg(val), 4) AS m
+             |       FROM x GROUP BY 1, 2),
+             |nv AS (SELECT cid, list(m ORDER BY dim) AS newv FROM nc GROUP BY 1)
+             |SELECT nv.cid,
+             |  round(list_cosine_similarity(o.cv, nv.newv), 4) AS shift_cos,
+             |  CAST(len(nv.newv) AS BIGINT) AS dims
+             |FROM nv JOIN c o ON o.cid = nv.cid""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val means = assignClusters(e, centroids)
+          .select(col("cid"), posexplode(col("v")))
+          .toDF("cid", "pos", "val")
+          .groupBy(col("cid"), (col("pos") + 1).as("dim"))
+          .agg(round(avg("val"), 4).as("m"))
+        val newv = means.groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+            x => x.getField("m")).as("newv"))
+        newv.join(broadcast(centroids), "cid")
+          .select(col("cid"),
+            round(cosine(col("cv"), col("newv")), 4).as("shift_cos"),
+            size(col("newv")).cast("long").as("dims"))
+      }),
+
+    QueryDef(
       "vs07_dim_truncation",
       // Dimension-truncation quality (the Matryoshka/MRL question: how
       // much ranking survives keeping the first 16 of 64 dims?):

@@ -46,8 +46,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // count N — all intentional BNLJ uses
     val allowed = Set("vs01_topk_bruteforce", "vs02_ivf_topk",
       "vs05_kmeans_step", "vs06_recall_eval", "vs07_dim_truncation",
-      "q26_scalar_subquery", "tx09_tfidf", "tx15_keyword_extraction",
-      "ev08_funnel", "ev15_windowed_funnel")
+      "vs08_centroid_shift", "q26_scalar_subquery", "tx09_tfidf",
+      "tx15_keyword_extraction", "ev08_funnel", "ev15_windowed_funnel")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
