@@ -15,6 +15,12 @@ run / fork := true
 // LoggedOutput prefixes forked output with "[info] " which breaks a
 // strict json parse. Stream the forked process's output through raw.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's closing "[success] Total time: ..." line still lands
+// AFTER the JSON, so a parser that reads the LAST stdout line sees the
+// success banner instead of the payload (BENCH_r02 "parsed": null).
+// Suppress the banner entirely: the JSON line is then the final line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -34,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // built in the default zone and must agree with the UTC session
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~110 queries × whole-stage-codegen classes overflow the default
+  // 240m code cache mid-bench; the JIT then silently disables itself
+  // and every later query runs interpreted (the r2 tail queries showed
+  // 4-10x slowdowns vs the same queries run in isolation).
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

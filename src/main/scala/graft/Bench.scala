@@ -53,11 +53,17 @@ object Bench {
     // occasionally stalls behind 64 queries' worth of generated classes
     // and a random query runs 5-15x slow interpreted — min-of-2 reports
     // the engine's steady state instead of JIT scheduling noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(name, fn)
-      val b = once(name, fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    // Optional regex filter for local iteration on a subset
+    // (e.g. SPARK_GRAFT_BENCH_FILTER='q3[789]|tx14'); unset = all.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
+        val a = once(name, fn)
+        val b = once(name, fn)
+        System.err.println(f"[bench] $name%-24s a=$a%.3f b=$b%.3f")
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total covers successful queries only; -1 markers must not shrink it

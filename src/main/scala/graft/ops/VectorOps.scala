@@ -258,6 +258,14 @@ object VectorOps {
       // zip_with fold that would serialize whole vectors through an
       // aggregation buffer. This is how the vs02/IVF layout gets
       // periodically retrained at 100 TB.
+      //
+      // Determinism: avg(double) is summation-order-dependent, and the
+      // two engines (and even two Spark runs with different partition
+      // counts) fold partials in different orders — r2's hash mismatch.
+      // Quantize each element to an exact integer (floor(x*1e6+0.5),
+      // IEEE-identical per value) so the group sum is integer-exact and
+      // order-independent; one final double division both engines do
+      // identically.
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
@@ -269,7 +277,9 @@ object VectorOps {
              |        generate_subscripts(e.v, 1) AS dim
              |      FROM asg JOIN e USING (vec_id))
              |SELECT cid, CAST(dim AS BIGINT) AS dim,
-             |  round(avg(val), 4) AS c_new, CAST(count(*) AS BIGINT) AS n
+             |  round(CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |        / (count(*) * 1000000.0), 4) AS c_new,
+             |  CAST(count(*) AS BIGINT) AS n
              |FROM x GROUP BY cid, dim""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
@@ -279,7 +289,10 @@ object VectorOps {
           .select(col("cid"), posexplode(col("v")))
           .toDF("cid", "pos", "val")
           .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
-          .agg(round(avg("val"), 4).as("c_new"), count(lit(1)).as("n"))
+          .agg(
+            round(sum(floor(col("val") * 1e6 + lit(0.5))).cast("double")
+              / (count(lit(1)) * lit(1e6)), 4).as("c_new"),
+            count(lit(1)).as("n"))
       }),
 
     QueryDef(
