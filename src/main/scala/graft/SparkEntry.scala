@@ -15,7 +15,8 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++
       DedupOps.defs ++ VectorOps.defs ++ MultimodalOps.defs ++
-      SampleOps.defs ++ RangeJoin.defs ++ Layout.defs ++ Pipeline.defs
+      SampleOps.defs ++ RangeJoin.defs ++ Layout.defs ++ Pipeline.defs ++
+      graft.streaming.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Exercises the reference's whole data path (schema-aligned

@@ -489,6 +489,77 @@ object EventOps {
             .as("qs"))
           .select(col("event_type"),
             element_at(col("qs"), 1).as("p50_approx"),
-            element_at(col("qs"), 2).as("p95_approx")))
+            element_at(col("qs"), 2).as("p95_approx"))),
+
+    QueryDef(
+      "ev19_interpolate",
+      // Linear interpolation of gaps in an hourly series — the
+      // resampling companion to ev16's zero-fill: empty buckets get the
+      // line between their non-null neighbors (edges clamp to the
+      // nearest anchor). Time is integer epoch-hours (truncation IS the
+      // bucketing — no date_trunc roundtrip), anchors are the ROUNDED
+      // hourly sums, and the interpolation fraction is a ratio of exact
+      // integers, so both engines interpolate identical doubles.
+      // IGNORE NULLS last/first_value over the calendar spine finds the
+      // neighbors in two windows — no self-join, no explode of gap
+      // ranges; at 100 TB the spine partitions by (series, coarse
+      // epoch) and only window boundaries need stitching.
+      Some("""WITH h AS (
+             |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+             |    round(sum(value), 2) AS v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |cal AS (SELECT unnest(generate_series(mn, mx)) AS hr
+             |        FROM (SELECT min(hr) AS mn, max(hr) AS mx FROM h)),
+             |j AS (SELECT c.hr, h.v FROM cal c LEFT JOIN h USING (hr)),
+             |w AS (SELECT hr, v,
+             |    last_value(v IGNORE NULLS) OVER (ORDER BY hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+             |      OVER (ORDER BY hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |    first_value(v IGNORE NULLS) OVER (ORDER BY hr
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+             |      OVER (ORDER BY hr
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM j)
+             |SELECT hr,
+             |  round(CASE WHEN v IS NOT NULL THEN v
+             |    WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+             |    ELSE pv + (nv - pv) * CAST(hr - pd AS DOUBLE)
+             |              / CAST(nd - pd AS DOUBLE) END, 4) AS filled,
+             |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+             |FROM w""".stripMargin),
+      (s, d) => {
+        // raw nanos long DIV to epoch-hours (or micros via unix_micros
+        // when the reader maps ts to a timestamp)
+        val raw = Tables(s, d, "events")
+        val hrCol =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr("ts DIV 3600000000000")
+          else expr("unix_micros(ts) DIV 3600000000")
+        val h = raw.filter(col("event_type") === "purchase")
+          .groupBy(hrCol.cast("long").as("hr"))
+          .agg(round(sum("value"), 2).as("v"))
+        val cal = h.agg(min("hr").as("mn"), max("hr").as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+        val wAsc = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+        val wDesc = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+        val hrIfV = when(col("v").isNotNull, col("hr"))
+        cal.join(h, Seq("hr"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
+          .withColumn("pd", last(hrIfV, ignoreNulls = true).over(wAsc))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wDesc))
+          .withColumn("nd", first(hrIfV, ignoreNulls = true).over(wDesc))
+          .select(col("hr"),
+            round(
+              when(col("v").isNotNull, col("v"))
+                .when(col("pv").isNull, col("nv"))
+                .when(col("nv").isNull, col("pv"))
+                .otherwise(col("pv") + (col("nv") - col("pv"))
+                  * (col("hr") - col("pd")).cast("double")
+                  / (col("nd") - col("pd")).cast("double")), 4).as("filled"),
+            when(col("v").isNull, 1).otherwise(0).as("was_gap"))
+      })
   )
 }

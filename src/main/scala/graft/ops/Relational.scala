@@ -291,7 +291,11 @@ object Relational {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin),
       (s, d) => {
-        val fact = li(s, d).withColumnRenamed("l_orderkey", "k")
+        // Prune the fact to the columns the query needs BEFORE salting:
+        // the salt hashes the left side's columns, so salting the full
+        // row would force the scan to decode all 16 lineitem columns
+        // (and carry them through the shuffle) for a 2-column answer.
+        val fact = li(s, d).select(col("l_orderkey").as("k"), col("l_quantity"))
         val dim = ord(s, d).select(col("o_orderkey").as("k"), col("o_orderpriority"))
         SkewJoin.saltedInnerJoin(fact, dim, Seq("k"), saltFactor = 8)
           .groupBy("o_orderpriority")
@@ -853,6 +857,82 @@ object Relational {
           .groupBy("c_mktsegment")
           .agg(
             array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
-            count(lit(1)).as("n")))
+            count(lit(1)).as("n"))),
+
+    QueryDef(
+      "q46_map_functions",
+      // The MAP higher-order-function surface (q40 covered arrays):
+      // map_from_entries builds per-order flag→count and flag→qty maps,
+      // map_zip_with merges them into per-flag averages, map_filter
+      // drops singleton groups, and explode returns to rows. Map
+      // iteration order is engine-internal, but exploding back to rows
+      // makes the output order-insensitive — the oracle is the plain
+      // relational equivalent. Sums are exact (integer-valued
+      // quantities), so avg = round(sum/count) is portable.
+      Some("""SELECT l_orderkey, l_returnflag AS flag,
+             |  round(sum(l_quantity) / count(*), 2) AS avg_qty
+             |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin),
+      (s, d) => {
+        val per = li(s, d).groupBy("l_orderkey", "l_returnflag")
+          .agg(count(lit(1)).as("c"), sum("l_quantity").as("q"))
+        per.groupBy("l_orderkey")
+          .agg(
+            map_from_entries(collect_list(struct(col("l_returnflag"), col("c")))).as("mc"),
+            map_from_entries(collect_list(struct(col("l_returnflag"), col("q")))).as("mq"))
+          .select(col("l_orderkey"),
+            explode(map_filter(
+              map_zip_with(col("mc"), col("mq"),
+                (_, c, q) => when(c > 1, round(q / c, 2))),
+              (_, v) => v.isNotNull)))
+          .toDF("l_orderkey", "flag", "avg_qty")
+      }),
+
+    QueryDef(
+      "q47_column_profile",
+      // Column-level data profiling (the quality audit run before any
+      // pipeline consumes a new drop): per numeric column — row count,
+      // non-null count, exact distinct count, min/max (bit-identical
+      // parquet passthrough), rounded sum. One pruned 1-column scan per
+      // profiled column keeps each pass IO-minimal and embarrassingly
+      // parallel; a multi-distinct single pass would force Catalyst's
+      // EXPAND (rows × columns blowup) instead.
+      Some("""SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(l_quantity) AS BIGINT) AS n_notnull,
+             |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+             |  min(l_quantity) AS mn, max(l_quantity) AS mx,
+             |  round(sum(l_quantity), 2) AS total
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+             |  CAST(count(l_extendedprice) AS BIGINT),
+             |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+             |  min(l_extendedprice), max(l_extendedprice),
+             |  round(sum(l_extendedprice), 2)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_discount', CAST(count(*) AS BIGINT),
+             |  CAST(count(l_discount) AS BIGINT),
+             |  CAST(count(DISTINCT l_discount) AS BIGINT),
+             |  min(l_discount), max(l_discount), round(sum(l_discount), 2)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_tax', CAST(count(*) AS BIGINT),
+             |  CAST(count(l_tax) AS BIGINT),
+             |  CAST(count(DISTINCT l_tax) AS BIGINT),
+             |  min(l_tax), max(l_tax), round(sum(l_tax), 2)
+             |FROM lineitem""".stripMargin),
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          li(s, d).agg(
+            count(lit(1)).as("n"),
+            count(col(c)).as("n_notnull"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).as("mn"), max(col(c)).as("mx"),
+            round(sum(col(c)), 2).as("total"))
+            .select(lit(c).as("col"), col("n"), col("n_notnull"),
+              col("n_distinct"), col("mn"), col("mx"), col("total"))
+        }.reduce(_ unionByName _)
+      })
   )
 }

@@ -187,6 +187,32 @@ object SampleOps {
         docs(s, d)
           .filter(pmod(col("doc_id"), lit(20)) === 3)
           .agg(count(lit(1)).as("n"), sum("doc_id").cast("long").as("id_sum"),
-            min("doc_id").cast("long").as("first_id")))
+            min("doc_id").cast("long").as("first_id"))),
+
+    QueryDef(
+      "sp08_cluster_sample",
+      // Two-stage cluster sampling: stage 1 hash-samples 20% of the
+      // CLUSTERS (source feeds), stage 2 subsamples docs at 50% within
+      // the kept clusters. Sampling whole sources preserves intra-feed
+      // correlation structure (dedup rates, style) that row-Bernoulli
+      // destroys — the design a crawl-corpus ablation needs. Both
+      // stages are md5-hex string thresholds (deterministic, portable,
+      // recompute-stable) evaluated in the scan — map-only until the
+      // per-cluster audit aggregate, and cluster membership never
+      // requires a shuffle because the key is IN the row.
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE md5(source) < '33333333333333333333333333333333'
+             |  AND md5(CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'
+             |GROUP BY source""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .filter(md5(col("source")) < lit("33333333333333333333333333333333")
+            && md5(col("doc_id").cast("string")) <
+               lit("80000000000000000000000000000000"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars")))
   )
 }

@@ -492,6 +492,65 @@ object TextOps {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("tok"), col("rnk"), round(score, 4).as("tfidf"))
+      }),
+
+    QueryDef(
+      "tx16_pmi",
+      // Pointwise mutual information of adjacent word pairs — the
+      // collocation detector ("new york"-style units) a tokenizer/vocab
+      // pipeline runs before BPE training. All probabilities stay as
+      // exact integer counts until ONE final ln of an exact ratio, so
+      // the score is engine-deterministic; ranking is (pmi DESC, bigram)
+      // — a total order. The c_ab >= 5 support gate is integral.
+      // Scale shape: two hash aggregations over the bigram stream plus
+      // broadcast joins of the (vocab-sized) margin tables; the global
+      // count is a 1-row broadcast. Nothing is quadratic in corpus size.
+      Some("""WITH tok AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |bg AS (
+             |  SELECT unnest(list_transform(range(1, len(toks)),
+             |           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+             |  FROM tok WHERE len(toks) >= 2),
+             |cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cb),
+             |la AS (SELECT split_part(bigram, ' ', 1) AS w1,
+             |         CAST(sum(c_ab) AS BIGINT) AS c_a FROM cb GROUP BY 1),
+             |rb AS (SELECT split_part(bigram, ' ', 2) AS w2,
+             |         CAST(sum(c_ab) AS BIGINT) AS c_b FROM cb GROUP BY 1),
+             |p AS (
+             |  SELECT bigram, c_ab,
+             |    round(ln(CAST(c_ab * n AS DOUBLE) / (c_a * c_b)), 4) AS pmi
+             |  FROM cb CROSS JOIN tot
+             |  JOIN la ON la.w1 = split_part(bigram, ' ', 1)
+             |  JOIN rb ON rb.w2 = split_part(bigram, ' ', 2)
+             |  WHERE c_ab >= 5)
+             |SELECT bigram, c_ab, pmi FROM (
+             |  SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram) AS rn FROM p) t
+             |WHERE rn <= 20""".stripMargin),
+      (s, d) => {
+        val bg = docs(s, d)
+          .select(split(trim(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)))).as("bigram"))
+        val cb = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        val tot = cb.agg(sum("c_ab").cast("long").as("n"))
+        val la = cb.groupBy("w1").agg(sum("c_ab").cast("long").as("c_a"))
+        val rb = cb.groupBy("w2").agg(sum("c_ab").cast("long").as("c_b"))
+        val w = Window.orderBy(col("pmi").desc, col("bigram"))
+        cb.crossJoin(broadcast(tot))
+          .join(broadcast(la), "w1")
+          .join(broadcast(rb), "w2")
+          .filter(col("c_ab") >= 5)
+          .withColumn("pmi",
+            round(log((col("c_ab") * col("n")).cast("double")
+              / (col("c_a") * col("c_b"))), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("bigram"), col("c_ab"), col("pmi"))
       })
   )
 }

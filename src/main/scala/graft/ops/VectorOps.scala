@@ -454,6 +454,61 @@ object VectorOps {
           .agg(count(lit(1)).as("n_true"),
             sum(hit).cast("long").as("n_kept"),
             round(sum(hit) / count(lit(1)).cast("double"), 4).as("overlap"))
+      }),
+
+    QueryDef(
+      "vs09_pq_codes",
+      // Product quantization: split the 64-dim vector into 4 sub-blocks
+      // of 16 dims and encode each block as the id of its nearest
+      // codebook centroid (vectors 0-7's sub-blocks serve as the
+      // codebook) — the 16-bytes-per-vector compressed representation
+      // an ANN index stores instead of 256-byte floats. Squared-L2
+      // distances are quantized per element to exact integers
+      // (floor(d²·1e12+0.5)) BEFORE summing, so both the block sums and
+      // the argmin ranking are integer-exact and engine/partition-order
+      // deterministic (same discipline as vs05). Scale shape: corpus
+      // streams once against a broadcast codebook; per row the work is
+      // 4 blocks × 8 centroids × 16 dims — map-only, then no shuffle at
+      // all until the (absent) downstream consumer.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |blocks AS (SELECT vec_id, v, b
+             |           FROM e, (SELECT unnest(range(0, 4)) AS b)),
+             |d AS (SELECT vec_id, b, cid,
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> CAST(floor((v[16*b+i] - cv[16*b+i])
+             |                          * (v[16*b+i] - cv[16*b+i])
+             |                          * 1000000000000 + 0.5) AS BIGINT)))
+             |          AS BIGINT) AS d2q
+             |      FROM blocks, c),
+             |r AS (SELECT vec_id, b, cid, d2q,
+             |        row_number() OVER (PARTITION BY vec_id, b
+             |          ORDER BY d2q, cid) AS rn
+             |      FROM d)
+             |SELECT vec_id, CAST(b AS BIGINT) AS block, CAST(cid AS BIGINT) AS code,
+             |  round(CAST(d2q AS DOUBLE) / 1e12, 4) AS err
+             |FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val blocks = e.select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        def el(v: Column, i: Column) = element_at(v, (lit(16) * col("b") + i).cast("int"))
+        val d2q = aggregate(
+          transform(sequence(lit(1), lit(16)), i => {
+            val diff = el(col("v"), i) - el(col("cv"), i)
+            floor(diff * diff * lit(1e12) + lit(0.5))
+          }),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy("vec_id", "b").orderBy(col("d2q"), col("cid"))
+        blocks.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("b"), col("cid"), d2q.as("d2q"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("b").cast("long").as("block"),
+            col("cid").cast("long").as("code"),
+            round(col("d2q").cast("double") / lit(1e12), 4).as("err"))
       })
   )
 }

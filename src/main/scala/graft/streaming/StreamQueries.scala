@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{QueryDef, Tables}
+
+/** Structured Streaming operators registered in the CORRECTNESS gate.
+  *
+  * Each runs a real streaming query — file source → stateful transform
+  * → memory sink — with `Trigger.AvailableNow`, which processes every
+  * available input and terminates. Because the input is finite, the
+  * streaming result must equal the equivalent batch query, so these are
+  * DuckDB-oracle-checkable like any batch entry: the oracle verifies the
+  * STREAMING execution path (incremental state store, micro-batch
+  * planning), not a batch stand-in.
+  *
+  * Scale shape: the same code runs unbounded by swapping the trigger
+  * and sink; state is keyed and partitioned by the state-store, and the
+  * memory sink here is only the test harness's collection point (a real
+  * deployment writes to parquet/Kafka). `EventStream`/`MergeStream`
+  * cover the long-running shapes (watermarks, session windows, CDC
+  * upsert); these entries put the core streaming engine under the same
+  * hash-match gate as everything else.
+  */
+object StreamQueries {
+
+  // memory-sink view names must be unique per START within a session
+  private val runId = new AtomicLong(0)
+
+  /** events.ts arrives as raw parquet TIMESTAMP(NANOS) longs
+    * (nanosAsLong, see EventOps): truncate to micros exactly like
+    * DuckDB's ns→µs cast. */
+  private def tsCol(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
+  /** Run `build(stream)` to completion over the parquet file(s) at
+    * `path` and return the materialized sink table. */
+  private def runStream(
+      s: SparkSession,
+      path: String,
+      outputMode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.parquet(path).schema
+    // The file stream source only accepts DIRECTORIES (its basePath —
+    // even when given explicitly — must be one), and the testdata
+    // tables are single parquet files: stage a symlink inside a temp
+    // dir and stream that. A real deployment streams a landing dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+    val file = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createSymbolicLink(dir.resolve(file.getFileName), file)
+    val src = s.readStream.schema(schema).parquet(dir.toString)
+    val name = s"graft_stream_sink_${runId.incrementAndGet()}"
+    val q = build(src).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "st01_stream_hourly",
+      // ev01's hourly rollup executed BY THE STREAMING ENGINE: file
+      // source → stateful windowed aggregation (complete mode) →
+      // memory sink. The finite input makes streaming ≡ batch, so the
+      // DuckDB oracle gates the streaming path itself.
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        runStream(s, s"$d/events.parquet", "complete") { src =>
+          tsCol(src)
+            .groupBy(
+              date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+                .as("hour_ts"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        }),
+
+    QueryDef(
+      "st02_stream_dedup",
+      // Streaming exact dedup: dropDuplicates over the text fingerprint
+      // holds one state-store entry per distinct (source, hash) and
+      // emits only first-seen rows — the online form of dd01. The
+      // audit aggregate runs batch-side on the sink table; the winner
+      // row's identity is irrelevant (counts of DISTINCT keys), so the
+      // output is deterministic even though first-seen order isn't.
+      Some("""SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+             |FROM documents GROUP BY source""".stripMargin),
+      (s, d) => {
+        val kept = runStream(s, s"$d/documents.parquet", "append") { src =>
+          src.select(col("source"), md5(col("text")).as("h"))
+            .dropDuplicates("source", "h")
+        }
+        kept.groupBy("source").agg(count(lit(1)).as("n_unique"))
+      }),
+
+    QueryDef(
+      "st03_stream_interval_join",
+      // Stream-stream interval self-join (EventStream.clickToPurchase):
+      // each purchase matched to the same user's clicks in the
+      // preceding hour, both sides watermarked so click state is
+      // evicted once it can no longer match. The emitted pair set is
+      // deterministic (exact ints + passthrough double), so the DuckDB
+      // interval join gates the streaming join path itself.
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+             |  p.value
+             |FROM events p JOIN events c
+             |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND p.user_id = c.user_id AND c.ts <= p.ts
+             | AND c.ts >= p.ts - INTERVAL 60 MINUTES""".stripMargin),
+      (s, d) =>
+        runStream(s, s"$d/events.parquet", "append") { src =>
+          EventStream.clickToPurchase(tsCol(src), windowMinutes = 60)
+        })
+  )
+}

@@ -47,7 +47,10 @@ class PlanQualitySpec extends AnyFunSuite {
     val allowed = Set("vs01_topk_bruteforce", "vs02_ivf_topk",
       "vs05_kmeans_step", "vs06_recall_eval", "vs07_dim_truncation",
       "vs08_centroid_shift", "q26_scalar_subquery", "tx09_tfidf",
-      "tx15_keyword_extraction", "ev08_funnel", "ev15_windowed_funnel")
+      "tx15_keyword_extraction", "ev08_funnel", "ev15_windowed_funnel",
+      // tx16: 1-row broadcast corpus bigram count; vs09: corpus streams
+      // once against the broadcast 8-centroid codebook
+      "tx16_pmi", "vs09_pq_codes")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
