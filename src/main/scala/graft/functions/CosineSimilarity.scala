@@ -116,6 +116,15 @@ object GraftFunctions {
   def simhash_sig(c: Column): Column =
     Bridge.column(SimHashSignature(Bridge.expression(c)))
 
+  /** `pair_ids(array<long>)` generator: all i<j pairs as rows (a, b). */
+  def pair_ids(c: Column): Column =
+    Bridge.column(PairExpandIds(Bridge.expression(c)))
+
+  /** `pair_sized(array<struct<long,long>>)` generator: i<j pairs with
+    * set sizes, as rows (a, na, b, nb). */
+  def pair_sized(c: Column): Column =
+    Bridge.column(PairExpandSized(Bridge.expression(c)))
+
   /** Foldable integer argument of a SQL call (Int or Long literal). */
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int =
     e.eval() match {

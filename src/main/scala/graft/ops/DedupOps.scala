@@ -117,10 +117,7 @@ object DedupOps {
         // posting keys) so exact-duplicate recall stays total
         val keyCounts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nk"))
         val cand = posts
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
           .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
           .join(keyCounts.select(col("doc_id").as("a"), col("nk").as("nka")), "a")
           .join(keyCounts.select(col("doc_id").as("b"), col("nk").as("nkb")), "b")
@@ -208,14 +205,13 @@ object DedupOps {
         // is exactly two shuffles — posting groupBy, pair groupBy.
         val post = sets.select(col("doc_id"),
           size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+        // pair_sized: native generator streams the i<j pairs (5.3M at
+        // sf0.1) straight out of each bucket — no interpreted nested
+        // HOFs, no per-bucket k² array materialization
         val pairs = post.groupBy("sh")
           .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
-                y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"),
-            col("p.na").as("na"), col("p.nb").as("nb"))
+          .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+          .groupBy("a", "b", "na", "nb")
           .agg(count(lit(1)).as("i"))
         val j = col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")
@@ -411,10 +407,7 @@ object DedupOps {
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 100))
     val cand = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
       .distinct()
 
     verifyJaccard(cand, shingleSets(corpus), threshold)

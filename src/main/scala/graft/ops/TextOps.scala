@@ -445,11 +445,8 @@ object TextOps {
           size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
         post.groupBy("sh")
           .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
-                y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"))
+          .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+          .groupBy("a", "b", "na")
           .agg(count(lit(1)).as("i"))
           // integral gate: containment >= 0.9 without a float boundary
           .filter(lit(10) * col("i") >= lit(9) * col("na"))

@@ -55,13 +55,24 @@ object StreamQueries {
     java.nio.file.Files.createSymbolicLink(dir.resolve(file.getFileName), file)
     val src = s.readStream.schema(schema).parquet(dir.toString)
     val name = s"graft_stream_sink_${runId.incrementAndGet()}"
-    val q = build(src).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming cost scales with the number of state-store
+    // partitions (one store + checkpoint commit per shuffle partition
+    // per batch), not with data volume at this scale: pin a small
+    // partition count for the stream and restore the session setting
+    // after. A real deployment sizes this to state volume / throughput,
+    // and it is FIXED for the life of a checkpoint (state is physically
+    // hash-partitioned on disk).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(src).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
