@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries frequent items"),
       (es: Seq[Expression]) =>
         HeavyHitters(es(0), intArg(es(1), "heavy_hitters")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("pair_ids"),
+      info("pair_ids", "pair_ids(array<long>) - generator: all i<j pairs as (a, b)"),
+      (es: Seq[Expression]) => PairExpandIds(es(0))))
+    ext.injectFunction((FunctionIdentifier("pair_sized"),
+      info("pair_sized",
+        "pair_sized(array<struct<long,long>>) - generator: i<j pairs as (a, na, b, nb)"),
+      (es: Seq[Expression]) => PairExpandSized(es(0))))
     // optimizer extension: naive `k = k AND abs(t1-t2) <= W` joins are
     // rewritten to the banded (k, time-bin) equi-join — see
     // graft.plans.BandedRangeJoin

@@ -159,5 +159,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "oph_minhash_sig", exprs => OphMinHash(exprs(0),
         intArg(exprs(1), "oph_minhash_sig")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_ids", exprs => PairExpandIds(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_sized", exprs => PairExpandSized(exprs(0)), "scala_udf")
   }
 }

@@ -548,6 +548,46 @@ object TextOps {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 20)
           .select(col("bigram"), col("c_ab"), col("pmi"))
+      }),
+
+    QueryDef(
+      "tx17_sequence_pack",
+      // Sequence packing: lay the corpus out as one continuous token
+      // stream cut into fixed 2048-token training sequences (documents
+      // crossing a boundary are split — the standard pretraining
+      // packing, zero padding waste). Everything is exact integer
+      // arithmetic over ONE running-sum window in doc_id order: each
+      // doc gets its bin, its offset in the bin, and whether it spans a
+      // boundary. At 100 TB the stream is packed per shard (partition
+      // running sums + a broadcast of per-shard totals to make bin ids
+      // global — same shape as this single window).
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc_id, n_tok, cum // 2048 AS bin, cum % 2048 AS off,
+             |  CASE WHEN (cum + n_tok - 1) // 2048 > cum // 2048
+             |       THEN 1 ELSE 0 END AS spans_boundary
+             |FROM c WHERE n_tok > 0""".stripMargin),
+      (s, d) => {
+        val t = docs(s, d).select(col("doc_id"),
+          size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_tok"))
+        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        t.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+          .filter(col("n_tok") > 0)
+          .select(col("doc_id"), col("n_tok"),
+            expr("cum DIV 2048").as("bin"),          // integer floor div,
+            pmod(col("cum"), lit(2048L)).as("off"),  // exactly DuckDB // and %
+            when(expr("(cum + n_tok - 1) DIV 2048") > expr("cum DIV 2048"), 1)
+              .otherwise(0).as("spans_boundary"))
       })
   )
 }

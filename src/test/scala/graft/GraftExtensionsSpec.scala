@@ -9,9 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   private val expected = Seq("cosine_sim", "minhash_sig", "bottomk_by_hash",
-    "word_shingles", "simhash_sig", "oph_minhash_sig", "heavy_hitters")
+    "word_shingles", "simhash_sig", "oph_minhash_sig", "heavy_hitters",
+    "pair_ids", "pair_sized")
 
-  test("injectFunction wires all seven native expressions into a registry") {
+  test("injectFunction wires all nine native expressions into a registry") {
     val got = Bridge.extensionFunctionNames(new GraftExtensions, expected)
     assert(got == expected)
   }
