@@ -30,7 +30,11 @@ class DeterminismSpec extends AnyFunSuite {
     "sp06_weighted_mix",      // hash-gated explode replication
     "pp01_training_pipeline", // multi-stage composition (gate→dedup→split)
     "tx13_perplexity",        // double sums across a shuffled join
-    "vs06_recall_eval")       // two rankings joined on tie-broken top-k
+    "vs06_recall_eval",       // two rankings joined on tie-broken top-k
+    "vs09_pq_codes",          // argmin over integer-quantized distances
+    "tx16_pmi",               // double-scored global top-k (pmi DESC, bigram)
+    "ev19_interpolate",       // IGNORE-NULLS neighbor windows + interpolation
+    "tx17_sequence_pack")     // global running sum over doc order
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf
