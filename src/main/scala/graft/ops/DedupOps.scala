@@ -332,6 +332,59 @@ object DedupOps {
           .groupBy("label").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
           .select(col("cluster_size").cast("long").as("cluster_size"), col("n_clusters"))
+      }),
+
+    QueryDef(
+      "dd10_decontaminate",
+      // Benchmark decontamination: flag training docs whose 5-token
+      // spans substantially overlap a (small) held-out benchmark set —
+      // the eval-leakage gate every training corpus runs. doc_id < 25
+      // plays the benchmark; a corpus doc is contaminated when >= half
+      // its distinct spans appear in ANY benchmark doc (integral 2*hit
+      // >= n gate — no float boundary). Plan shape: corpus spans
+      // semi-hit against the DISTINCT benchmark span set via a
+      // broadcast join (benchmarks are tiny by definition), then one
+      // per-doc aggregate — scan-proportional, no pair enumeration.
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |bench AS (
+             |  SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id < 25),
+             |corpus AS (
+             |  SELECT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id >= 25),
+             |hits AS (
+             |  SELECT c.doc_id,
+             |    CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM corpus c LEFT JOIN bench b ON c.sh = b.sh)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(hit) AS BIGINT) AS n_hit,
+             |  CASE WHEN 2 * sum(hit) >= count(*) THEN 1 ELSE 0 END AS contaminated
+             |FROM hits GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val sets = docs(s, d)
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.word_shingles(col("text"), 5).as("shs"))
+          .filter(size(col("shs")) > 0)
+        val bench = sets.filter(col("doc_id") < 25)
+          .select(explode(col("shs")).as("sh")).distinct()
+        val corpus = sets.filter(col("doc_id") >= 25)
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        corpus
+          .join(broadcast(bench.withColumn("hit_mark", lit(1))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("hit_mark").isNotNull, 1L).otherwise(0L)).cast("long").as("n_hit"))
+          .select(col("doc_id"), col("n_spans"), col("n_hit"),
+            when(lit(2) * col("n_hit") >= col("n_spans"), 1).otherwise(0)
+              .as("contaminated"))
       })
   )
 

@@ -560,6 +560,49 @@ object EventOps {
                   * (col("hr") - col("pd")).cast("double")
                   / (col("nd") - col("pd")).cast("double")), 4).as("filled"),
             when(col("v").isNull, 1).otherwise(0).as("was_gap"))
+      }),
+
+    QueryDef(
+      "ev20_mad_outliers",
+      // Median-absolute-deviation anomaly gate — the robust companion
+      // to ev10's IQR fences and ev11's z-scores: MAD ignores the very
+      // outliers it hunts (mean/stddev don't). Two exact-percentile
+      // passes per type (median, then median of |x-med|); both are
+      // interpolated from identical parquet doubles in both engines, so
+      // the 3-MAD comparison is boundary-consistent. Output is the
+      // per-type audit (counts + rounded estimators), not the row dump.
+      Some("""WITH m AS (
+             |  SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (
+             |  SELECT e.event_type, e.value, m.med,
+             |    abs(e.value - m.med) AS ad
+             |  FROM events e JOIN m USING (event_type)),
+             |md AS (
+             |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(any_value(dev.med), 4) AS med,
+             |  round(any_value(md.mad), 4) AS mad,
+             |  CAST(sum(CASE WHEN dev.ad > 3 * md.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev JOIN md USING (event_type)
+             |GROUP BY dev.event_type""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d).select(col("event_type"), col("value"))
+        val m = e.groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        val dev = e.join(broadcast(m), "event_type")
+          .withColumn("ad", abs(col("value") - col("med")))
+        val md = dev.groupBy("event_type")
+          .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+        dev.join(broadcast(md), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(first(col("med")), 4).as("med"),
+            round(first(col("mad")), 4).as("mad"),
+            sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L))
+              .cast("long").as("n_outliers"))
       })
   )
 }

@@ -213,6 +213,34 @@ object SampleOps {
                lit("80000000000000000000000000000000"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum("n_chars").cast("long").as("sum_chars")))
+            sum("n_chars").cast("long").as("sum_chars"))),
+
+    QueryDef(
+      "sp09_balanced_sample",
+      // Class-balanced downsampling: cap every language at 30 docs so
+      // no class dominates training — the rebalancing step after
+      // quality filtering. Selection is a per-class hash rank
+      // (row_number over md5(doc_id), tie-broken by doc_id): uniform
+      // "random" within the class but deterministic and retry-stable,
+      // and the id_sum checksum pins the EXACT membership, not just the
+      // counts. One window shuffle partitioned by class — no global
+      // sort, no skew (classes partition independently).
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM (SELECT lang, doc_id,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |      FROM documents) t
+             |WHERE rn <= 30 GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, d)
+          .select(col("lang"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 30)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast("long").as("id_sum"))
+      })
   )
 }
