@@ -33,6 +33,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
 
+  test("dd10: benchmark span set broadcasts (corpus side never shuffles for the join)") {
+    val p = plan("dd10_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sp09: per-class top-k pushes a partial WindowGroupLimit below its single shuffle") {
+    val p = plan("sp09_balanced_sample")
+    assert(p.contains("WindowGroupLimit"))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "window shuffle should be reused by the final per-class aggregate")
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       plan(n).contains("CartesianProduct")
