@@ -72,7 +72,13 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      // the memory sink holds the result in driver memory; the staged
+      // source dir is no longer needed once the stream terminates
+      java.nio.file.Files.deleteIfExists(dir.resolve(file.getFileName))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
     s.table(name)
   }
 
