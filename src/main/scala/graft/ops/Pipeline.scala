@@ -94,6 +94,113 @@ object Pipeline {
               .otherwise("test"))
           .groupBy("lang", "split")
           .agg(count(lit(1)).as("n"), sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "pp02_llm_corpus_pipeline",
+      // The full LLM-corpus build in ONE declarative plan — every stage
+      // is an operator this engine oracles individually, composed the
+      // way a production run chains them:
+      //
+      //   exact dedup (dd01)  → benchmark decontamination (dd10)
+      //     → class-balanced cap (sp09) → sequence packing (tx17)
+      //       → per-language audit (counts, tokens, bins, id_sum)
+      //
+      // doc_id < 25 plays the held-out benchmark; the corpus is
+      // everything else. Scale shape: dedup is one fingerprint shuffle;
+      // decontamination is a broadcast semi-hit plus one per-doc
+      // aggregate; the balance cap is one per-class window; packing
+      // runs over the SURVIVORS (bounded by classes × cap, here ≤200
+      // rows), so its global running-sum window is trivially small —
+      // the stages shrink the data before every expensive step, which
+      // is exactly why this ordering is the production one. The id_sum
+      // checksum pins exact post-pipeline membership.
+      Some("""WITH tc AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |dd AS (
+             |  SELECT doc_id, lang, text, n_tok FROM (
+             |    SELECT doc_id, lang, text, n_tok,
+             |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM tc WHERE doc_id >= 25) t WHERE rn = 1),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS shs
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |        FROM documents)
+             |  WHERE len(toks) > 0),
+             |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id < 25),
+             |cor AS (SELECT d.doc_id, unnest(sh.shs) AS s
+             |        FROM dd d JOIN sh ON sh.doc_id = d.doc_id),
+             |dec AS (
+             |  SELECT c.doc_id, count(*) AS n_spans,
+             |    sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             |  FROM cor c LEFT JOIN bench b ON c.s = b.s GROUP BY 1),
+             |clean AS (
+             |  SELECT d.doc_id, d.lang, d.n_tok FROM dd d
+             |  JOIN dec ON dec.doc_id = d.doc_id
+             |  WHERE 2 * dec.n_hit < dec.n_spans),
+             |bal AS (
+             |  SELECT doc_id, lang, n_tok FROM (
+             |    SELECT doc_id, lang, n_tok,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |    FROM clean) t WHERE rn <= 40),
+             |pk AS (
+             |  SELECT doc_id, lang, n_tok,
+             |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum
+             |  FROM bal WHERE n_tok > 0)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+             |  CAST(count(DISTINCT cum // 2048) AS BIGINT) AS n_start_bins,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pk GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d)
+        val tc = base.select(col("doc_id"), col("lang"), col("text"),
+          size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_tok"))
+        val wDedup = Window.partitionBy(md5(encode(col("text"), "UTF-8")))
+          .orderBy("doc_id")
+        val dd = tc.filter(col("doc_id") >= 25)
+          .withColumn("rn", row_number().over(wDedup))
+          .filter(col("rn") === 1).drop("rn")
+        val sets = base.select(col("doc_id"),
+          graft.functions.GraftFunctions.word_shingles(col("text"), 5).as("shs"))
+          .filter(size(col("shs")) > 0)
+        val bench = sets.filter(col("doc_id") < 25)
+          .select(explode(col("shs")).as("s")).distinct()
+        val cor = dd.select("doc_id").join(sets, "doc_id")
+          .select(col("doc_id"), explode(col("shs")).as("s"))
+        val dec = cor
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        val clean = dd.join(
+          dec.filter(lit(2) * col("n_hit") < col("n_spans")).select("doc_id"),
+          "doc_id")
+        val wBal = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val bal = clean.withColumn("rn", row_number().over(wBal))
+          .filter(col("rn") <= 40).select("doc_id", "lang", "n_tok")
+        val wCum = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bal.filter(col("n_tok") > 0)
+          .withColumn("cum", coalesce(sum("n_tok").over(wCum), lit(0L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("n_tok"),
+            countDistinct(expr("cum DIV 2048")).as("n_start_bins"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }
