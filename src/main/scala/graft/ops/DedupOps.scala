@@ -385,6 +385,61 @@ object DedupOps {
           .select(col("doc_id"), col("n_spans"), col("n_hit"),
             when(lit(2) * col("n_hit") >= col("n_spans"), 1).otherwise(0)
               .as("contaminated"))
+      }),
+
+    QueryDef(
+      "dd11_canonical_pick",
+      // Representative selection — the step AFTER cluster resolution:
+      // from each dup family keep exactly one document, chosen by a
+      // quality score with a total-order tie-break (here the score is a
+      // deterministic doc_id-derived stand-in; in production it is
+      // tx03/tx12's quality output). Same chained 3-copy corpus and CC
+      // fixpoint as dd05; selection is one argmax window over the
+      // cluster label — cost scales with cluster count, and clusters
+      // partition independently so no skew beyond the largest family.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents
+             |  UNION ALL SELECT doc_id + 200000, text FROM documents
+             |), h AS (SELECT doc_id, md5(text) AS hh FROM u),
+             |edges AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b
+             |  FROM h x JOIN h y ON x.hh = y.hh AND y.doc_id = x.doc_id + 100000),
+             |sym AS (SELECT a AS src, b AS dst FROM edges
+             |        UNION ALL SELECT b, a FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM h
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, lbl FROM r),
+             |canon AS (
+             |  SELECT node AS doc_id, min(lbl) AS canonical FROM reach GROUP BY node),
+             |sel AS (
+             |  SELECT canonical, doc_id,
+             |    row_number() OVER (PARTITION BY canonical
+             |      ORDER BY doc_id % 7 DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY canonical) AS sz
+             |  FROM canon)
+             |SELECT canonical, doc_id AS rep_id,
+             |  CAST(sz AS BIGINT) AS cluster_size
+             |FROM sel WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val h = dupDocs(s, d, copies = 3)
+          .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("hh"))
+        val edges = h.select(col("doc_id").as("a"), col("hh"))
+          .join(h.select(col("doc_id").as("b"), col("hh")), "hh")
+          .filter(col("b") === col("a") + lit(Shift))
+          .select("a", "b")
+        val w = Window.partitionBy("canonical")
+          .orderBy((col("doc_id") % 7).desc, col("doc_id"))
+        connectedComponents(h.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("label").as("canonical"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("canonical")))
+          .filter(col("rn") === 1)
+          .select(col("canonical"), col("doc_id").as("rep_id"),
+            col("sz").cast("long").as("cluster_size"))
       })
   )
 

@@ -603,6 +603,137 @@ object EventOps {
             round(first(col("mad")), 4).as("mad"),
             sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L))
               .cast("long").as("n_outliers"))
+      }),
+
+    QueryDef(
+      "ev21_interarrival",
+      // Per-user inter-arrival statistics — the cadence profile behind
+      // rate limiting, bot detection, and session-gap tuning. Gaps are
+      // exact epoch-microsecond differences (one lag window per user);
+      // min/max/count are integral, and the mean divides two exact
+      // integers, so a 3dp round is portable. One window shuffle plus
+      // the rollup — no self-join.
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events)
+             |SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+             |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+             |  round(sum(gap_us) / CAST(count(gap_us) AS DOUBLE) / 1e6, 3)
+             |    AS avg_gap_s
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        ev(s, d)
+          .select(col("user_id"), (us - lag(us, 1).over(w)).as("gap_us"))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            min("gap_us").cast("long").as("min_gap_us"),
+            max("gap_us").cast("long").as("max_gap_us"),
+            round(sum("gap_us") / count(lit(1)).cast("double") / lit(1e6), 3)
+              .as("avg_gap_s"))
+      }),
+
+    QueryDef(
+      "ev22_ewma",
+      // Normalized EWMA (pandas adjust=true semantics) of daily volume
+      // per event type with alpha = 1/2: smoothed_t =
+      // sum_j(x_j * 0.5^(t-j)) / sum_j(0.5^(t-j)) over observed days
+      // j <= t. The dyadic alpha makes every weight an EXACT power of
+      // two, daily totals are 2dp-rounded before weighting (hash-stable
+      // per ev01), and the weighted sums round at 3dp — insensitive to
+      // summation order for these magnitudes. The triangular self-join
+      // is per-type over ~100s of day rows (the rollup shrinks data
+      // BEFORE the quadratic step — at 100 TB the join input is days,
+      // not events).
+      Some("""WITH dtot AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    round(sum(value), 2) AS tot
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, day, tot,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             |  FROM dtot)
+             |SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day,
+             |  round(any_value(t.tot), 2) AS tot,
+             |  round(sum(j.tot * pow(0.5, t.rn - j.rn))
+             |      / sum(pow(0.5, t.rn - j.rn)), 3) AS ewma
+             |FROM r t JOIN r j
+             |  ON j.event_type = t.event_type AND j.rn <= t.rn
+             |GROUP BY t.event_type, t.day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val r = ev(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(round(sum("value"), 2).as("tot"))
+          .withColumn("rn", row_number().over(w))
+        val t = r.select(col("event_type"), col("day"), col("tot"), col("rn"))
+        val j = r.select(col("event_type").as("event_type_j"),
+          col("tot").as("tot_j"), col("rn").as("rn_j"))
+        t.join(j, col("event_type_j") === col("event_type") && col("rn_j") <= col("rn"))
+          .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(round(first(col("tot")), 2).as("tot"),
+            round(sum(col("tot_j") * pow(lit(0.5), col("rn") - col("rn_j")))
+              / sum(pow(lit(0.5), col("rn") - col("rn_j"))), 3).as("ewma"))
+      }),
+
+    QueryDef(
+      "ev23_session_durations",
+      // Session DURATION distribution — ev03 counts sessions; this one
+      // materializes each session (gap-threshold cumulative-sum id),
+      // measures its exact microsecond span, and rolls the corpus up to
+      // duration percentiles and the share of single-event sessions.
+      // Two window passes (lag, then running sum) reuse the same
+      // (user_id; ts, event_id) sort — ONE shuffle, Catalyst collapses
+      // the frames — then a global exact-percentile rollup over one row
+      // per session.
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sid AS (
+             |  SELECT user_id, us,
+             |    sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x),
+             |sess AS (
+             |  SELECT user_id, sid, count(*) AS n_events,
+             |    max(us) - min(us) AS dur_us
+             |  FROM sid GROUP BY 1, 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_singleton,
+             |  CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+             |  round(quantile_cont(dur_us, 0.5), 4) AS p50_dur_us,
+             |  round(quantile_cont(dur_us, 0.9), 4) AS p90_dur_us
+             |FROM sess""".stripMargin),
+      (s, d) => {
+        val wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ws = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val us = unix_micros(col("ts").cast("timestamp"))
+        ev(s, d)
+          .select(col("user_id"), col("event_id"), us.as("us"),
+            when(us - lag(us, 1).over(wl) > 1800000000L, 1L).otherwise(0L)
+              .as("new_sess"))
+          .withColumn("sid", sum("new_sess").over(ws))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"),
+            (max("us") - min("us")).as("dur_us"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_singleton"),
+            max("dur_us").cast("long").as("max_dur_us"),
+            round(percentile(col("dur_us"), lit(0.5)), 4).as("p50_dur_us"),
+            round(percentile(col("dur_us"), lit(0.9)), 4).as("p90_dur_us"))
       })
   )
 }

@@ -170,6 +170,55 @@ object MultimodalOps {
         Tables(s, d, "documents")
           .select(col("doc_id"),
             explode(sequence(lit(0L), length(encode(col("text"), "UTF-8")).cast("long") % 8))
-              .as("frame_idx")))
+              .as("frame_idx"))),
+
+    QueryDef(
+      "mm06_chunk_integrity",
+      // Chunk-level integrity manifest — the verification pass after
+      // multipart transfer: per chunk (mm05's descriptors) an md5 of
+      // the actual byte slice, rolled up to a per-doc manifest digest
+      // (md5 of the ordered chunk-digest concatenation) plus exact
+      // coverage. Any reordered, truncated, or corrupted chunk changes
+      // the manifest. Slicing is map-side explode + substring on the
+      // binary; the only shuffle is the per-doc rollup, and the ordered
+      // digest concat is a sorted collect over ≤ ceil(n/64) chunk rows.
+      Some("""WITH c AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    unnest(range(0, CAST((octet_length(encode(text)) + 63) // 64
+             |      AS BIGINT))) AS chunk_idx,
+             |    hex(encode(text)) AS payload_hex
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |h AS (
+             |  SELECT doc_id, chunk_idx, n,
+             |    md5(substring(payload_hex,
+             |      CAST(chunk_idx * 128 + 1 AS INT), 128)) AS ch
+             |  FROM c)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(any_value(n) AS BIGINT) AS n_bytes,
+             |  md5(string_agg(ch, '' ORDER BY chunk_idx)) AS manifest_md5
+             |FROM h GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val n = length(encode(col("text"), "UTF-8")).cast("long")
+        val nChunks = ((n + 63) - pmod(n + 63, lit(64L))) / 64
+        Tables(s, d, "documents")
+          .select(col("doc_id"), n.as("n"),
+            // hex: 2 chars per byte, uppercase in BOTH engines — string
+            // slicing is portable where raw BLOB substring is not
+            hex(encode(col("text"), "UTF-8")).as("payload_hex"),
+            nChunks.cast("long").as("nc"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"), col("payload_hex"),
+            explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+          .select(col("doc_id"), col("n"), col("chunk_idx"),
+            md5(expr(
+              "substring(payload_hex, CAST(chunk_idx * 128 + 1 AS INT), 128)"))
+              .as("ch"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            first(col("n")).cast("long").as("n_bytes"),
+            md5(concat_ws("",
+              array_sort(collect_list(struct(col("chunk_idx"), col("ch"))))
+                .getField("ch"))).as("manifest_md5"))
+      })
   )
 }

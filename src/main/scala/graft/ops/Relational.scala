@@ -933,6 +933,39 @@ object Relational {
             .select(lit(c).as("col"), col("n"), col("n_notnull"),
               col("n_distinct"), col("mn"), col("mx"), col("total"))
         }.reduce(_ unionByName _)
-      })
+      }),
+
+    QueryDef(
+      "q48_skew_audit",
+      // Key-skew profiling — the diagnostic run BEFORE choosing a join
+      // strategy at scale: per-key group sizes reduced to a distribution
+      // (max, exact percentiles, max/mean skew ratio). The sizes are
+      // exact integers from one aggregation; everything downstream
+      // operates on one row per key, so the profile costs one shuffle
+      // regardless of fact-table volume. A skew_ratio near 1 means
+      // hash-partitioning balances; large values say salt (q25) or
+      // broadcast instead.
+      Some("""WITH g AS (
+             |  SELECT o_custkey, count(*) AS sz FROM orders GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(min(sz) AS BIGINT) AS min_sz,
+             |  CAST(max(sz) AS BIGINT) AS max_sz,
+             |  round(quantile_cont(sz, 0.5), 4) AS p50_sz,
+             |  round(quantile_cont(sz, 0.99), 4) AS p99_sz,
+             |  round(sum(sz) / CAST(count(*) AS DOUBLE), 4) AS mean_sz,
+             |  round(max(sz) / (sum(sz) / CAST(count(*) AS DOUBLE)), 4)
+             |    AS skew_ratio
+             |FROM g""".stripMargin),
+      (s, d) =>
+        ord(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_keys"),
+            min("sz").cast("long").as("min_sz"),
+            max("sz").cast("long").as("max_sz"),
+            round(percentile(col("sz"), lit(0.5)), 4).as("p50_sz"),
+            round(percentile(col("sz"), lit(0.99)), 4).as("p99_sz"),
+            round(sum("sz") / count(lit(1)).cast("double"), 4).as("mean_sz"),
+            round(max("sz") / (sum("sz") / count(lit(1)).cast("double")), 4)
+              .as("skew_ratio")))
   )
 }

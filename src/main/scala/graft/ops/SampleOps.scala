@@ -241,6 +241,54 @@ object SampleOps {
           .filter(col("rn") <= 30)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "sp10_temperature_mix",
+      // Temperature-based source rebalancing (the multilingual-corpus
+      // mixing rule: sample each source proportionally to a SUBLINEAR
+      // power of its size, so head sources stop drowning the tail).
+      // Quota_s = min(n_s, 10·floor(sqrt(n_s))) — sqrt is exact for
+      // these magnitudes (k <= 2^26 keeps floor(sqrt) boundary-safe),
+      // so the quota is engine-portable integer math. Selection is the
+      // sp09 hash-rank (uniform within source, deterministic,
+      // retry-stable); id_sum pins exact membership. One count
+      // aggregate + one per-source window — the quota side is a
+      // broadcast join, never a shuffle of the corpus.
+      Some("""WITH n AS (
+             |  SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+             |q AS (
+             |  SELECT source, n_s,
+             |    least(n_s, 10 * CAST(floor(sqrt(n_s)) AS BIGINT)) AS quota
+             |  FROM n),
+             |r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.source, CAST(any_value(q.n_s) AS BIGINT) AS n_total,
+             |  CAST(any_value(q.quota) AS BIGINT) AS quota,
+             |  CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r JOIN q USING (source)
+             |WHERE r.rn <= q.quota
+             |GROUP BY r.source""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select(col("source"), col("doc_id"))
+        val quota = base.groupBy("source").agg(count(lit(1)).as("n_s"))
+          .withColumn("quota",
+            least(col("n_s"), lit(10) * floor(sqrt(col("n_s"))).cast("long")))
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        base
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(quota), "source")
+          .filter(col("rn") <= col("quota"))
+          .groupBy("source")
+          .agg(first(col("n_s")).cast("long").as("n_total"),
+            first(col("quota")).cast("long").as("quota"),
+            count(lit(1)).as("n_kept"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

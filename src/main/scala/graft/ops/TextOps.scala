@@ -588,6 +588,87 @@ object TextOps {
             pmod(col("cum"), lit(2048L)).as("off"),  // exactly DuckDB // and %
             when(expr("(cum + n_tok - 1) DIV 2048") > expr("cum DIV 2048"), 1)
               .otherwise(0).as("spans_boundary"))
+      }),
+
+    QueryDef(
+      "tx18_token_entropy",
+      // Shannon entropy of each document's token distribution — the
+      // lexical-diversity quality signal (near-zero entropy = degenerate
+      // repetition; tx11 catches bigram loops, this catches unigram
+      // ones). Probabilities are ratios of exact counts; the per-doc
+      // -sum(p ln p) rounds at 4dp (tx13's discipline). Plan: explode →
+      // (doc, token) count → per-doc rollup — two shuffles, both keyed
+      // by doc so the corpus parallelizes by document.
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+             |SELECT c.doc_id, CAST(any_value(n.n) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  round(-sum((c / CAST(n.n AS DOUBLE))
+             |    * ln(c / CAST(n.n AS DOUBLE))), 4) AS entropy
+             |FROM c JOIN n USING (doc_id)
+             |GROUP BY c.doc_id""".stripMargin),
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("doc_id")
+        counts
+          .withColumn("n", sum("c").over(w))
+          .groupBy("doc_id")
+          .agg(first(col("n")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            round(-sum((col("c") / col("n").cast("double"))
+              * log(col("c") / col("n").cast("double"))), 4).as("entropy"))
+      }),
+
+    QueryDef(
+      "tx19_pii_scrub",
+      // PII redaction — the compliance pass every training corpus runs:
+      // detect and mask email addresses and phone-shaped tokens via
+      // regex, reporting per-doc match counts and the md5 of the
+      // redacted text (which pins the exact redaction output, not just
+      // the counts). Synthetic PII is appended deterministically from
+      // doc_id so the testdata actually exercises the patterns; both
+      // regexes stay inside the Java-regex ∩ RE2 common subset so the
+      // engines match identically. Map-only — no shuffle at any scale.
+      Some("""WITH x AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com or call 555-0'
+             |      || CAST(doc_id % 1000 AS VARCHAR) || ' now' AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '555-[0-9]{1,4}')) AS BIGINT)
+             |    AS n_phones,
+             |  md5(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             |    'g'), '555-[0-9]{1,4}', '<PHONE>', 'g')) AS redacted_md5
+             |FROM x""".stripMargin),
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "555-[0-9]{1,4}"
+        docs(s, d)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or call 555-0"),
+              (col("doc_id") % 1000).cast("string"), lit(" now")).as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"))
       })
   )
 }

@@ -509,6 +509,48 @@ object VectorOps {
           .select(col("vec_id"), col("b").cast("long").as("block"),
             col("cid").cast("long").as("code"),
             round(col("d2q").cast("double") / lit(1e12), 4).as("err"))
+      }),
+
+    QueryDef(
+      "vs10_mutual_knn",
+      // Mutual-kNN graph construction — the edge set behind
+      // graph-based diversity sampling and semantic clustering: an
+      // (a, b) edge exists iff each vector ranks in the other's top-3
+      // by cosine. All-pairs scoring broadcasts one side (the corpus
+      // fits per-executor here; the 100 TB path swaps in the vs02 IVF
+      // cells so each cell scores locally), ranks per source with one
+      // window, then the mutuality check is a self-join of the tiny
+      // top-k edge list on the reversed key. Scores stay inside
+      // WholeStageCodegen via the native cosine.
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sc AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS nb,
+             |    list_cosine_similarity(a.v, b.v) AS c
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |r AS (
+             |  SELECT src, nb, c, row_number() OVER (PARTITION BY src
+             |    ORDER BY c DESC, nb) AS rn FROM sc),
+             |k AS (SELECT src, nb, c FROM r WHERE rn <= 3)
+             |SELECT x.src AS a, x.nb AS b, round(x.c, 4) AS cos
+             |FROM k x JOIN k y ON x.src = y.nb AND x.nb = y.src
+             |WHERE x.src < x.nb""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val other = e.select(col("vec_id").as("nb"), col("v").as("nv"))
+        val w = Window.partitionBy("src").orderBy(col("c").desc, col("nb"))
+        val topk = e.select(col("vec_id").as("src"), col("v"))
+          .join(broadcast(other), col("src") =!= col("nb"))
+          .select(col("src"), col("nb"), cosine(col("v"), col("nv")).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("src"), col("nb"), col("c"))
+        topk.as("x")
+          .join(topk.select(col("src").as("ysrc"), col("nb").as("ynb")),
+            col("src") === col("ynb") && col("nb") === col("ysrc"))
+          .filter(col("src") < col("nb"))
+          .select(col("src").as("a"), col("nb").as("b"),
+            round(col("c"), 4).as("cos"))
       })
   )
 }

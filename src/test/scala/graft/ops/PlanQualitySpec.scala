@@ -62,8 +62,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "vs08_centroid_shift", "q26_scalar_subquery", "tx09_tfidf",
       "tx15_keyword_extraction", "ev08_funnel", "ev15_windowed_funnel",
       // tx16: 1-row broadcast corpus bigram count; vs09: corpus streams
-      // once against the broadcast 8-centroid codebook
-      "tx16_pmi", "vs09_pq_codes")
+      // once against the broadcast 8-centroid codebook; vs10: all-pairs
+      // scoring streams the corpus once against its broadcast self
+      "tx16_pmi", "vs09_pq_codes", "vs10_mutual_knn")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
