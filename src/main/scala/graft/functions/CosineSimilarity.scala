@@ -89,6 +89,10 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** `dot_product(a, b)` as a Column over `array<double>` inputs. */
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
   /** `minhash_sig(arr, k)` as a Column over `array<string>` input. */
   def minhash_sig(arr: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(arr), numHashes))
@@ -142,6 +146,8 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0),
         intArg(exprs(1), "minhash_sig")), "scala_udf")

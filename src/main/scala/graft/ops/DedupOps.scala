@@ -440,6 +440,66 @@ object DedupOps {
           .filter(col("rn") === 1)
           .select(col("canonical"), col("doc_id").as("rep_id"),
             col("sz").cast("long").as("cluster_size"))
+      }),
+
+    QueryDef(
+      "dd12_semantic_dedup",
+      // SemDeDup (Abbas et al. 2023): near-duplicate removal in
+      // EMBEDDING space, with the pairwise search confined to k-means
+      // cells — the semantic complement of the lexical dd02/dd03/dd04
+      // family (it catches paraphrases that share no shingles). Every
+      // vector is assigned to its nearest centroid (one broadcast
+      // cross, vs02's coarse quantizer), and cosine comparisons run
+      // only WITHIN a cell: cost drops from O(n²) to O(Σ cell²), and
+      // cells partition independently — at 100 TB each cell's pair
+      // search is a local self-join after one shuffle on cell id,
+      // with oversized cells recursively re-split. A vector drops iff
+      // a smaller-id vector in the same cell scores above the
+      // threshold (greedy keep-first — deterministic). Corpus =
+      // embeddings plus a shifted exact copy so the dedup has real
+      // work; output is the per-cell audit with kept-id checksum.
+      Some("""WITH u AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings),
+             |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |      FROM embeddings WHERE vec_id < 8),
+             |a AS (SELECT u.vec_id, u.v, cid,
+             |        row_number() OVER (PARTITION BY u.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM u, c),
+             |asg AS (SELECT vec_id, v, cid FROM a WHERE arn = 1),
+             |drops AS (
+             |  SELECT DISTINCT y.vec_id AS b
+             |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |  WHERE list_cosine_similarity(x.v, y.v) > 0.99)
+             |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  CAST(sum(CASE WHEN b IS NULL THEN asg.vec_id ELSE 0 END) AS BIGINT)
+             |    AS kept_id_sum
+             |FROM asg LEFT JOIN drops ON asg.vec_id = drops.b
+             |GROUP BY cid""".stripMargin),
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val u = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(Shift)))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val asg = VectorOps.assignClusters(u, cents)
+        val right = asg.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"))
+        val drops = asg.select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
+          .join(right, "cid")
+          .filter(col("a") < col("b") &&
+            VectorOps.cosine(col("va"), col("vb")) > 0.99)
+          .select("b").distinct()
+        asg.join(drops, asg("vec_id") === drops("b"), "left")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("b").isNotNull, 1L).otherwise(0L)).cast("long")
+              .as("n_dropped"),
+            sum(when(col("b").isNull, col("vec_id")).otherwise(0L)).cast("long")
+              .as("kept_id_sum"))
       })
   )
 

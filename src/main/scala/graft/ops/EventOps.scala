@@ -734,6 +734,85 @@ object EventOps {
             max("dur_us").cast("long").as("max_dur_us"),
             round(percentile(col("dur_us"), lit(0.5)), 4).as("p50_dur_us"),
             round(percentile(col("dur_us"), lit(0.9)), 4).as("p90_dur_us"))
+      }),
+
+    QueryDef(
+      "ev24_dow_hour_profile",
+      // Day-of-week × hour activity heatmap — the seasonality profile
+      // behind capacity planning and anomaly baselines. One hash
+      // aggregation to the 7×24 grid, then two windows over the tiny
+      // grid (share-of-day, peak rank). dow is ISO weekday 0=Monday
+      // (Spark `weekday` ≡ DuckDB `isodow - 1`); share = exact-int /
+      // exact-int so rounding is boundary-consistent.
+      Some("""WITH g AS (
+             |  SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             |    CAST(hour(ts) AS BIGINT) AS hr,
+             |    count(*) AS n, round(sum(value), 2) AS sum_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT dow, hr, n, sum_value,
+             |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY dow), 4)
+             |    AS day_share,
+             |  CAST(row_number() OVER (PARTITION BY dow ORDER BY n DESC, hr)
+             |    AS BIGINT) AS peak_rank
+             |FROM g""".stripMargin),
+      (s, d) => {
+        val wd = Window.partitionBy("dow")
+        ev(s, d)
+          .groupBy(weekday(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .withColumn("day_share",
+            round(col("n").cast("double") / sum("n").over(wd), 4))
+          .withColumn("peak_rank",
+            row_number().over(wd.orderBy(col("n").desc, col("hr"))).cast("long"))
+      }),
+
+    QueryDef(
+      "ev25_cusum_drift",
+      // CUSUM drift detection over the daily event rate — the
+      // changepoint screen run before trusting a data feed. To keep the
+      // cumulative sum exact the deviation is SCALED by the day count:
+      // dev_d = n_d·D − T (pure integers — no running float error, no
+      // rounding drift across engines), which is D× the usual
+      // (n_d − mean). The peak |CUSUM| day marks the most likely
+      // changepoint. Day rollup is one aggregation; the running sum and
+      // the global peak run over one row per day.
+      Some("""WITH dcnt AS (
+             |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1),
+             |x AS (
+             |  SELECT day, n, count(*) OVER () AS nd, sum(n) OVER () AS total
+             |  FROM dcnt),
+             |cus AS (
+             |  SELECT day, n,
+             |    sum(n * nd - total) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cusum_scaled
+             |  FROM x)
+             |SELECT day, CAST(n AS BIGINT) AS n,
+             |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+             |  CAST(CASE WHEN abs(cusum_scaled) =
+             |      max(abs(cusum_scaled)) OVER () THEN 1 ELSE 0 END AS BIGINT)
+             |    AS is_peak
+             |FROM cus""".stripMargin),
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        val wRun = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+            .as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("nd", count(lit(1)).over(wAll))
+          .withColumn("total", sum("n").over(wAll))
+          .withColumn("cusum_scaled",
+            sum(col("n") * col("nd") - col("total")).over(wRun))
+          .select(col("day"), col("n"),
+            col("cusum_scaled").cast("long").as("cusum_scaled"),
+            when(abs(col("cusum_scaled")) ===
+              max(abs(col("cusum_scaled"))).over(wAll), 1L).otherwise(0L)
+              .cast("long").as("is_peak"))
       })
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -219,6 +220,48 @@ object MultimodalOps {
             md5(concat_ws("",
               array_sort(collect_list(struct(col("chunk_idx"), col("ch"))))
                 .getField("ch"))).as("manifest_md5"))
+      }),
+
+    QueryDef(
+      "mm07_shard_pack",
+      // Training-shard packing for media payloads: lay the corpus out
+      // in a deterministic hash order and cut the running byte stream
+      // every `target` bytes — greedy sequential bin-packing as ONE
+      // running-sum window (the tar/WebDataset shard builder as a
+      // query). Hash order decorrelates shard membership from source
+      // order; each shard's manifest digest pins exact content AND
+      // order. At 100 TB the global sort becomes a range partition by
+      // hash and the window runs per range — same plan Spark already
+      // picks for a single unpartitioned sort.
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |    md5(text) AS h
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, n_bytes, h,
+             |    sum(n_bytes) OVER (ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM m)
+             |SELECT CAST((cum - 1) // 4096 AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+             |  md5(string_agg(h, '' ORDER BY h, doc_id)) AS manifest_md5
+             |FROM o GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+            md5(encode(col("text"), "UTF-8")).as("h"))
+          .withColumn("cum", sum("n_bytes").over(w))
+          .withColumn("shard", expr("CAST((cum - 1) DIV 4096 AS BIGINT)"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bytes").cast("long").as("shard_bytes"),
+            md5(concat_ws("",
+              array_sort(collect_list(struct(col("h"), col("doc_id"))))
+                .getField("h"))).as("manifest_md5"))
       })
   )
 }

@@ -966,6 +966,50 @@ object Relational {
             round(percentile(col("sz"), lit(0.99)), 4).as("p99_sz"),
             round(sum("sz") / count(lit(1)).cast("double"), 4).as("mean_sz"),
             round(max("sz") / (sum("sz") / count(lit(1)).cast("double")), 4)
-              .as("skew_ratio")))
+              .as("skew_ratio"))),
+
+    QueryDef(
+      "q49_winsorize",
+      // Winsorization — outlier capping at the exact p05/p95 fences
+      // before a mean-sensitive downstream (the robust-preprocessing
+      // companion to ev10's detection). The fences come from one
+      // percentile pass per group (interpolated identically from the
+      // same parquet doubles in both engines, the ev10/ev20-proven
+      // pattern) and are ROUNDED to the data's 2-decimal grid before
+      // substitution, so the clamped sum stays exact-2dp and its
+      // rounding boundary-safe. Fences broadcast; the clamp pass is
+      // map-only over the fact table.
+      Some("""WITH p AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(l_extendedprice, 0.05) AS p05,
+             |    quantile_cont(l_extendedprice, 0.95) AS p95
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_high,
+             |  round(sum(CASE WHEN l_extendedprice < p05 THEN round(p05, 2)
+             |                 WHEN l_extendedprice > p95 THEN round(p95, 2)
+             |                 ELSE l_extendedprice END), 2) AS sum_winsor
+             |FROM lineitem l JOIN p USING (l_returnflag)
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val fences = li(s, d).groupBy("l_returnflag")
+          .agg(percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+            percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+        li(s, d).select("l_returnflag", "l_extendedprice")
+          .join(broadcast(fences), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L))
+              .cast("long").as("n_low"),
+            sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L))
+              .cast("long").as("n_high"),
+            round(sum(
+              when(col("l_extendedprice") < col("p05"), round(col("p05"), 2))
+                .when(col("l_extendedprice") > col("p95"), round(col("p95"), 2))
+                .otherwise(col("l_extendedprice"))), 2).as("sum_winsor"))
+      })
   )
 }

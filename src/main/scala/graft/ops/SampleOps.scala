@@ -289,6 +289,46 @@ object SampleOps {
             first(col("quota")).cast("long").as("quota"),
             count(lit(1)).as("n_kept"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "sp11_curriculum_shards",
+      // Curriculum sharding: order the corpus by a quality key and deal
+      // it into k shards SNAKE-draft style (shard order reverses every
+      // round), so every shard gets the same count ±1 AND a matched
+      // quality profile — plain modulo assignment gives shard 0 the
+      // best doc of every round and a systematically hotter shard.
+      // One global rank (the only total order; at 100 TB this becomes
+      // a range-partitioned sort) + pure integer assignment math;
+      // per-shard audit pins membership via id_sum.
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r0
+             |  FROM documents),
+             |a AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+             |         ELSE 7 - (r0 % 8) END AS shard
+             |  FROM r)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM a GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("r0", row_number().over(w).cast("long") - 1L)
+          .withColumn("shard",
+            when(expr("(r0 DIV 8) % 2") === 0, col("r0") % 8)
+              .otherwise(lit(7) - col("r0") % 8))
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            round(sum("n_chars").cast("double") / count(lit(1)), 2)
+              .as("avg_chars"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

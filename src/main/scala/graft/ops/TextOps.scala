@@ -669,6 +669,34 @@ object TextOps {
             md5(regexp_replace(
               regexp_replace(col("t"), emailRe, "<EMAIL>"),
               phoneRe, "<PHONE>")).as("redacted_md5"))
-      })
+      }),
+
+    QueryDef(
+      "tx20_template_detect",
+      // Template / boilerplate detection by shared document prefix —
+      // the screen for machine-generated filler (scraped pages that
+      // open with the same banner text): group on the first-2-token
+      // prefix and keep groups covering more than one document. One
+      // map-side prefix extraction + one hash aggregation; at 100 TB
+      // the prefix key is tiny (bounded bytes/doc) so the shuffle
+      // carries keys + counts, never document text.
+      Some("""WITH k AS (
+             |  SELECT doc_id, lang,
+             |    array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+             |      AS prefix
+             |  FROM documents)
+             |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(doc_id) AS BIGINT) AS rep_id,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM k GROUP BY prefix HAVING count(*) > 1""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("prefix"))
+          .groupBy("prefix")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").cast("long").as("rep_id"),
+            countDistinct("lang").cast("long").as("n_langs"))
+          .filter(col("n_docs") > 1))
   )
 }

@@ -551,6 +551,44 @@ object VectorOps {
           .filter(col("src") < col("nb"))
           .select(col("src").as("a"), col("nb").as("b"),
             round(col("c"), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs11_mips_topk",
+      // Max-inner-product search (MIPS) — retrieval embeddings rank by
+      // q·v, not cosine: the norm carries signal (e.g. popularity /
+      // confidence weighting), so normalizing changes the answer.
+      // Same broadcast-probes shape as vs01, scored by the native
+      // dot_product expression (codegen loop, left-to-right
+      // accumulation — bit-identical to DuckDB's list_inner_product).
+      // At 100 TB MIPS bucketing differs from cosine LSH (norm matters)
+      // — the standard reduction appends an extra coordinate
+      // sqrt(M²-|v|²) turning MIPS into cosine search, and then the
+      // vs02 IVF layout applies unchanged.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 200 AND 204),
+             |sc AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |         list_inner_product(pv, e.v) AS dp
+             |       FROM p, e WHERE e.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, dp,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY dp DESC, neighbor_id) AS rn FROM sc)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(dp, 4) AS dp
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id").between(200, 204))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val w = Window.partitionBy("probe_id").orderBy(col("dp").desc, col("neighbor_id"))
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            GraftFunctions.dot_product(col("pv"), col("v")).as("dp"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+            round(col("dp"), 4).as("dp"))
       })
   )
 }

@@ -139,6 +139,35 @@ object StreamQueries {
       (s, d) =>
         runStream(s, s"$d/events.parquet", "append") { src =>
           EventStream.clickToPurchase(tsCol(src), windowMinutes = 60)
+        }),
+
+    QueryDef(
+      "st04_stream_union",
+      // Streaming UNION ALL — the reference's core operator (SURVEY
+      // §2.7 U1) executed by the STREAMING engine: two stateless
+      // branches of the source stream (filter + project + computed
+      // columns) unioned into one normalized append stream. Exercises
+      // the multi-branch streaming DAG; stateless ⇒ micro-batch
+      // boundaries can't affect the emitted set, so the batch UNION
+      // ALL oracle gates it exactly.
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us, 'c' AS kind,
+             |  round(value, 2) AS v
+             |FROM events WHERE event_type = 'click'
+             |UNION ALL
+             |SELECT event_id, user_id, epoch_us(ts), 'p', round(value * 2, 2)
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      (s, d) =>
+        runStream(s, s"$d/events.parquet", "append") { src =>
+          val e = tsCol(src)
+          val clicks = e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("us"), lit("c").as("kind"),
+              round(col("value"), 2).as("v"))
+          val purchases = e.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("us"), lit("p").as("kind"),
+              round(col("value") * 2, 2).as("v"))
+          clicks.unionByName(purchases)
         })
   )
 }

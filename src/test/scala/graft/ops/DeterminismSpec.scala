@@ -34,7 +34,10 @@ class DeterminismSpec extends AnyFunSuite {
     "vs09_pq_codes",          // argmin over integer-quantized distances
     "tx16_pmi",               // double-scored global top-k (pmi DESC, bigram)
     "ev19_interpolate",       // IGNORE-NULLS neighbor windows + interpolation
-    "tx17_sequence_pack")     // global running sum over doc order
+    "tx17_sequence_pack",     // global running sum over doc order
+    "dd12_semantic_dedup",    // cell-confined pairwise cosine thresholding
+    "mm07_shard_pack",        // global byte running-sum cut + ordered digest
+    "q49_winsorize")          // percentile fences + clamped double sum
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf

@@ -64,7 +64,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // tx16: 1-row broadcast corpus bigram count; vs09: corpus streams
       // once against the broadcast 8-centroid codebook; vs10: all-pairs
       // scoring streams the corpus once against its broadcast self
-      "tx16_pmi", "vs09_pq_codes", "vs10_mutual_knn")
+      "tx16_pmi", "vs09_pq_codes", "vs10_mutual_knn",
+      // vs11: corpus streams once against broadcast probes (MIPS);
+      // dd12: cell assignment streams the corpus once against the
+      // broadcast 8-centroid set (the in-cell pair join is an equi-join)
+      "vs11_mips_topk", "dd12_semantic_dedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
