@@ -64,11 +64,32 @@ object Bench {
         System.err.println(f"[bench] $name%-24s a=$a%.3f b=$b%.3f")
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // total covers successful queries only; -1 markers must not shrink it
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"agg":"min"}""")
+    // The consumer captures only the last ~2000 chars of output, so the
+    // JSON line must stay well under that: per-query seconds for a fixed
+    // headline subset + per-family subtotals over ALL queries. Full
+    // per-query detail is on stderr above ([bench] lines).
+    val headline = Seq(
+      "q01_pricing_summary", "q03_segment_revenue", "q04_region_customers",
+      "q08_window_topk", "q25_salted_join", "q37_multiset_ops",
+      "q39_json_roundtrip", "dd01_exact_dedup", "dd02_minhash_lsh",
+      "dd05_dup_clusters", "dd06_exact_jaccard", "ev01_hourly_counts",
+      "ev03_sessionize", "ev06_asof_join", "ev08_funnel",
+      "tx02_token_counts", "tx04_lang_id", "tx09_tfidf", "tx14_containment",
+      "vs01_topk_bruteforce", "vs02_ivf_topk", "vs03_embed_neardup",
+      "sp02_stratified_sample", "rj01_range_join", "mm04_batch_inference",
+      "pp01_training_pipeline", "pp02_llm_corpus_pipeline",
+      "st03_stream_interval_join")
+    def f3(v: Double): String = f"$v%.3f"
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v => s""""$n":${f3(v)}"""))
+      .mkString("{", ",", "}")
+    val fams = results.filter(_._2 >= 0)
+      .groupBy { case (n, _) => n.takeWhile(_.isLetter) }.toSeq.sortBy(_._1)
+      .map { case (fam, rs) => s""""$fam":${f3(rs.map(_._2).sum)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":2,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -500,6 +500,48 @@ object DedupOps {
               .as("n_dropped"),
             sum(when(col("b").isNull, col("vec_id")).otherwise(0L)).cast("long")
               .as("kept_id_sum"))
+      }),
+
+    QueryDef(
+      "dd13_prefix_dedup",
+      // Boilerplate/prefix dedup: documents whose first 16 tokens are
+      // identical collapse to the earliest doc_id — the cheap pass that
+      // catches templated headers and mirror-site copies dd01's
+      // whole-text hash misses (their tails differ). Map-only digest +
+      // one shuffle on it; the prefix digest is 16 tokens regardless of
+      // document length, so at 100 TB the key compute is O(1) per doc
+      // (no full-text hashing) and pushes only a 16-token slice through
+      // the shuffle. Corpus = documents + a shifted copy with a mutated
+      // TAIL (suffix appended), which prefix-dedup must still collapse.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' tail mutation' FROM documents),
+             |k AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' '))
+             |      AS pfx
+             |  FROM u),
+             |r AS (
+             |  SELECT doc_id, pfx,
+             |    row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY pfx) AS grp_n
+             |  FROM k)
+             |SELECT doc_id, CAST(grp_n AS BIGINT) AS n_dups
+             |FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val u = base.unionByName(base.select(
+          (col("doc_id") + lit(Shift)).as("doc_id"),
+          concat(col("text"), lit(" tail mutation")).as("text")))
+        val k = u.select(col("doc_id"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("pfx"))
+        val w = Window.partitionBy("pfx")
+        k.select(col("doc_id"),
+            row_number().over(w.orderBy("doc_id")).as("rn"),
+            count(lit(1)).over(w).cast("long").as("n_dups"))
+          .filter(col("rn") === 1)
+          .select("doc_id", "n_dups")
       })
   )
 

@@ -813,6 +813,132 @@ object EventOps {
             when(abs(col("cusum_scaled")) ===
               max(abs(col("cusum_scaled"))).over(wAll), 1L).otherwise(0L)
               .cast("long").as("is_peak"))
+      }),
+
+    QueryDef(
+      "ev26_markov_transitions",
+      // First-order Markov transition matrix over per-user event
+      // sequences — the behavioral-model summary (next-event
+      // prediction, anomalous-flow detection) built from ONE lag
+      // window + one aggregation. p is an exact-integer ratio computed
+      // with the same IEEE division in both engines. Scale: the window
+      // shuffles once on user_id; the transition matrix is |types|²
+      // rows — driver-size regardless of corpus size.
+      Some("""WITH seq AS (
+             |  SELECT event_type AS next_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |t AS (
+             |  SELECT prev_type, next_type, count(*) AS n
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+             |  round(CAST(n AS DOUBLE) /
+             |    sum(n) OVER (PARTITION BY prev_type), 4) AS p
+             |FROM t""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .select(col("event_type").as("next_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .select(col("prev_type"), col("next_type"),
+            col("n").cast("long").as("n"),
+            round(col("n").cast("double") /
+              sum("n").over(Window.partitionBy("prev_type")), 4).as("p"))
+      }),
+
+    QueryDef(
+      "ev27_session_paths",
+      // Session path mining: the first three event types of every
+      // 30-minute-gap session (ev03's exact session rule) concatenated
+      // into a path string, then counted — the "how do journeys start"
+      // rollup behind funnel design. The lag window and the running-sum
+      // session id share ONE window sort; the path aggregation is a
+      // sorted-struct collect (q45's total-order LISTAGG discipline).
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM x),
+             |r AS (
+             |  SELECT user_id, sess, event_type,
+             |    row_number() OVER (PARTITION BY user_id, sess
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM s),
+             |p AS (
+             |  SELECT user_id, sess,
+             |    string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        ev(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+            when(us - lag(us, 1).over(w) > 1800000000L, 1L).otherwise(0L).as("new_sess"))
+          .withColumn("sess",
+            sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id", "sess")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).cast("long").as("n_sessions"))
+      }),
+
+    QueryDef(
+      "ev28_first_touch",
+      // First-touch attribution — ev17's counterpart: each purchase's
+      // full value goes to the user's EARLIEST click in the preceding
+      // 24h (min over the window pairs, not an equal split). Same
+      // user-key equi-join + integral time-range residual; the argmin
+      // is a plain min aggregate so no window sort is added. Purchases
+      // with no qualifying click stay unattributed (inner join drops
+      // them) — the count makes that explicit.
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS pus, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, epoch_us(ts) AS cus
+             |  FROM events WHERE event_type = 'click'),
+             |att AS (
+             |  SELECT p.user_id, p.event_id, p.value, min(c.cus) AS first_cus
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |    AND c.cus <= p.pus AND c.cus > p.pus - 86400000000
+             |  GROUP BY 1, 2, 3)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+             |  round(sum(value), 2) AS credited_value,
+             |  CAST(min(first_cus) AS BIGINT) AS earliest_touch_us
+             |FROM att GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("tus").as("pus"), col("value"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tus").as("cus"))
+        p.join(c, Seq("user_id"))
+          .filter(col("cus") <= col("pus") && col("cus") > col("pus") - 86400000000L)
+          .groupBy("user_id", "event_id", "value")
+          .agg(min("cus").as("first_cus"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_attributed"),
+            round(sum("value"), 2).as("credited_value"),
+            min("first_cus").cast("long").as("earliest_touch_us"))
       })
   )
 }

@@ -262,6 +262,43 @@ object MultimodalOps {
             md5(concat_ws("",
               array_sort(collect_list(struct(col("h"), col("doc_id"))))
                 .getField("h"))).as("manifest_md5"))
+      }),
+
+    QueryDef(
+      "mm08_aspect_buckets",
+      // Aspect-ratio bucketing for batched vision training: media group
+      // into coarse shape classes (wide / tall / square via integer
+      // cross-multiply — no float ratio boundaries) and size tiers, so
+      // every batch contains same-shaped tensors (no padding waste). The
+      // op is one map-only classification + one rollup; the bucket
+      // count is O(tiers × shapes) regardless of corpus size.
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    octet_length(encode(text)) % 1920 AS w,
+             |    octet_length(encode(text)) % 1080 AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents)
+             |SELECT
+             |  CASE WHEN w * 3 > h * 4 THEN 'wide'
+             |       WHEN h * 3 > w * 4 THEN 'tall' ELSE 'square' END AS shape,
+             |  CAST(nb // 128 AS BIGINT) AS size_tier,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels,
+             |  CAST(min(doc_id) AS BIGINT) AS rep_id
+             |FROM m GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val nb = length(encode(col("text"), "UTF-8"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), (nb % 1920).as("w"), (nb % 1080).as("h"),
+            nb.cast("long").as("nb"))
+          .groupBy(
+            when(col("w") * 3 > col("h") * 4, "wide")
+              .when(col("h") * 3 > col("w") * 4, "tall")
+              .otherwise("square").as("shape"),
+            (col("nb") / 128).cast("long").as("size_tier"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("w").cast("long") * col("h")).cast("long").as("sum_pixels"),
+            min("doc_id").cast("long").as("rep_id"))
       })
   )
 }

@@ -201,6 +201,81 @@ object Pipeline {
             sum("n_tok").cast("long").as("n_tok"),
             countDistinct(expr("cum DIV 2048")).as("n_start_bins"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "pp03_incremental_update",
+      // The DAILY corpus-update pipeline — what actually runs after the
+      // initial pp02 build: a new batch (source src1/src2/...) lands,
+      // and only IT is processed; the existing lake (src0 plays the
+      // corpus) is touched solely through its fingerprint column:
+      //
+      //   quality gate (length band, map-side filter)
+      //     → batch-internal exact dedup (dd01's survivor window)
+      //       → anti-join against corpus fingerprints (dd08's
+      //         incremental discipline — never rescans corpus text)
+      //         → per-source admission audit with id_sum
+      //
+      // Funnel counts at each stage are carried as flag columns through
+      // ONE plan (no double-scan of the batch): admitted = survived all
+      // three gates. At 100 TB the corpus side reads ONE pruned column
+      // (the fingerprint), the batch side is day-sized, and the only
+      // shuffles are the batch-keyed dedup window and the final tiny
+      // rollup.
+      Some("""WITH batch AS (
+             |  SELECT doc_id, source, text, length(text) AS len,
+             |    md5(text) AS fp
+             |  FROM documents WHERE source <> 'src0'),
+             |corpus AS (
+             |  SELECT DISTINCT md5(text) AS fp FROM documents
+             |  WHERE source = 'src0'),
+             |gated AS (
+             |  SELECT doc_id, source, fp,
+             |    CASE WHEN len BETWEEN 100 AND 10000 THEN 1 ELSE 0 END AS q_ok
+             |  FROM batch),
+             |sd AS (
+             |  SELECT doc_id, source, fp, q_ok,
+             |    CASE WHEN q_ok = 1 AND row_number() OVER (
+             |        PARTITION BY fp, q_ok ORDER BY doc_id) = 1
+             |      THEN 1 ELSE 0 END AS self_first
+             |  FROM gated),
+             |fin AS (
+             |  SELECT s.doc_id, s.source, s.q_ok, s.self_first,
+             |    CASE WHEN s.self_first = 1 AND c.fp IS NULL THEN 1 ELSE 0 END
+             |      AS admitted
+             |  FROM sd s LEFT JOIN corpus c ON s.fp = c.fp)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+             |  CAST(sum(q_ok) AS BIGINT) AS n_quality,
+             |  CAST(sum(self_first) AS BIGINT) AS n_self_deduped,
+             |  CAST(sum(admitted) AS BIGINT) AS n_admitted,
+             |  CAST(sum(CASE WHEN admitted = 1 THEN doc_id ELSE 0 END)
+             |    AS BIGINT) AS id_sum
+             |FROM fin GROUP BY source""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d)
+        val batch = base.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("source"), length(col("text")).as("len"),
+            md5(encode(col("text"), "UTF-8")).as("fp"))
+        val corpus = base.filter(col("source") === "src0")
+          .select(md5(encode(col("text"), "UTF-8")).as("fp")).distinct()
+        val wSelf = Window.partitionBy("fp", "q_ok").orderBy("doc_id")
+        val sd = batch
+          .withColumn("q_ok",
+            when(col("len").between(100, 10000), 1).otherwise(0))
+          .withColumn("self_first",
+            when(col("q_ok") === 1 && row_number().over(wSelf) === 1, 1)
+              .otherwise(0))
+        sd.join(corpus.withColumn("in_corpus", lit(1)), Seq("fp"), "left")
+          .withColumn("admitted",
+            when(col("self_first") === 1 && col("in_corpus").isNull, 1)
+              .otherwise(0))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_batch"),
+            sum("q_ok").cast("long").as("n_quality"),
+            sum("self_first").cast("long").as("n_self_deduped"),
+            sum("admitted").cast("long").as("n_admitted"),
+            sum(when(col("admitted") === 1, col("doc_id")).otherwise(0L))
+              .cast("long").as("id_sum"))
       })
   )
 }

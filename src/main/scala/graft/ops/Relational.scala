@@ -1010,6 +1010,57 @@ object Relational {
               when(col("l_extendedprice") < col("p05"), round(col("p05"), 2))
                 .when(col("l_extendedprice") > col("p95"), round(col("p95"), 2))
                 .otherwise(col("l_extendedprice"))), 2).as("sum_winsor"))
+      }),
+
+    QueryDef(
+      "q50_orc_roundtrip",
+      // ORC sink/source fidelity — the second columnar format a lake
+      // migration meets (q35 covers CSV, q39 JSON). Rows with the full
+      // type mix (long, double, string, date) go out through the ORC
+      // writer and back in, then aggregate; the oracle aggregates the
+      // parquet directly, so any type/precision loss in the round trip
+      // breaks the hash. The write is parallel (one file per task).
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_extendedprice), 2) AS sum_px,
+             |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt_").toString
+        li(s, d)
+          .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("l_extendedprice"), 2).as("sum_px"),
+            date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+            sum("l_orderkey").cast("long").as("sum_key"))
+      }),
+
+    QueryDef(
+      "q51_partition_prune",
+      // Hive-style partitioned layout round trip: write partitioned by
+      // a key, read back with a partition predicate, aggregate. At
+      // 100 TB the predicate prunes at the DIRECTORY level — the scan
+      // never opens non-matching partitions (PartitionLayoutSpec
+      // freezes the PartitionFilters plan shape; this query puts the
+      // same layout under the oracle gate). Oracle aggregates the
+      // unpartitioned parquet with the same predicate.
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem WHERE l_returnflag IN ('R', 'A')
+             |GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part_rt_").toString
+        li(s, d)
+          .select("l_orderkey", "l_quantity", "l_linestatus", "l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
       })
   )
 }

@@ -697,6 +697,64 @@ object TextOps {
           .agg(count(lit(1)).as("n_docs"),
             min("doc_id").cast("long").as("rep_id"),
             countDistinct("lang").cast("long").as("n_langs"))
-          .filter(col("n_docs") > 1))
+          .filter(col("n_docs") > 1)),
+
+    QueryDef(
+      "tx21_normalize",
+      // Canonical text normalization — the pass every dedup/fingerprint
+      // stage assumes upstream: lowercase, strip non-alphanumerics to
+      // spaces, collapse whitespace runs, trim. Output pins the EXACT
+      // normalized bytes via md5 plus the shrinkage accounting. Pure
+      // map-only regex work in the Java∩RE2-portable subset (tx19's
+      // discipline) — zero shuffles, scales as a scan.
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+             |  CAST(length(text) AS BIGINT) AS raw_len,
+             |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+             |FROM documents""".stripMargin),
+      (s, d) => {
+        val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " "))
+        docs(s, d).select(col("doc_id"),
+          md5(norm).as("norm_md5"),
+          length(col("text")).cast("long").as("raw_len"),
+          length(norm).cast("long").as("norm_len"))
+      }),
+
+    QueryDef(
+      "tx22_char_ngrams",
+      // Per-language character-trigram profile — the feature table a
+      // real language-ID model trains on (tx04 uses marker words; this
+      // is the statistical upgrade path). Trigrams come from one
+      // position-sequence transform (no quadratic lambda), explode to
+      // (lang, trigram) pairs, and the top-5 per language is a
+      // WindowGroupLimit over the aggregated counts — the explode's
+      // output is map-side-combined BEFORE the shuffle, so the wire
+      // carries |langs|×|trigrams| partial counts, not 100 TB of
+      // trigram rows.
+      Some("""WITH g AS (
+             |  SELECT lang, unnest(list_transform(
+             |    range(1, length(text) - 1), i -> substr(text, i, 3))) AS tg
+             |  FROM documents),
+             |c AS (SELECT lang, tg, count(*) AS n FROM g GROUP BY 1, 2),
+             |r AS (SELECT lang, tg, n, row_number() OVER (
+             |    PARTITION BY lang ORDER BY n DESC, tg) AS rnk FROM c)
+             |SELECT lang, tg, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+             |FROM r WHERE rnk <= 5""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tg"))
+        docs(s, d)
+          .select(col("lang"), explode(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3)))).as("tg"))
+          .groupBy("lang", "tg")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("tg"), col("n").cast("long").as("n"),
+            col("rnk").cast("long").as("rnk"))
+      })
   )
 }

@@ -589,6 +589,78 @@ object VectorOps {
           .filter(col("rnk") <= 10)
           .select(col("probe_id"), col("neighbor_id"), col("rnk"),
             round(col("dp"), 4).as("dp"))
+      }),
+
+    QueryDef(
+      "vs12_cell_balance",
+      // IVF cell-balance audit: the inverted-list size distribution
+      // under vs02's coarse quantizer, plus each cell's share of the
+      // corpus. Skewed cells are THE failure mode of IVF at scale (one
+      // hot cell turns probe latency into a full scan); this is the
+      // q48-style diagnostic that decides when to re-train or split
+      // centroids. One broadcast assignment pass + one tiny aggregate.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             |      FROM embeddings WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1)
+             |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  round(CAST(count(*) AS DOUBLE) /
+             |    sum(count(*)) OVER (), 4) AS share,
+             |  CAST(min(vec_id) AS BIGINT) AS min_id,
+             |  CAST(max(vec_id) AS BIGINT) AS max_id
+             |FROM asg GROUP BY cid""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        assignClusters(e, cents)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs"),
+            min("vec_id").cast("long").as("min_id"),
+            max("vec_id").cast("long").as("max_id"))
+          .select(col("cid"), col("n_vecs").cast("long").as("n_vecs"),
+            round(col("n_vecs").cast("double") /
+              sum("n_vecs").over(Window.partitionBy()), 4).as("share"),
+            col("min_id"), col("max_id"))
+      }),
+
+    QueryDef(
+      "vs13_cosine_histogram",
+      // Corpus similarity distribution — the audit that sizes dedup
+      // thresholds and detects embedding collapse (everything too
+      // similar ⇒ the model lost dimensionality). A deterministic
+      // systematic pair sample (each vector vs its next 5 ids — an
+      // offset-explode turned EQUI-join, never an all-pairs cross)
+      // scores native cosine and rolls into fixed 0.1-wide buckets.
+      // Cost: 5n pairs regardless of corpus size; the join key is the
+      // integer id, so it shuffles compactly (or co-locates entirely
+      // under id-bucketed layout).
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pr AS (
+             |  SELECT a.vec_id AS a, a.vec_id + o.o AS b,
+             |    list_cosine_similarity(a.v, b.v) AS c
+             |  FROM e a
+             |  JOIN (SELECT unnest(range(1, 6)) AS o) o ON true
+             |  JOIN e b ON b.vec_id = a.vec_id + o.o)
+             |SELECT CAST(floor(c * 10) AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(min(c), 4) AS min_c, round(max(c), 4) AS max_c
+             |FROM pr GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val pairs = e.select(col("vec_id").as("a"), col("v").as("va"),
+            explode(sequence(lit(1), lit(5))).as("o"))
+          .select(col("a"), col("va"), (col("a") + col("o")).as("b"))
+          .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+          .select(cosine(col("va"), col("vb")).as("c"))
+        pairs
+          .groupBy(floor(col("c") * 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(min("c"), 4).as("min_c"), round(max("c"), 4).as("max_c"))
       })
   )
 }

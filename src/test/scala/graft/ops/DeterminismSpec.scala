@@ -37,7 +37,9 @@ class DeterminismSpec extends AnyFunSuite {
     "tx17_sequence_pack",     // global running sum over doc order
     "dd12_semantic_dedup",    // cell-confined pairwise cosine thresholding
     "mm07_shard_pack",        // global byte running-sum cut + ordered digest
-    "q49_winsorize")          // percentile fences + clamped double sum
+    "q49_winsorize",          // percentile fences + clamped double sum
+    "ev27_session_paths",     // session cumsum + sorted-struct path assembly
+    "dd13_prefix_dedup")      // digest window survivor pick
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf

@@ -68,11 +68,20 @@ class PlanQualitySpec extends AnyFunSuite {
       // vs11: corpus streams once against broadcast probes (MIPS);
       // dd12: cell assignment streams the corpus once against the
       // broadcast 8-centroid set (the in-cell pair join is an equi-join)
-      "vs11_mips_topk", "dd12_semantic_dedup")
+      // vs12: same broadcast 8-centroid assignment cross as dd12
+      "vs11_mips_topk", "dd12_semantic_dedup", "vs12_cell_balance")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("q51: the partition predicate prunes at the directory level") {
+    // the read-back scan must carry the predicate as a PartitionFilter
+    // (directory pruning), NOT as a data filter over all partitions
+    val p = plan("q51_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
+      s"partition predicate not pushed to directory pruning:\n$p")
   }
 
   test("the merge fast path is a single multi-path scan (no union legs)") {
@@ -86,8 +95,13 @@ class PlanQualitySpec extends AnyFunSuite {
     def shuffles(name: String): Int = "Exchange".r.findAllIn(plan(name)).size
     // pure map-side ops — the shapes that must scan-and-go at 100 TB
     for (n <- Seq("sp01_hash_sample", "tx02_token_counts", "tx03_quality_score",
-        "tx12_gopher_rules", "mm01_media_meta", "q34_zorder_key", "vs04_quantize"))
+        "tx12_gopher_rules", "mm01_media_meta", "q34_zorder_key", "vs04_quantize",
+        "tx21_normalize"))
       assert(shuffles(n) == 0, s"$n should be map-only, got ${shuffles(n)} exchanges")
+    // prefix dedup: one shuffle on the 16-token digest feeds BOTH the
+    // survivor window and the group count
+    assert(shuffles("dd13_prefix_dedup") <= 2,
+      s"dd13 grew to ${shuffles("dd13_prefix_dedup")} exchanges")
     // the full prep pipeline: fingerprint window + final agg (+ AQE reuse)
     assert(shuffles("pp01_training_pipeline") <= 3,
       s"pp01 grew to ${shuffles("pp01_training_pipeline")} exchanges")
