@@ -542,6 +542,73 @@ object DedupOps {
             count(lit(1)).over(w).cast("long").as("n_dups"))
           .filter(col("rn") === 1)
           .select("doc_id", "n_dups")
+      }),
+
+    QueryDef(
+      "dd14_span_scrub",
+      // Repeated-span SCRUBBING — the surgery dd07 only profiles: every
+      // token covered by a 5-gram that also occurs in another document
+      // is REMOVED, and the op emits the scrubbed text's md5 (pinning
+      // the exact edited bytes) plus removal accounting. This is the
+      // substring-level dedup of Lee et al. 2022 ("Deduplicating
+      // Training Data Makes Language Models Better") in relational
+      // form: positional 5-gram postings → cross-doc doc-frequency →
+      // covered-position set per doc → index-filtered token
+      // reconstruction. Scale shape: one distinct+count over postings
+      // (span df), one equi-join back, one per-doc collect of covered
+      // STARTS (bounded by doc length), all array surgery map-side.
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sp AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS p,
+             |    unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+             |      i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS s
+             |  FROM tk WHERE len(toks) >= 5),
+             |df AS (
+             |  SELECT s FROM (
+             |    SELECT s, count(DISTINCT doc_id) AS nd FROM sp GROUP BY s) t
+             |  WHERE nd >= 2),
+             |cov AS (
+             |  SELECT sp.doc_id,
+             |    list_distinct(flatten(list_transform(list(sp.p),
+             |      q -> range(q, q + 5)))) AS cps
+             |  FROM sp JOIN df USING (s) GROUP BY sp.doc_id),
+             |o AS (
+             |  SELECT tk.doc_id, toks, coalesce(cps, []) AS cps
+             |  FROM tk LEFT JOIN cov USING (doc_id))
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(cps) AS BIGINT) AS n_removed,
+             |  md5(coalesce(array_to_string(
+             |    list_filter(toks, (x, i) -> NOT list_contains(cps, CAST(i AS BIGINT))),
+             |    ' '), '')) AS scrub_md5
+             |FROM o""".stripMargin),
+      (s, d) => {
+        val tk = docs(s, d).select(col("doc_id"),
+          filter(split(col("text"), " "), x => x =!= "").as("toks"))
+        val sp = tk.filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 4),
+            i => struct(i.as("p"),
+              concat_ws(" ", slice(col("toks"), i, lit(5))).as("s")))).as("u"))
+          .select(col("doc_id"), col("u.p").as("p"), col("u.s").as("s"))
+        val dfSpans = sp.select("doc_id", "s").distinct()
+          .groupBy("s").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("s")
+        val cov = sp.join(dfSpans, "s")
+          .groupBy("doc_id")
+          .agg(array_distinct(flatten(collect_list(
+            sequence(col("p"), col("p") + 4)))).as("cps"))
+        tk.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            when(col("cps").isNull, 0L).otherwise(size(col("cps")))
+              .cast("long").as("n_removed"),
+            md5(concat_ws(" ", filter(col("toks"),
+              (x, i) => when(col("cps").isNull, lit(true))
+                .otherwise(!array_contains(col("cps"), i + 1))))).as("scrub_md5"))
       })
   )
 

@@ -661,6 +661,105 @@ object VectorOps {
           .groupBy(floor(col("c") * 10).cast("long").as("bucket"))
           .agg(count(lit(1)).cast("long").as("n"),
             round(min("c"), 4).as("min_c"), round(max("c"), 4).as("max_c"))
+      }),
+
+    QueryDef(
+      "vs14_ivf_pq_search",
+      // The composed FAISS-style IVFADC search: vs02's coarse quantizer
+      // confines each probe to ONE cell, and within the cell distances
+      // are computed from the corpus vectors' vs09 PQ CODES against the
+      // probe's precomputed block-distance table (asymmetric distance
+      // computation) — the index never touches raw corpus floats at
+      // query time. Everything downstream of the two broadcast
+      // assignment passes is an equi-join: codes ⋈ cell ⋈ ADC table on
+      // (block, code), then a 4-row sum per (probe, neighbor) and one
+      // top-3 window. All distances are vs09's integer-quantized
+      // per-element floor sums, so ranking is engine-exact. Scale
+      // shape: the ADC table is probes×4×8 rows (broadcast); the
+      // corpus side carries 16 bytes of codes per vector through ONE
+      // shuffle on cell id.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |asg AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, cid AS cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |    FROM e, c) t WHERE arn = 1),
+             |blocks AS (SELECT vec_id, v, b
+             |           FROM e, (SELECT unnest(range(0, 4)) AS b)),
+             |bd AS (SELECT vec_id, b, cid,
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> CAST(floor((v[16*b+i] - cv[16*b+i])
+             |                          * (v[16*b+i] - cv[16*b+i])
+             |                          * 1000000000000 + 0.5) AS BIGINT)))
+             |          AS BIGINT) AS d2q
+             |      FROM blocks, c),
+             |codes AS (
+             |  SELECT vec_id, b, cid AS code FROM (
+             |    SELECT vec_id, b, cid,
+             |      row_number() OVER (PARTITION BY vec_id, b
+             |        ORDER BY d2q, cid) AS rn FROM bd) t WHERE rn = 1),
+             |adc AS (
+             |  SELECT bd.vec_id AS probe_id, b, cid, d2q FROM bd
+             |  WHERE bd.vec_id BETWEEN 200 AND 204),
+             |cand AS (
+             |  SELECT a.probe_id, cs.vec_id AS neighbor_id,
+             |    CAST(sum(a.d2q) AS BIGINT) AS adc_d2q
+             |  FROM codes cs
+             |  JOIN asg ca ON ca.vec_id = cs.vec_id
+             |  JOIN asg pa ON pa.vec_id BETWEEN 200 AND 204
+             |    AND pa.cell = ca.cell
+             |  JOIN adc a ON a.probe_id = pa.vec_id
+             |    AND a.b = cs.b AND a.cid = cs.code
+             |  WHERE cs.vec_id <> pa.vec_id
+             |  GROUP BY 1, 2)
+             |SELECT probe_id, neighbor_id,
+             |  CAST(row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY adc_d2q, neighbor_id) AS BIGINT) AS rnk,
+             |  round(CAST(adc_d2q AS DOUBLE) / 1e12, 4) AS adc_dist
+             |FROM (SELECT * FROM cand) x
+             |QUALIFY rnk <= 3""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val asg = assignClusters(e, cents)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val blocks = e.select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        def el(v: Column, i: Column) = element_at(v, (lit(16) * col("b") + i).cast("int"))
+        val d2q = aggregate(
+          transform(sequence(lit(1), lit(16)), i => {
+            val diff = el(col("v"), i) - el(col("cv"), i)
+            floor(diff * diff * lit(1e12) + lit(0.5))
+          }),
+          lit(0L), (acc, x) => acc + x)
+        val bd = blocks.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("b"), col("cid"), d2q.as("d2q"))
+        val wCode = Window.partitionBy("vec_id", "b").orderBy(col("d2q"), col("cid"))
+        val codes = bd.withColumn("rn", row_number().over(wCode))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("b"), col("cid").as("code"))
+        val adc = bd.filter(col("vec_id").between(200, 204))
+          .select(col("vec_id").as("probe_id"), col("b"), col("cid"), col("d2q"))
+        val probeCell = asg.filter(col("vec_id").between(200, 204))
+          .select(col("vec_id").as("probe_id"), col("cell"))
+        val wTop = Window.partitionBy("probe_id")
+          .orderBy(col("adc_d2q"), col("neighbor_id"))
+        codes
+          .join(asg, "vec_id")
+          .join(broadcast(probeCell), "cell")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .join(broadcast(adc.withColumnRenamed("cid", "code")),
+            Seq("probe_id", "b", "code"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d2q"))
+          .groupBy("probe_id", "neighbor_id")
+          .agg(sum("d2q").cast("long").as("adc_d2q"))
+          .withColumn("rnk", row_number().over(wTop).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+            round(col("adc_d2q").cast("double") / lit(1e12), 4).as("adc_dist"))
       })
   )
 }

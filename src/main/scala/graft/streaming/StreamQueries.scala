@@ -168,6 +168,43 @@ object StreamQueries {
               unix_micros(col("ts")).as("us"), lit("p").as("kind"),
               round(col("value") * 2, 2).as("v"))
           clicks.unionByName(purchases)
+        }),
+
+    QueryDef(
+      "st05_stream_session_window",
+      // Native session-window aggregation run BY THE STREAMING ENGINE:
+      // the state store merges/extends per-user gap sessions as events
+      // arrive — the declarative form of ev03's lag+cumsum (which
+      // EventStreamSpec already cross-checks). Complete mode (no
+      // watermark) so the finite AvailableNow run emits every session
+      // including the final open ones — append mode would hold back
+      // sessions the terminal watermark never closes. The oracle
+      // re-derives gap sessions relationally: session end = last event
+      // + gap, by construction of session_window.
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, epoch_us(ts) AS us,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, us,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM x)
+             |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+             |  CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, sess""".stripMargin),
+      (s, d) =>
+        runStream(s, s"$d/events.parquet", "complete") { src =>
+          tsCol(src)
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).cast("long").as("n_events"))
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"))
         })
   )
 }
