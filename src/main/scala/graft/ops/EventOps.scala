@@ -939,6 +939,130 @@ object EventOps {
           .agg(count(lit(1)).cast("long").as("n_attributed"),
             round(sum("value"), 2).as("credited_value"),
             min("first_cus").cast("long").as("earliest_touch_us"))
+      }),
+
+    QueryDef(
+      "ev29_conversion_latency",
+      // Time-to-convert distribution: each purchase's delay from the
+      // same user's MOST RECENT prior view within 7 days, rolled into
+      // exact-integer-µs percentiles per event count. The asof pair
+      // search is the user-key equi-join + max aggregate (ev28's shape
+      // pointed backwards); delays are exact integers so the
+      // percentile interpolation (ev10/ev20's proven discipline) is
+      // the only float step.
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS pus
+             |  FROM events WHERE event_type = 'purchase'),
+             |v AS (
+             |  SELECT user_id, epoch_us(ts) AS vus
+             |  FROM events WHERE event_type = 'view'),
+             |pairs AS (
+             |  SELECT p.user_id, p.event_id, p.pus - max(v.vus) AS delay_us
+             |  FROM p JOIN v ON p.user_id = v.user_id
+             |    AND v.vus <= p.pus AND v.vus > p.pus - 604800000000
+             |  GROUP BY 1, 2, p.pus)
+             |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+             |  CAST(min(delay_us) AS BIGINT) AS min_us,
+             |  round(quantile_cont(delay_us, 0.5), 4) AS p50_us,
+             |  round(quantile_cont(delay_us, 0.9), 4) AS p90_us,
+             |  CAST(max(delay_us) AS BIGINT) AS max_us
+             |FROM pairs""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("tus").as("pus"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tus").as("vus"))
+        p.join(v, Seq("user_id"))
+          .filter(col("vus") <= col("pus") && col("vus") > col("pus") - 604800000000L)
+          .groupBy("user_id", "event_id", "pus")
+          .agg((col("pus") - max("vus")).as("delay_us"))
+          .agg(count(lit(1)).cast("long").as("n_conversions"),
+            min("delay_us").cast("long").as("min_us"),
+            round(percentile(col("delay_us"), lit(0.5)), 4).as("p50_us"),
+            round(percentile(col("delay_us"), lit(0.9)), 4).as("p90_us"),
+            max("delay_us").cast("long").as("max_us"))
+      }),
+
+    QueryDef(
+      "ev30_rfm_segments",
+      // RFM segmentation — recency / frequency / monetary quartiles
+      // per user, the classic behavioral-cohort operator: three ntile
+      // windows over the per-user rollup (each with a total-order
+      // tie-break on user_id so quartile boundaries are deterministic),
+      // then the 4×4×4 segment census with an id_sum membership pin.
+      // The rollup is ONE hash aggregation over the events scan; the
+      // ntiles run over |users| rows, not |events|.
+      Some("""WITH u AS (
+             |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+             |    count(*) AS freq, round(sum(value), 2) AS money
+             |  FROM events GROUP BY user_id),
+             |q AS (
+             |  SELECT user_id,
+             |    ntile(4) OVER (ORDER BY last_us, user_id) AS r_q,
+             |    ntile(4) OVER (ORDER BY freq, user_id) AS f_q,
+             |    ntile(4) OVER (ORDER BY money, user_id) AS m_q
+             |  FROM u)
+             |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+             |  CAST(m_q AS BIGINT) AS m_q,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(user_id) AS BIGINT) AS id_sum
+             |FROM q GROUP BY 1, 2, 3""".stripMargin),
+      (s, d) => {
+        val u = ev(s, d)
+          .groupBy("user_id")
+          .agg(max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("freq"),
+            round(sum("value"), 2).as("money"))
+        u.select(col("user_id"),
+            ntile(4).over(Window.orderBy("last_us", "user_id")).cast("long").as("r_q"),
+            ntile(4).over(Window.orderBy("freq", "user_id")).cast("long").as("f_q"),
+            ntile(4).over(Window.orderBy("money", "user_id")).cast("long").as("m_q"))
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum("user_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "ev31_pareto_concentration",
+      // Activity concentration (Pareto/80-20 audit): what share of all
+      // events do the top-20% most active users generate? Exact
+      // integer arithmetic throughout — the user count, the ceil(0.2n)
+      // cutoff, both event sums — with ONE final division. The rank
+      // runs over |users| rollup rows; ties break on user_id so the
+      // cutoff membership is deterministic.
+      Some("""WITH u AS (
+             |  SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
+             |r AS (
+             |  SELECT user_id, n_ev,
+             |    row_number() OVER (ORDER BY n_ev DESC, user_id) AS rk,
+             |    count(*) OVER () AS n_users,
+             |    sum(n_ev) OVER () AS total_ev
+             |  FROM u)
+             |SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+             |  CAST(max(total_ev) AS BIGINT) AS total_events,
+             |  CAST((max(n_users) + 4) // 5 AS BIGINT) AS n_top,
+             |  CAST(sum(CASE WHEN 5 * rk <= max_nu + 4 THEN n_ev ELSE 0 END)
+             |    AS BIGINT) AS top_events,
+             |  round(CAST(sum(CASE WHEN 5 * rk <= max_nu + 4 THEN n_ev ELSE 0 END)
+             |    AS DOUBLE) / max(total_ev), 4) AS top_share
+             |FROM (SELECT *, n_users AS max_nu FROM r) t""".stripMargin),
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        val u = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        u.select(col("user_id"), col("n_ev"),
+            row_number().over(Window.orderBy(col("n_ev").desc, col("user_id"))).as("rk"),
+            count(lit(1)).over(wAll).as("n_users"),
+            sum("n_ev").over(wAll).as("total_ev"))
+          .agg(max("n_users").cast("long").as("n_users"),
+            max("total_ev").cast("long").as("total_events"),
+            ((max("n_users") + 4) / 5).cast("long").as("n_top"),
+            sum(when(lit(5) * col("rk") <= col("n_users") + 4, col("n_ev"))
+              .otherwise(0L)).cast("long").as("top_events"),
+            round(sum(when(lit(5) * col("rk") <= col("n_users") + 4, col("n_ev"))
+              .otherwise(0L)).cast("double") / max("total_ev"), 4).as("top_share"))
       })
   )
 }

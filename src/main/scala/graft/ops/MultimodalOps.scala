@@ -299,6 +299,56 @@ object MultimodalOps {
           .agg(count(lit(1)).cast("long").as("n"),
             sum(col("w").cast("long") * col("h")).cast("long").as("sum_pixels"),
             min("doc_id").cast("long").as("rep_id"))
+      }),
+
+    QueryDef(
+      "mm09_batch_assembly",
+      // Training-batch assembly over mm08's shape classes: within each
+      // (shape, size_tier) bucket, media are dealt in doc_id order into
+      // fixed-size-16 batches — same-shaped tensors per batch, at most
+      // one partial batch per bucket (the padding-waste bound). One
+      // rank window per bucket + integer division; the batch table
+      // rows are what a data-loader manifest consumes.
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    octet_length(encode(text)) % 1920 AS w,
+             |    octet_length(encode(text)) % 1080 AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents),
+             |cls AS (
+             |  SELECT doc_id,
+             |    CASE WHEN w * 3 > h * 4 THEN 'wide'
+             |         WHEN h * 3 > w * 4 THEN 'tall' ELSE 'square' END AS shape,
+             |    nb // 128 AS size_tier
+             |  FROM m),
+             |b AS (
+             |  SELECT doc_id, shape, size_tier,
+             |    (row_number() OVER (PARTITION BY shape, size_tier
+             |       ORDER BY doc_id) - 1) // 16 AS batch_id
+             |  FROM cls)
+             |SELECT shape, CAST(size_tier AS BIGINT) AS size_tier,
+             |  CAST(batch_id AS BIGINT) AS batch_id,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(min(doc_id) AS BIGINT) AS first_id,
+             |  CAST(max(doc_id) AS BIGINT) AS last_id
+             |FROM b GROUP BY 1, 2, 3""".stripMargin),
+      (s, d) => {
+        val nb = length(encode(col("text"), "UTF-8"))
+        val w = Window.partitionBy("shape", "size_tier").orderBy("doc_id")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), (nb % 1920).as("w"), (nb % 1080).as("h"),
+            nb.cast("long").as("nb"))
+          .select(col("doc_id"),
+            when(col("w") * 3 > col("h") * 4, "wide")
+              .when(col("h") * 3 > col("w") * 4, "tall")
+              .otherwise("square").as("shape"),
+            (col("nb") / 128).cast("long").as("size_tier"))
+          .withColumn("batch_id",
+            ((row_number().over(w) - 1) / 16).cast("long"))
+          .groupBy("shape", "size_tier", "batch_id")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            min("doc_id").cast("long").as("first_id"),
+            max("doc_id").cast("long").as("last_id"))
       })
   )
 }

@@ -1061,6 +1061,41 @@ object Relational {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).cast("long").as("n"),
             round(sum("l_quantity"), 2).as("sum_qty"))
+      }),
+
+    QueryDef(
+      "q52_bucketed_join",
+      // The bucketed (pre-partitioned) join layout under the oracle
+      // gate: both sides written bucketBy(join key) + sortBy to
+      // external tables, then joined and aggregated. BucketingSpec
+      // freezes the zero-Exchange plan property; this entry verifies
+      // the bucketed WRITE+READ path end-to-end — bucket files, the
+      // catalog's bucket metadata, and the bucket-pruned scan all feed
+      // the same hash-exact result as the plain-parquet oracle. At
+      // 100 TB this layout is how repeated fact-fact joins skip their
+      // shuffle entirely.
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_custkey", "o_totalprice")
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$tmp/orders").mode("overwrite")
+          .saveAsTable("q52_b_orders")
+        s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_mktsegment")
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$tmp/customer").mode("overwrite")
+          .saveAsTable("q52_b_customer")
+        s.table("q52_b_orders")
+          .join(s.table("q52_b_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
       })
   )
 }

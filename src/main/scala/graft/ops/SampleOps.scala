@@ -329,6 +329,41 @@ object SampleOps {
             round(sum("n_chars").cast("double") / count(lit(1)), 2)
               .as("avg_chars"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "sp12_shuffled_shards",
+      // Reproducible global shuffle + sharding — the "shuffle the
+      // corpus once per epoch" step of a training run, made a pure
+      // function of the data: order = md5(doc_id) (a fixed permutation,
+      // stable under retries and re-runs), shard = round-robin over the
+      // shuffled order. The per-shard manifest md5 pins the EXACT
+      // within-shard sequence, not just membership — readers consuming
+      // the shard in manifest order see the same byte stream every
+      // epoch. One global rank (range-partitioned sort at 100 TB) +
+      // integer assignment; the manifest agg is q45's sorted-struct
+      // LISTAGG discipline.
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+             |      doc_id) - 1 AS rk
+             |  FROM documents)
+             |SELECT CAST(rk % 8 AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk))
+             |    AS manifest_md5
+             |FROM r GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, d).select(col("doc_id"))
+          .withColumn("rk", row_number().over(w).cast("long") - 1L)
+          .groupBy((col("rk") % 8).cast("long").as("shard"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("doc_id").cast("long").as("id_sum"),
+            md5(array_join(
+              transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+                x => x.getField("doc_id").cast("string")), ",")).as("manifest_md5"))
       })
   )
 }

@@ -39,7 +39,9 @@ class DeterminismSpec extends AnyFunSuite {
     "mm07_shard_pack",        // global byte running-sum cut + ordered digest
     "q49_winsorize",          // percentile fences + clamped double sum
     "ev27_session_paths",     // session cumsum + sorted-struct path assembly
-    "dd13_prefix_dedup")      // digest window survivor pick
+    "dd13_prefix_dedup",      // digest window survivor pick
+    "sp12_shuffled_shards",   // global md5 permutation + ordered manifest digest
+    "ev30_rfm_segments")      // float-ordered (tie-broken) ntile boundaries
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf
