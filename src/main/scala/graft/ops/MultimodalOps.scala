@@ -12,6 +12,16 @@ import graft.{QueryDef, Tables}
   */
 final case class MediaIn(doc_id: Long, source: String, payload: Array[Byte])
 
+/** mm10's resize plan row: source dims → letterboxed target dims. */
+final case class Resized(
+    doc_id: Long,
+    source: String,
+    src_w: Long,
+    src_h: Long,
+    out_w: Long,
+    out_h: Long,
+    pad_pixels: Long)
+
 /** One model-scored row out of a batched inference call. */
 final case class Scored(doc_id: Long, score: Double)
 
@@ -53,6 +63,24 @@ object MultimodalOps {
         m.doc_id, m.source, n,
         if (m.payload.isEmpty) 0L else (m.payload(0) & 0xff).toLong,
         n % 1920, n % 1080)
+    }
+
+  /** The clearly-marked RESIZE stub — replace the dimension arithmetic
+    * with a real scaler (the letterbox math stays; only the pixel
+    * resample is fake/absent here). Aspect-preserving fit into 224×224
+    * in pure integer math (floor(dim * 224 / longer side)) so the plan
+    * is deterministic and oracle-checkable; runs per-partition over the
+    * iterator — the batch shape a vectorized image library wants. */
+  def resizeStub(rows: Iterator[MediaIn], target: Long): Iterator[Resized] =
+    rows.map { m =>
+      val n = m.payload.length.toLong
+      val w = n % 1920
+      val h = n % 1080
+      val (ow, oh) =
+        if (w <= 0 || h <= 0) (0L, 0L)
+        else if (w >= h) (target, h * target / w)
+        else (w * target / h, target)
+      Resized(m.doc_id, m.source, w, h, ow, oh, target * target - ow * oh)
     }
 
   /** Batched-inference plumbing: assemble fixed-size batches inside
@@ -349,6 +377,46 @@ object MultimodalOps {
           .agg(count(lit(1)).cast("long").as("n_items"),
             min("doc_id").cast("long").as("first_id"),
             max("doc_id").cast("long").as("last_id"))
+      }),
+
+    QueryDef(
+      "mm10_resize_plan",
+      // The RESIZE stage of the multimodal pipeline (decode → resize →
+      // batch → infer): aspect-preserving letterbox fit into 224×224,
+      // computed by the per-partition resize stub over the typed
+      // Dataset — the real-codec swap point — with pure integer
+      // letterbox math (floor(dim·224 / longer)) so the emitted plan
+      // is deterministic. Output rolls up padding waste per source;
+      // the oracle re-derives the integer math relationally.
+      Some("""WITH m AS (
+             |  SELECT doc_id, source,
+             |    octet_length(encode(text)) % 1920 AS w,
+             |    octet_length(encode(text)) % 1080 AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT source,
+             |    CASE WHEN w <= 0 OR h <= 0 THEN 0
+             |         WHEN w >= h THEN 224 ELSE w * 224 // h END AS out_w,
+             |    CASE WHEN w <= 0 OR h <= 0 THEN 0
+             |         WHEN w >= h THEN h * 224 // w ELSE 224 END AS out_h
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(out_w * out_h) AS BIGINT) AS content_pixels,
+             |  CAST(sum(224 * 224 - out_w * out_h) AS BIGINT) AS pad_pixels,
+             |  CAST(min(out_h) AS BIGINT) AS min_out_h,
+             |  CAST(max(out_w) AS BIGINT) AS max_out_w
+             |FROM r GROUP BY source""".stripMargin),
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        media(s, d)
+          .mapPartitions(rows => resizeStub(rows, 224L))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("out_w") * col("out_h")).cast("long").as("content_pixels"),
+            sum("pad_pixels").cast("long").as("pad_pixels"),
+            min("out_h").cast("long").as("min_out_h"),
+            max("out_w").cast("long").as("max_out_w"))
       })
   )
 }
