@@ -1063,6 +1063,49 @@ object EventOps {
               .otherwise(0L)).cast("long").as("top_events"),
             round(sum(when(lit(5) * col("rk") <= col("n_users") + 4, col("n_ev"))
               .otherwise(0L)).cast("double") / max("total_ev"), 4).as("top_share"))
+      }),
+
+    QueryDef(
+      "ev32_cohort_matrix",
+      // The full weekly cohort-retention TRIANGLE (ev09 reports only
+      // D1/D7): users grouped by first-active week, each later week's
+      // active share of the cohort. Weeks are integral epoch-day // 7
+      // indices — no engine week-truncation semantics involved.
+      // Shape: one rollup to distinct (user, week), a min-aggregate
+      // for the cohort key, a broadcast-size cohort census, and the
+      // triangle itself is |weeks|² rows.
+      Some("""WITH e AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+             |  FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+             |sz AS (SELECT cohort_wk, count(*) AS cohort_n FROM c GROUP BY 1),
+             |a AS (SELECT e.user_id, cohort_wk, wk - cohort_wk AS offs
+             |      FROM e JOIN c USING (user_id))
+             |SELECT CAST(a.cohort_wk AS BIGINT) AS cohort_wk,
+             |  CAST(offs AS BIGINT) AS week_offset,
+             |  CAST(count(*) AS BIGINT) AS n_active,
+             |  CAST(max(cohort_n) AS BIGINT) AS cohort_size,
+             |  round(CAST(count(*) AS DOUBLE) / max(cohort_n), 4) AS retention
+             |FROM a JOIN sz USING (cohort_wk)
+             |GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+          .select(col("user_id"),
+            expr("CAST(datediff(to_date(ts), DATE '1970-01-01') DIV 7 AS INT)")
+              .as("wk"))
+          .distinct()
+        val c = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val sz = c.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_n"))
+        e.join(c, "user_id")
+          .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offs"))
+          .join(broadcast(sz), "cohort_wk")
+          .groupBy(col("cohort_wk").cast("long").as("cohort_wk"),
+            col("offs").cast("long").as("week_offset"))
+          .agg(count(lit(1)).cast("long").as("n_active"),
+            max("cohort_n").cast("long").as("cohort_size"),
+            round(count(lit(1)).cast("double") / max("cohort_n"), 4)
+              .as("retention"))
       })
   )
 }

@@ -77,6 +77,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
   }
 
+  test("pp03: the corpus branch scans only the fingerprint inputs, never full rows") {
+    // incremental dedup's whole point: the existing lake contributes a
+    // pruned 2-column scan (text→md5 + the source filter), not a rescan
+    val p = plan("pp03_incremental_update")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"corpus-side scan not pruned to (text, source):\n$p")
+  }
+
+  test("tx22: trigram counts combine map-side — explode output never shuffles raw") {
+    // one exchange for the (lang, trigram) aggregate, one for the
+    // per-lang top-k window; the exploded trigram stream itself must
+    // be partially aggregated before either
+    val p = plan("tx22_char_ngrams")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"tx22 shuffle budget grew:\n$p")
+  }
+
   test("q51: the partition predicate prunes at the directory level") {
     // the read-back scan must carry the predicate as a PartitionFilter
     // (directory pruning), NOT as a data filter over all partitions
