@@ -1096,6 +1096,113 @@ object Relational {
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).cast("long").as("n"),
             round(sum("o_totalprice"), 2).as("sum_price"))
+      }),
+
+    QueryDef(
+      "q53_constraint_audit",
+      // Declarative data-quality constraint checking (the Deequ-style
+      // validation pass a lake runs before publishing a table): each
+      // constraint is one row with its violation count — completeness
+      // (NOT NULL), range (quantity > 0), referential integrity
+      // (lineitem.l_orderkey ⊆ orders, via anti-join semantics), and
+      // key uniqueness ((orderkey, linenumber) count = rows). The
+      // single-table checks share ONE scan+aggregate; the FK check is
+      // a broadcast-able semi structure. Violations==0 rows still
+      // appear — the audit reports what was CHECKED, not just what
+      // failed.
+      Some("""WITH base AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS null_key,
+             |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS bad_qty,
+             |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |      AS BIGINT) AS dup_keys
+             |  FROM lineitem),
+             |fk AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem l
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |SELECT 'not_null(l_orderkey)' AS constraint_name,
+             |  null_key AS violations, n_rows FROM base
+             |UNION ALL
+             |SELECT 'range(l_quantity > 0)', bad_qty, n_rows FROM base
+             |UNION ALL
+             |SELECT 'unique(l_orderkey, l_linenumber)', dup_keys, n_rows FROM base
+             |UNION ALL
+             |SELECT 'fk(l_orderkey -> orders)', orphans, n_rows
+             |FROM fk, base""".stripMargin),
+      (s, d) => {
+        val liDf = li(s, d)
+        val base = liDf.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).cast("long")
+            .as("null_key"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).cast("long")
+            .as("bad_qty"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber")))
+            .cast("long").as("dup_keys"))
+        val orphans = liDf.join(ord(s, d),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("orphans"))
+        val b = base.cache()
+        b.select(lit("not_null(l_orderkey)").as("constraint_name"),
+            col("null_key").as("violations"), col("n_rows"))
+          .unionByName(b.select(lit("range(l_quantity > 0)").as("constraint_name"),
+            col("bad_qty").as("violations"), col("n_rows")))
+          .unionByName(b.select(
+            lit("unique(l_orderkey, l_linenumber)").as("constraint_name"),
+            col("dup_keys").as("violations"), col("n_rows")))
+          .unionByName(orphans.crossJoin(b.select("n_rows"))
+            .select(lit("fk(l_orderkey -> orders)").as("constraint_name"),
+              col("orphans").as("violations"), col("n_rows")))
+      }),
+
+    QueryDef(
+      "q54_table_diff",
+      // Table reconciliation (CDC diff): compare two versions of a
+      // keyed table and classify every key as added / removed /
+      // changed / unchanged — the audit behind replication checks and
+      // upsert validation. Version B is derived deterministically
+      // (drop keys ≡0 mod 50, bump o_totalprice on keys ≡1 mod 7): a
+      // full outer join on the key, one CASE per class, exact counts +
+      // per-class key checksums. At 100 TB both sides shuffle once on
+      // the key (or zero times under q52's bucketed layout).
+      Some("""WITH b AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 1
+             |      THEN round(o_totalprice + 1.5, 2) ELSE o_totalprice END
+             |      AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 50 <> 0),
+             |j AS (
+             |  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+             |    a.o_totalprice AS va, b.o_totalprice AS vb
+             |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+             |SELECT
+             |  CASE WHEN ka IS NULL THEN 'added'
+             |       WHEN kb IS NULL THEN 'removed'
+             |       WHEN va <> vb THEN 'changed' ELSE 'unchanged' END AS class,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(coalesce(ka, kb)) AS BIGINT) AS key_sum
+             |FROM j GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val a = ord(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val b = a.filter(col("o_orderkey") % 50 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 1,
+              round(col("o_totalprice") + 1.5, 2))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        a.select(col("o_orderkey").as("ka"), col("o_totalprice").as("va"))
+          .join(b.select(col("o_orderkey").as("kb"), col("o_totalprice").as("vb")),
+            col("ka") === col("kb"), "full_outer")
+          .groupBy(
+            when(col("ka").isNull, "added")
+              .when(col("kb").isNull, "removed")
+              .when(col("va") =!= col("vb"), "changed")
+              .otherwise("unchanged").as("class"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(coalesce(col("ka"), col("kb"))).cast("long").as("key_sum"))
       })
   )
 }
