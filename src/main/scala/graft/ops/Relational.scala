@@ -1203,6 +1203,41 @@ object Relational {
               .otherwise("unchanged").as("class"))
           .agg(count(lit(1)).cast("long").as("n"),
             sum(coalesce(col("ka"), col("kb"))).cast("long").as("key_sum"))
+      }),
+
+    QueryDef(
+      "q55_partial_agg_merge",
+      // Mergeable partial aggregates — the incremental
+      // materialized-view discipline: two disjoint slices of the fact
+      // table (old data / new batch) aggregate INDEPENDENTLY, and the
+      // final state is the algebraic merge of the partials
+      // (sum+sum, count+count, min(min), max(max), and avg re-derived
+      // from merged sum/count — never averaged averages). The oracle
+      // aggregates the whole table directly: the hash match proves
+      // merge(partial(A), partial(B)) ≡ agg(A ∪ B), which is what lets
+      // a 100 TB rollup update from a day's delta instead of a rescan.
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_extendedprice), 2) AS sum_px,
+             |  round(min(l_extendedprice), 2) AS min_px,
+             |  round(max(l_extendedprice), 2) AS max_px,
+             |  round(sum(l_extendedprice) / count(*), 4) AS avg_px
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      (s, d) => {
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("l_returnflag").agg(
+            count(lit(1)).as("pn"),
+            sum("l_extendedprice").as("psum"),
+            min("l_extendedprice").as("pmin"),
+            max("l_extendedprice").as("pmax"))
+        val old = li(s, d).filter(col("l_orderkey") % 10 =!= 0)
+        val delta = li(s, d).filter(col("l_orderkey") % 10 === 0)
+        partial(old).unionByName(partial(delta))
+          .groupBy("l_returnflag")
+          .agg(sum("pn").cast("long").as("n"),
+            round(sum("psum"), 2).as("sum_px"),
+            round(min("pmin"), 2).as("min_px"),
+            round(max("pmax"), 2).as("max_px"),
+            round(sum("psum") / sum("pn"), 4).as("avg_px"))
       })
   )
 }
