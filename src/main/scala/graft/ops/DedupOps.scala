@@ -609,6 +609,58 @@ object DedupOps {
             md5(concat_ws(" ", filter(col("toks"),
               (x, i) => when(col("cps").isNull, lit(true))
                 .otherwise(!array_contains(col("cps"), i + 1))))).as("scrub_md5"))
+      }),
+
+    QueryDef(
+      "dd15_threshold_sweep",
+      // Near-dup threshold TUNING: how many pairs would each Jaccard
+      // cutoff keep? One dd06 posting pass over the plain corpus with
+      // INTEGRAL tier gates (10·i ⋛ t·(union size) — no float
+      // boundaries), rolled into a single audit row. This is the sweep
+      // a pipeline owner runs before fixing the dedup threshold; cost
+      // is identical to one dd06 pass, not four.
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb,
+             |    count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+             |  CAST(sum(CASE WHEN 10 * i >= 3 * (na + nb - i) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ge_03,
+             |  CAST(sum(CASE WHEN 10 * i >= 5 * (na + nb - i) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ge_05,
+             |  CAST(sum(CASE WHEN 10 * i >= 7 * (na + nb - i) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ge_07,
+             |  CAST(sum(CASE WHEN 10 * i >= 9 * (na + nb - i) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ge_09
+             |FROM inter""".stripMargin),
+      (s, d) => {
+        val sets = shingleSets(docs(s, d)).filter(size(col("shs")) > 0)
+        val post = sets.select(col("doc_id"),
+          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+        val pairs = post.groupBy("sh")
+          .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
+          .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+          .groupBy("a", "b", "na", "nb")
+          .agg(count(lit(1)).as("i"))
+        def tier(t: Int) =
+          sum(when(lit(10) * col("i") >= lit(t) * (col("na") + col("nb") - col("i")), 1L)
+            .otherwise(0L)).cast("long")
+        pairs.agg(count(lit(1)).cast("long").as("n_candidate_pairs"),
+          tier(3).as("n_ge_03"), tier(5).as("n_ge_05"),
+          tier(7).as("n_ge_07"), tier(9).as("n_ge_09"))
       })
   )
 

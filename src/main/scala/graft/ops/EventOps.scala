@@ -1106,6 +1106,49 @@ object EventOps {
             max("cohort_n").cast("long").as("cohort_size"),
             round(count(lit(1)).cast("double") / max("cohort_n"), 4)
               .as("retention"))
+      }),
+
+    QueryDef(
+      "ev33_seasonal_anomaly",
+      // Seasonality-ADJUSTED anomaly detection: each (date, hour) cell
+      // compares against the mean of its own (dow, hour) baseline
+      // (ev24's grid across weeks) instead of a global mean — the flag
+      // that survives "Mondays are always busy". The gate is integral
+      // (n·cell_days > 2·cell_total ⟺ n > 2·mean) so no float
+      // boundary exists anywhere. One rollup to date×hour, one window
+      // over the tiny grid.
+      Some("""WITH g AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             |    CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |w AS (
+             |  SELECT day, dow, hr, n,
+             |    sum(n) OVER (PARTITION BY dow, hr) AS cell_total,
+             |    count(*) OVER (PARTITION BY dow, hr) AS cell_days
+             |  FROM g)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, hr,
+             |  CAST(n AS BIGINT) AS n,
+             |  CAST(cell_total AS BIGINT) AS cell_total,
+             |  CAST(cell_days AS BIGINT) AS cell_days,
+             |  CAST(CASE WHEN n * cell_days > 2 * cell_total
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+             |FROM w""".stripMargin),
+      (s, d) => {
+        val wc = Window.partitionBy("dow", "hr")
+        ev(s, d)
+          .groupBy(to_date(col("ts")).as("day"),
+            weekday(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("cell_total", sum("n").over(wc))
+          .withColumn("cell_days", count(lit(1)).over(wc))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("hr"), col("n").cast("long").as("n"),
+            col("cell_total").cast("long").as("cell_total"),
+            col("cell_days").cast("long").as("cell_days"),
+            when(col("n") * col("cell_days") > lit(2) * col("cell_total"), 1L)
+              .otherwise(0L).cast("long").as("is_anomaly"))
       })
   )
 }

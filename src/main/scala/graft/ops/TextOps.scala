@@ -755,6 +755,42 @@ object TextOps {
           .filter(col("rnk") <= 5)
           .select(col("lang"), col("tg"), col("n").cast("long").as("n"),
             col("rnk").cast("long").as("rnk"))
+      }),
+
+    QueryDef(
+      "tx23_lexical_diversity",
+      // Lexical diversity per document: type-token ratio and hapax
+      // (once-only token) rate — the vocabulary-richness signals that
+      // complement tx18's entropy (TTR penalizes repetition linearly,
+      // entropy logarithmically). Map-only array surgery; the hapax
+      // count is an in-doc O(types·tokens) lambda (tx10's accepted
+      // discipline at these document lengths — the corpus-level
+      // alternative is a full token explode for a per-doc stat).
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             |  round(CAST(len(list_distinct(toks)) AS DOUBLE)
+             |    / greatest(len(toks), 1), 4) AS ttr,
+             |  CAST(len(list_filter(list_distinct(toks),
+             |    t -> len(list_filter(toks, x -> x = t)) = 1)) AS BIGINT)
+             |    AS n_hapax
+             |FROM tk""".stripMargin),
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), x => x =!= "")
+        docs(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_types"),
+            round(size(array_distinct(col("toks"))).cast("double") /
+              greatest(size(col("toks")), lit(1)), 4).as("ttr"),
+            size(filter(array_distinct(col("toks")),
+              t => size(filter(col("toks"), x => x === t)) === 1))
+              .cast("long").as("n_hapax"))
       })
   )
 }

@@ -760,6 +760,41 @@ object VectorOps {
           .filter(col("rnk") <= 3)
           .select(col("probe_id"), col("neighbor_id"), col("rnk"),
             round(col("adc_d2q").cast("double") / lit(1e12), 4).as("adc_dist"))
+      }),
+
+    QueryDef(
+      "vs15_norm_audit",
+      // Embedding L2-norm audit per label: the health check run before
+      // any cosine-based stage — zero/degenerate vectors poison cosine
+      // (0/0 = NaN, guarded to NULL in the native expression; this op
+      // COUNTS them so the pipeline can quarantine instead of silently
+      // dropping), and norm drift across labels flags bad encoder
+      // batches. Map-only norm compute + one rollup.
+      Some("""WITH e AS (
+             |  SELECT label, sqrt(list_inner_product(embedding::DOUBLE[],
+             |    embedding::DOUBLE[])) AS nrm
+             |  FROM embeddings)
+             |SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_zero,
+             |  round(min(nrm), 4) AS min_norm,
+             |  round(max(nrm), 4) AS max_norm,
+             |  round(avg(nrm), 4) AS avg_norm
+             |FROM e GROUP BY 1""".stripMargin),
+      (s, d) => {
+        GraftFunctions.register(s)
+        val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
+        Tables(s, d, "embeddings")
+          .select(col("label"), col("embedding").cast("array<double>").as("v"))
+          .select(col("label").cast("long").as("label"), nrm.as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("nrm") === 0, 1L).otherwise(0L)).cast("long")
+              .as("n_zero"),
+            round(min("nrm"), 4).as("min_norm"),
+            round(max("nrm"), 4).as("max_norm"),
+            round(avg("nrm"), 4).as("avg_norm"))
       })
   )
 }

@@ -42,7 +42,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dd13_prefix_dedup",      // digest window survivor pick
     "sp12_shuffled_shards",   // global md5 permutation + ordered manifest digest
     "ev30_rfm_segments",      // float-ordered (tie-broken) ntile boundaries
-    "q55_partial_agg_merge")  // double sums merged across independent partials
+    "q55_partial_agg_merge",  // double sums merged across independent partials
+    "vs15_norm_audit")        // double norm sums (avg) across partitions
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf
