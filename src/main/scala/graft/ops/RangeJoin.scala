@@ -128,6 +128,85 @@ object RangeJoin {
           .filter(levenshtein(col("a"), col("b")) <= 2)
           .select(col("a"), col("b"),
             levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      }),
+
+    QueryDef(
+      "rj03_interval_overlap",
+      // Interval-OVERLAP join (rj01 joins points within a band; this
+      // joins interval PAIRS that intersect): cross-user session
+      // concurrency. Each session [start, end] explodes to its covered
+      // 1-hour bins — overlapping intervals must share a bin, so the
+      // pair search is an equi-join on bin (never a nested-loop range
+      // join), the exact overlap predicate runs only inside bins, and
+      // a distinct collapses pairs that share several bins. Overlap
+      // durations are exact integer µs. Scale: cost is Σ bin-density²,
+      // bounded by concurrency, not corpus size.
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, sess, min(us) AS s_us, max(us) AS e_us
+             |  FROM (
+             |    SELECT user_id, us,
+             |      sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |    FROM x) t
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a.user_id AS ua, a.sess AS sa,
+             |    greatest(a.s_us, b.s_us) AS o_start,
+             |    least(a.e_us, b.e_us) AS o_end
+             |  FROM sess a JOIN sess b
+             |    ON a.user_id < b.user_id
+             |   AND a.s_us <= b.e_us AND b.s_us <= a.e_us)
+             |SELECT CAST(count(*) AS BIGINT) AS n_overlaps,
+             |  CAST(sum(o_end - o_start) AS BIGINT) AS total_overlap_us,
+             |  CAST(max(o_end - o_start) AS BIGINT) AS max_overlap_us,
+             |  CAST(count(DISTINCT ua) AS BIGINT) AS n_users_with_overlap
+             |FROM pairs""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val H = 3600000000L
+        val ev = Tables(s, d, "events")
+        val e =
+          (if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else ev)
+            .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val sess = e
+          .withColumn("new_sess",
+            when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess")
+          .agg(min("us").as("s_us"), max("us").as("e_us"))
+        val binned = sess.select(col("user_id"), col("sess"),
+          col("s_us"), col("e_us"),
+          explode(sequence(expr(s"s_us DIV $H"), expr(s"e_us DIV $H")))
+            .as("bin"))
+        val a = binned.select(col("bin"), col("user_id").as("ua"),
+          col("sess").as("sa"), col("s_us").as("as_us"), col("e_us").as("ae_us"))
+        val b = binned.select(col("bin"), col("user_id").as("ub"),
+          col("sess").as("sb"), col("s_us").as("bs_us"), col("e_us").as("be_us"))
+        a.join(b, Seq("bin"))
+          .filter(col("ua") < col("ub") &&
+            col("as_us") <= col("be_us") && col("bs_us") <= col("ae_us"))
+          .select(col("ua"), col("sa"), col("ub"), col("sb"),
+            greatest(col("as_us"), col("bs_us")).as("o_start"),
+            least(col("ae_us"), col("be_us")).as("o_end"))
+          .distinct()
+          .agg(count(lit(1)).cast("long").as("n_overlaps"),
+            sum(col("o_end") - col("o_start")).cast("long")
+              .as("total_overlap_us"),
+            max(col("o_end") - col("o_start")).cast("long")
+              .as("max_overlap_us"),
+            countDistinct("ua").cast("long").as("n_users_with_overlap"))
       })
   )
 

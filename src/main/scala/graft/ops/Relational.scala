@@ -1238,6 +1238,37 @@ object Relational {
             round(min("pmin"), 2).as("min_px"),
             round(max("pmax"), 2).as("max_px"),
             round(sum("psum") / sum("pn"), 4).as("avg_px"))
+      }),
+
+    QueryDef(
+      "q56_equiheight_histogram",
+      // Equi-HEIGHT (quantile-bucket) histogram — ev13's equi-width
+      // complement and what engine optimizers actually store: ntile
+      // deciles over a total order (value, then key columns — so equal
+      // values split deterministically at bucket boundaries), each
+      // bucket reporting its value range and mass. One global sort at
+      // this size; a range-partitioned sort at 100 TB.
+      Some("""WITH r AS (
+             |  SELECT l_extendedprice,
+             |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+             |      l_linenumber) AS bucket
+             |  FROM lineitem)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(min(l_extendedprice), 2) AS lo,
+             |  round(max(l_extendedprice), 2) AS hi,
+             |  round(sum(l_extendedprice), 2) AS mass
+             |FROM r GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        li(s, d)
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(min("l_extendedprice"), 2).as("lo"),
+            round(max("l_extendedprice"), 2).as("hi"),
+            round(sum("l_extendedprice"), 2).as("mass"))
       })
   )
 }

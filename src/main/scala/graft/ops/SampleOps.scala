@@ -364,6 +364,35 @@ object SampleOps {
             md5(array_join(
               transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
                 x => x.getField("doc_id").cast("string")), ",")).as("manifest_md5"))
-      })
+      }),
+
+    QueryDef(
+      "sp13_kfold_assign",
+      // k-fold cross-validation assignment: fold = integer hash of the
+      // id mod 5 — a pure function of the row (retry-stable, no stored
+      // fold manifest; any worker can re-derive membership). Folds are
+      // disjoint and exhaustive BY CONSTRUCTION; the per-fold census +
+      // id_sum pins exact membership so train/eval splits are
+      // reproducible across engines and reruns. Map-only + one tiny
+      // rollup.
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % 5 AS fold
+             |  FROM documents)
+             |SELECT CAST(fold AS BIGINT) AS fold,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM f GROUP BY 1""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 5).cast("long").as("fold"))
+          .groupBy("fold")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct("lang").cast("long").as("n_langs"),
+            sum("doc_id").cast("long").as("id_sum")))
   )
 }
