@@ -707,28 +707,60 @@ object DedupOps {
   /** MinHash+LSH near-duplicate pairs with an exact-Jaccard verify step.
     * Output: (a, b, jaccard) for candidate pairs whose true shingle-set
     * Jaccard >= threshold. */
-  def minHashNearDups(corpus: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+  /** (doc_id, band, bh) LSH band hashes for every document — the
+    * shared banding pass behind [[minHashNearDups]] and the persisted
+    * index ([[writeLshIndex]]/[[probeLshIndex]]). Map-side only: one
+    * OPH signature per row, one xxhash64 per band. */
+  def bandHashes(corpus: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-
-    // Per-row signatures via the native one-permutation-hashing
-    // expression — map-side (no explode/shuffle), one tight loop, and
-    // ONE xxhash64 per shingle instead of `numHashes` (the signature
-    // pass is pure hash compute at corpus scale; OPH is the 64× lever).
-    // See graft.functions.OphMinHash.
     val sig = shingleSets(corpus)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.oph_minhash_sig(col("shs"), numHashes).as("mh"))
       .select(col("doc_id") +:
         (0 until numHashes).map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*)
-
-    // LSH banding: hash each band of the signature; equal band-hash →
-    // candidate. posexplode keeps (bandIdx, bandHash) as the join key.
     val bandCols = (0 until bands).map { b =>
       xxhash64(((b * rowsPerBand) until ((b + 1) * rowsPerBand)).map(i => col(s"h$i")): _*)
     }
-    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh")
+  }
+
+  /** Persist the LSH posting layout: (band, bucket-group) partitioned
+    * parquet of (bh, doc_id). The bucket-group (bh mod 64) bounds how
+    * much of the index a probe must read: an incoming batch touches
+    * only its own (band, bg) directories — the MinHash analog of
+    * [[VectorOps.writeIvfIndex]]'s cell partitioning. At 100 TB the
+    * index holds 8 longs per doc and the daily near-dup check reads
+    * O(batch) partitions, never the corpus. */
+  def writeLshIndex(corpus: DataFrame, path: String,
+      numHashes: Int = 64, bands: Int = 8): Unit =
+    bandHashes(corpus, numHashes, bands)
+      .withColumn("bg", pmod(col("bh"), lit(64L)))
+      .write.partitionBy("band", "bg").mode("overwrite").parquet(path)
+
+  /** Probe the persisted LSH index with a new batch: candidates are
+    * (corpus_id, batch_id) pairs sharing any exact band hash. The scan
+    * filters on BOTH partition columns (directory pruning) before the
+    * equi-join on the band hash itself. */
+  def probeLshIndex(spark: SparkSession, path: String, batch: DataFrame,
+      numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val probes = bandHashes(batch, numHashes, bands)
+      .withColumn("bg", pmod(col("bh"), lit(64L)))
+    val touched = probes.select("band", "bg").distinct().collect()
+    val bandsTouched = touched.map(_.getInt(0)).distinct.toSeq
+    val groupsTouched = touched.map(_.getLong(1)).distinct.toSeq
+    spark.read.parquet(path)
+      .filter(col("band").isin(bandsTouched: _*) &&
+        col("bg").isin(groupsTouched: _*))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bg"), col("bh"))
+      .join(probes.select(col("doc_id").as("batch_id"), col("band"),
+        col("bg"), col("bh")), Seq("band", "bg", "bh"))
+      .select("corpus_id", "batch_id").distinct()
+  }
+
+  def minHashNearDups(corpus: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val banded = bandHashes(corpus, numHashes, bands)
     // Pairs generated inside each LSH bucket (one groupBy shuffle, no
     // posting self-join). Buckets >100 docs are degenerate collisions
     // and are skipped — a documented recall knob, not a correctness one.

@@ -1149,6 +1149,46 @@ object EventOps {
             col("cell_days").cast("long").as("cell_days"),
             when(col("n") * col("cell_days") > lit(2) * col("cell_total"), 1L)
               .otherwise(0L).cast("long").as("is_anomaly"))
+      }),
+
+    QueryDef(
+      "ev35_activity_streaks",
+      // Longest consecutive-day streak per user — the gaps-and-islands
+      // pattern (engagement/retention's favorite metric): island id =
+      // day index minus per-user day rank, a pure-integer invariant
+      // that is constant exactly across consecutive runs. One distinct
+      // rollup + one window + two tiny aggregations; everything
+      // integral.
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, di,
+             |    di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+             |      AS island
+             |  FROM d),
+             |st AS (
+             |  SELECT user_id, island, count(*) AS len
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+             |  CAST(count(*) AS BIGINT) AS n_streaks,
+             |  CAST(sum(len) AS BIGINT) AS active_days
+             |FROM st GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("di")
+        ev(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+              .cast("long").as("di"))
+          .distinct()
+          .withColumn("island", col("di") - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").cast("long").as("max_streak"),
+            count(lit(1)).cast("long").as("n_streaks"),
+            sum("len").cast("long").as("active_days"))
       })
   )
 }
