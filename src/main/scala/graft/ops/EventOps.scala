@@ -1189,6 +1189,51 @@ object EventOps {
           .agg(max("len").cast("long").as("max_streak"),
             count(lit(1)).cast("long").as("n_streaks"),
             sum("len").cast("long").as("active_days"))
+      }),
+
+    QueryDef(
+      "ev36_seasonal_backtest",
+      // Backtesting the seasonal-naive forecaster (each hour predicted
+      // by the mean of its OTHER (dow, hour) siblings — leave-one-out,
+      // so the evaluation never sees its own target). The error is
+      // kept INTEGRAL by scaling: |n·(days−1) − (total−n)| is
+      // (days−1)·|n − LOO-mean|, summed per cell and normalized once
+      // at the end. Cells with a single day have no LOO baseline and
+      // are excluded by the days >= 2 gate. This is the sanity check
+      // run before trusting ev33's anomaly flags.
+      Some("""WITH g AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             |    CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |w AS (
+             |  SELECT dow, hr, n,
+             |    sum(n) OVER (PARTITION BY dow, hr) AS total,
+             |    count(*) OVER (PARTITION BY dow, hr) AS days
+             |  FROM g)
+             |SELECT dow, hr, CAST(max(days) AS BIGINT) AS days,
+             |  CAST(sum(abs(n * (days - 1) - (total - n))) AS BIGINT)
+             |    AS scaled_abs_err,
+             |  round(CAST(sum(abs(n * (days - 1) - (total - n))) AS DOUBLE)
+             |    / (max(days) * (max(days) - 1)), 4) AS mae
+             |FROM w WHERE days >= 2 GROUP BY dow, hr""".stripMargin),
+      (s, d) => {
+        val wc = Window.partitionBy("dow", "hr")
+        ev(s, d)
+          .groupBy(to_date(col("ts")).as("day"),
+            weekday(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(wc))
+          .withColumn("days", count(lit(1)).over(wc))
+          .filter(col("days") >= 2)
+          .groupBy("dow", "hr")
+          .agg(max("days").cast("long").as("days"),
+            sum(abs(col("n") * (col("days") - 1) - (col("total") - col("n"))))
+              .cast("long").as("scaled_abs_err"),
+            round(sum(abs(col("n") * (col("days") - 1) - (col("total") - col("n"))))
+              .cast("double") /
+              (max("days") * (max("days") - 1)), 4).as("mae"))
       })
   )
 }

@@ -1269,6 +1269,50 @@ object Relational {
             round(min("l_extendedprice"), 2).as("lo"),
             round(max("l_extendedprice"), 2).as("hi"),
             round(sum("l_extendedprice"), 2).as("mass"))
+      }),
+
+    QueryDef(
+      "q57_chi_square",
+      // χ² independence screen between two categorical columns — the
+      // statistical dependency audit behind feature selection and
+      // stratification design. Per-cell statistic kept integral as
+      // long as possible: with observed O, row total R, column total
+      // C, grand total N, the cell contribution is
+      // (O·N − R·C)² / (R·C·N) — numerator exact integer, ONE double
+      // division per cell, summed over the tiny |flags|×|statuses|
+      // grid. The contingency table is one shuffle; the margins are
+      // windows over the grid.
+      Some("""WITH ct AS (
+             |  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+             |  FROM lineitem GROUP BY 1, 2),
+             |m AS (
+             |  SELECT rf, ls, o,
+             |    sum(o) OVER (PARTITION BY rf) AS r,
+             |    sum(o) OVER (PARTITION BY ls) AS c,
+             |    sum(o) OVER () AS n
+             |  FROM ct)
+             |SELECT rf, ls, CAST(o AS BIGINT) AS observed,
+             |  round(CAST(r AS DOUBLE) * c / n, 4) AS expected,
+             |  round(CAST((o * n - r * c) AS DOUBLE) * (o * n - r * c)
+             |    / (CAST(r AS DOUBLE) * c * n), 4) AS chi2_cell
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val wr = Window.partitionBy("rf")
+        val wc = Window.partitionBy("ls")
+        val wn = Window.partitionBy()
+        li(s, d)
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(count(lit(1)).as("o"))
+          .withColumn("r", sum("o").over(wr))
+          .withColumn("c", sum("o").over(wc))
+          .withColumn("n", sum("o").over(wn))
+          .select(col("rf"), col("ls"), col("o").cast("long").as("observed"),
+            round(col("r").cast("double") * col("c") / col("n"), 4)
+              .as("expected"),
+            round((col("o") * col("n") - col("r") * col("c")).cast("double") *
+              (col("o") * col("n") - col("r") * col("c")) /
+              (col("r").cast("double") * col("c") * col("n")), 4)
+              .as("chi2_cell"))
       })
   )
 }
