@@ -1234,6 +1234,54 @@ object EventOps {
             round(sum(abs(col("n") * (col("days") - 1) - (col("total") - col("n"))))
               .cast("double") /
               (max("days") * (max("days") - 1)), 4).as("mae"))
+      }),
+
+    QueryDef(
+      "ev37_bot_screen",
+      // Automation/bot screening — the traffic-quality gate a training
+      // pipeline runs before trusting behavioral data: per user, the
+      // sustained rate (events/hour over the active span) and the
+      // fastest inter-arrival gap, with INTEGRAL flag gates
+      // (n·3600e6 > 100·span ⟺ rate > 100/h; min_gap < 1e6 ⟺
+      // sub-second bursts). One lag window (shared sort with the span
+      // aggregate) + one rollup; flags avoid float boundaries
+      // entirely.
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id, count(*) AS n_events,
+             |    max(us) - min(us) AS span_us, min(gap) AS min_gap_us
+             |  FROM g GROUP BY user_id)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(span_us AS BIGINT) AS span_us,
+             |  CAST(min_gap_us AS BIGINT) AS min_gap_us,
+             |  CAST(CASE WHEN n_events >= 50 AND span_us > 0
+             |    AND n_events * 3600000000 > 100 * span_us
+             |    THEN 1 ELSE 0 END AS BIGINT) AS high_rate,
+             |  CAST(CASE WHEN min_gap_us IS NOT NULL AND min_gap_us < 1000000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS has_burst
+             |FROM u""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts"))
+        ev(s, d)
+          .select(col("user_id"), us.as("us"),
+            (us - lag(us, 1).over(w)).as("gap"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max("us") - min("us")).as("span_us"),
+            min("gap").as("min_gap_us"))
+          .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+            col("span_us").cast("long").as("span_us"),
+            col("min_gap_us").cast("long").as("min_gap_us"),
+            when(col("n_events") >= 50 && col("span_us") > 0 &&
+              col("n_events") * 3600000000L > lit(100L) * col("span_us"), 1L)
+              .otherwise(0L).cast("long").as("high_rate"),
+            when(col("min_gap_us").isNotNull && col("min_gap_us") < 1000000L, 1L)
+              .otherwise(0L).cast("long").as("has_burst"))
       })
   )
 }

@@ -417,6 +417,54 @@ object MultimodalOps {
             sum("pad_pixels").cast("long").as("pad_pixels"),
             min("out_h").cast("long").as("min_out_h"),
             max("out_w").cast("long").as("max_out_w"))
+      }),
+
+    QueryDef(
+      "mm11_reassembly_proof",
+      // Chunk → reassemble → verify, end to end: payloads are cut into
+      // mm05's 64-byte chunks (as 128-hex-char slices), reassembled in
+      // chunk order, decoded, and their md5 compared against the
+      // original payload's md5 — any off-by-one in the boundary math
+      // (the part worth proving) breaks the digest. The per-doc check
+      // rolls up to a per-source pass count that must equal the doc
+      // count.
+      Some("""WITH c AS (
+             |  SELECT doc_id, source, encode(text) AS payload,
+             |    unnest(range(0, CAST((octet_length(encode(text)) + 63) // 64
+             |      AS BIGINT))) AS ci
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    md5(min(hex(payload))) AS orig_md5,
+             |    md5(string_agg(substr(hex(payload), CAST(ci * 128 + 1 AS INT), 128),
+             |      '' ORDER BY ci)) AS reassembled_md5
+             |  FROM c GROUP BY doc_id, source)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN orig_md5 = reassembled_md5 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_verified
+             |FROM r GROUP BY source""".stripMargin),
+      (s, d) => {
+        val payload = encode(col("text"), "UTF-8")
+        val n = length(payload).cast("long")
+        val nChunks = ((n + 63) - pmod(n + 63, lit(64L))) / 64
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), payload.as("payload"),
+            n.as("n"), nChunks.cast("long").as("nc"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("source"), col("payload"),
+            explode(sequence(lit(0L), col("nc") - 1)).as("ci"))
+          .groupBy("doc_id", "source")
+          .agg(md5(min(hex(col("payload")))).as("orig_md5"),
+            md5(concat_ws("",
+              transform(
+                array_sort(collect_list(struct(col("ci"),
+                  expr("substr(hex(payload), CAST(ci * 128 + 1 AS INT), 128)")
+                    .as("sl")))),
+                x => x.getField("sl")))).as("reassembled_md5"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("orig_md5") === col("reassembled_md5"), 1L)
+              .otherwise(0L)).cast("long").as("n_verified"))
       })
   )
 }
