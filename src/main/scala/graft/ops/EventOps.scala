@@ -1282,6 +1282,45 @@ object EventOps {
               .otherwise(0L).cast("long").as("high_rate"),
             when(col("min_gap_us").isNotNull && col("min_gap_us") < 1000000L, 1L)
               .otherwise(0L).cast("long").as("has_burst"))
+      }),
+
+    QueryDef(
+      "ev38_stickiness",
+      // DAU/MAU stickiness — the canonical engagement ratio: each
+      // day's distinct actives over the trailing-30-day distinct
+      // actives (ev18's RANGE-frame distinct composition, two frames
+      // sharing ONE day-ordered sort). Exact integers until the final
+      // ratio; the window runs over users×days pairs, never raw
+      // events.
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(date_trunc('day', ts) AS DATE)) AS day_idx
+             |  FROM events)
+             |SELECT DISTINCT CAST(day_idx AS BIGINT) AS day_idx,
+             |  CAST(count(DISTINCT user_id) OVER (ORDER BY day_idx
+             |    RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT) AS dau,
+             |  CAST(count(DISTINCT user_id) OVER (ORDER BY day_idx
+             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS mau,
+             |  round(CAST(count(DISTINCT user_id) OVER (ORDER BY day_idx
+             |      RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+             |    count(DISTINCT user_id) OVER (ORDER BY day_idx
+             |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS stickiness
+             |FROM ud""".stripMargin),
+      (s, d) => {
+        val ud = ev(s, d)
+          .select(col("user_id"),
+            datediff(to_date(date_trunc("day", col("ts"))),
+              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
+          .distinct()
+        val wD = Window.orderBy("day_idx").rangeBetween(0, 0)
+        val wM = Window.orderBy("day_idx").rangeBetween(-29, 0)
+        ud.select(col("day_idx"),
+            size(collect_set(col("user_id")).over(wD)).cast("long").as("dau"),
+            size(collect_set(col("user_id")).over(wM)).cast("long").as("mau"))
+          .distinct()
+          .select(col("day_idx"), col("dau"), col("mau"),
+            round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
       })
   )
 }
