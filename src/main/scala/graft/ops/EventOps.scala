@@ -1321,6 +1321,52 @@ object EventOps {
           .distinct()
           .select(col("day_idx"), col("dau"), col("mau"),
             round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+      }),
+
+    QueryDef(
+      "ev39_alert_episodes",
+      // Alert debouncing: consecutive anomalous hours collapse into
+      // EPISODES (ev33's integral anomaly gate feeding ev35's
+      // gaps-and-islands invariant on the hour index) — what an
+      // on-call pipeline pages on: one alert per episode with start,
+      // duration, and peak, not one page per hour. Everything
+      // integral.
+      Some("""WITH g AS (
+             |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT h, n,
+             |    epoch_us(h) // 3600000000 AS hi,
+             |    sum(n) OVER () AS total, count(*) OVER () AS cells
+             |  FROM g),
+             |a AS (
+             |  SELECT hi, n FROM w WHERE n * cells > 2 * total),
+             |i AS (
+             |  SELECT hi, n,
+             |    hi - row_number() OVER (ORDER BY hi) AS island
+             |  FROM a)
+             |SELECT CAST(min(hi) AS BIGINT) AS start_hour_idx,
+             |  CAST(count(*) AS BIGINT) AS n_hours,
+             |  CAST(max(n) AS BIGINT) AS peak_events,
+             |  CAST(sum(n) AS BIGINT) AS total_events
+             |FROM i GROUP BY island""".stripMargin),
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        ev(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .select(expr("unix_micros(h) DIV 3600000000").as("hi"), col("n"),
+            sum("n").over(wAll).as("total"),
+            count(lit(1)).over(wAll).as("cells"))
+          .filter(col("n") * col("cells") > lit(2) * col("total"))
+          .withColumn("island",
+            col("hi") - row_number().over(Window.orderBy("hi")))
+          .groupBy("island")
+          .agg(min("hi").cast("long").as("start_hour_idx"),
+            count(lit(1)).cast("long").as("n_hours"),
+            max("n").cast("long").as("peak_events"),
+            sum("n").cast("long").as("total_events"))
+          .drop("island")
       })
   )
 }

@@ -1313,6 +1313,38 @@ object Relational {
               (col("o") * col("n") - col("r") * col("c")) /
               (col("r").cast("double") * col("c") * col("n")), 4)
               .as("chi2_cell"))
+      }),
+
+    QueryDef(
+      "q58_mom_growth",
+      // Month-over-month growth reporting: monthly order revenue with
+      // the previous month's value and the percent change — the
+      // time-series reporting staple. One rollup to |months| rows, one
+      // lag window over the tiny series; the growth ratio divides two
+      // already-2dp-rounded sums, so both engines divide identical
+      // doubles.
+      Some("""WITH m AS (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |    round(sum(o_totalprice), 2) AS revenue,
+             |    CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT yr, mo, revenue, n_orders,
+             |  lag(revenue) OVER (ORDER BY yr, mo) AS prev_revenue,
+             |  round((revenue - lag(revenue) OVER (ORDER BY yr, mo)) * 100 /
+             |    lag(revenue) OVER (ORDER BY yr, mo), 4) AS pct_change
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy("yr", "mo")
+        ord(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(round(sum("o_totalprice"), 2).as("revenue"),
+            count(lit(1)).cast("long").as("n_orders"))
+          .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+          .withColumn("pct_change",
+            round((col("revenue") - col("prev_revenue")) * 100 /
+              col("prev_revenue"), 4))
       })
   )
 }

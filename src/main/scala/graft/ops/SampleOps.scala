@@ -393,6 +393,40 @@ object SampleOps {
           .groupBy("fold")
           .agg(count(lit(1)).cast("long").as("n_docs"),
             countDistinct("lang").cast("long").as("n_langs"),
-            sum("doc_id").cast("long").as("id_sum")))
+            sum("doc_id").cast("long").as("id_sum"))),
+
+    QueryDef(
+      "sp14_budget_fill",
+      // Budgeted corpus selection: take documents in descending-quality
+      // order until a 100k-character budget fills — the "best data
+      // that fits the compute budget" selector behind every
+      // token-budgeted training run. One quality-ordered running sum
+      // (tx17's integer window discipline); a doc is IN iff the budget
+      // still had room BEFORE it (strictly integral boundary — the
+      // straddling doc is admitted, matching the greedy fill). Output
+      // pins membership (id_sum) and the realized budget.
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS prior_chars
+             |  FROM documents),
+             |sel AS (SELECT * FROM r WHERE prior_chars < 100000)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars_taken,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM sel GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("prior_chars", coalesce(sum("n_chars").over(w), lit(0L)))
+          .filter(col("prior_chars") < 100000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("chars_taken"),
+            sum("doc_id").cast("long").as("id_sum"))
+      })
   )
 }
