@@ -791,6 +791,47 @@ object TextOps {
             size(filter(array_distinct(col("toks")),
               t => size(filter(col("toks"), x => x === t)) === 1))
               .cast("long").as("n_hapax"))
+      }),
+
+    QueryDef(
+      "tx24_blocklist_gate",
+      // Blocklist content gating — the term-list safety filter every
+      // corpus runs (here with a neutral stand-in list; swap the
+      // terms, keep the plan): per-doc hit counts for each blocked
+      // term via the space-padded occurrence-count trick (word
+      // boundaries included, same left-to-right semantics both
+      // engines), an integral block decision (any hit), and the
+      // per-lang admission audit. Map-only scan; the term list is a
+      // compile-time constant (at scale: a broadcast variable) so no
+      // join is involved at all.
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+             |h AS (
+             |  SELECT doc_id, lang,
+             |    (length(p) - length(replace(p, ' slow ', ''))) / 6 AS h1,
+             |    (length(p) - length(replace(p, ' dup ', ''))) / 5 AS h2,
+             |    (length(p) - length(replace(p, ' vector ', ''))) / 8 AS h3
+             |  FROM s)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN h1 + h2 + h3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_blocked,
+             |  CAST(sum(h1 + h2 + h3) AS BIGINT) AS total_hits,
+             |  CAST(sum(CASE WHEN h1 + h2 + h3 = 0 THEN doc_id ELSE 0 END)
+             |    AS BIGINT) AS admitted_id_sum
+             |FROM h GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val hits = cnt(padded, " slow ") + cnt(padded, " dup ") +
+          cnt(padded, " vector ")
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), hits.as("h"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("h") > 0, 1L).otherwise(0L)).cast("long")
+              .as("n_blocked"),
+            sum("h").cast("long").as("total_hits"),
+            sum(when(col("h") === 0, col("doc_id")).otherwise(0L))
+              .cast("long").as("admitted_id_sum"))
       })
   )
 }

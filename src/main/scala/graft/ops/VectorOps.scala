@@ -795,6 +795,40 @@ object VectorOps {
             round(min("nrm"), 4).as("min_norm"),
             round(max("nrm"), 4).as("max_norm"),
             round(avg("nrm"), 4).as("avg_norm"))
+      }),
+
+    QueryDef(
+      "vs16_range_search",
+      // Threshold (range) vector search — "everything within the
+      // radius", the retrieval mode dedup and recall evaluation want
+      // where top-k wants ranking: all neighbors with cosine >= 0.5
+      // per probe, plus the per-probe neighborhood census. Same
+      // broadcast-probe scan as vs01 (the corpus streams once); at
+      // 100 TB the vs02/vs14 cell confinement drops in unchanged
+      // because the predicate is per-pair.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 200 AND 204),
+             |sc AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |         list_cosine_similarity(pv, e.v) AS c
+             |       FROM p, e WHERE e.vec_id <> probe_id)
+             |SELECT probe_id, CAST(count(*) AS BIGINT) AS n_in_range,
+             |  CAST(sum(neighbor_id) AS BIGINT) AS neighbor_id_sum,
+             |  round(max(c), 4) AS max_c
+             |FROM sc WHERE c >= 0.25
+             |GROUP BY probe_id""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id").between(200, 204))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .filter(col("c") >= 0.25)
+          .groupBy("probe_id")
+          .agg(count(lit(1)).cast("long").as("n_in_range"),
+            sum("neighbor_id").cast("long").as("neighbor_id_sum"),
+            round(max("c"), 4).as("max_c"))
       })
   )
 }

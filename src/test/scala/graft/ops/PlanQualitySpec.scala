@@ -69,9 +69,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // dd12: cell assignment streams the corpus once against the
       // broadcast 8-centroid set (the in-cell pair join is an equi-join)
       // vs12/vs14: same broadcast 8-centroid assignment cross as dd12;
-      // q53: 1-row × 1-row scalar combine (FK count × table row count)
+      // q53: 1-row × 1-row scalar combine (FK count × table row count);
+      // vs16: vs01's broadcast-probe corpus stream (range search)
       "vs11_mips_topk", "dd12_semantic_dedup", "vs12_cell_balance",
-      "vs14_ivf_pq_search", "q53_constraint_audit")
+      "vs14_ivf_pq_search", "q53_constraint_audit", "vs16_range_search")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
