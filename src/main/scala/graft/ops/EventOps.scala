@@ -1367,6 +1367,48 @@ object EventOps {
             max("n").cast("long").as("peak_events"),
             sum("n").cast("long").as("total_events"))
           .drop("island")
-      })
+      }),
+
+    QueryDef(
+      "ev40_trend_slope",
+      // Per-type volume TREND: ordinary-least-squares slope of daily
+      // event counts against the epoch-day index — the "is this
+      // metric growing or decaying, and how fast" estimator behind
+      // capacity planning and drift alerts. The closed form
+      // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) keeps EVERY term an
+      // exact BIGINT (x = epoch day, y = count); both engines perform
+      // ONE identical double division at the end — no float
+      // accumulation anywhere, so the hash match is order-independent.
+      // Two tiny shuffles (day rollup, per-type fold); map-side
+      // combinable at any scale.
+      Some("""WITH dd AS (
+             |  SELECT event_type,
+             |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             |    count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |s AS (
+             |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM dd GROUP BY 1)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             |  CAST(sy AS BIGINT) AS total_events,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+             |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+          .select(col("event_type"), col("n").cast("long").as("n_days"),
+            col("sy").cast("long").as("total_events"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              6).as("slope")))
   )
 }

@@ -465,6 +465,35 @@ object MultimodalOps {
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(when(col("orig_md5") === col("reassembled_md5"), 1L)
               .otherwise(0L)).cast("long").as("n_verified"))
-      })
+      }),
+
+    QueryDef(
+      "mm12_modality_align",
+      // Cross-modality ALIGNMENT audit — before any (text, embedding)
+      // pair feeds a contrastive/multimodal trainer, count what
+      // actually pairs up: per-language coverage of documents by their
+      // embedding row (doc_id = vec_id), with the missing-doc id_sum
+      // pinning exactly WHICH rows lack a vector (at sf0.1 ~60% of
+      // docs do — the realistic partially-embedded lake). One
+      // left equi-join on the id: broadcastable while the vector side
+      // is index-sized, a plain shuffle join once it isn't; either
+      // way the audit is scan-dominated.
+      Some("""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_paired,
+             |  CAST(sum(CASE WHEN e.vec_id IS NULL THEN d.doc_id ELSE 0 END)
+             |    AS BIGINT) AS missing_id_sum
+             |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+             |GROUP BY d.lang""".stripMargin),
+      (s, d) =>
+        Tables(s, d, "documents")
+          .join(Tables(s, d, "embeddings").select(col("vec_id")),
+            col("doc_id") === col("vec_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).cast("long")
+              .as("n_paired"),
+            sum(when(col("vec_id").isNull, col("doc_id")).otherwise(0L))
+              .cast("long").as("missing_id_sum")))
   )
 }

@@ -1345,6 +1345,46 @@ object Relational {
           .withColumn("pct_change",
             round((col("revenue") - col("prev_revenue")) * 100 /
               col("prev_revenue"), 4))
+      }),
+
+    QueryDef(
+      "q59_retractable_agg",
+      // RETRACTABLE aggregate maintenance — the sliding-window
+      // complement of q55's append-only merge: the materialized state
+      // (years ≤1999) slides forward by SUBTRACTING the expiring
+      // partial (≤1996) and adding the new one (≥2000), never
+      // rescanning the retained middle. Subtraction is only sound for
+      // group/abelian aggregates (count, sum — NOT min/max), and only
+      // EXACT arithmetic makes `state − expired` equal `sum(retained)`
+      // bit-for-bit, so the money column is DECIMAL(18,2) throughout
+      // (q38's discipline). The oracle aggregates years ≥1997
+      // directly: the hash match proves the delta-maintained state ≡
+      // the recomputed truth — a day-delta-sized job where a 100 TB
+      // window refresh would otherwise rescan the window. Groups whose
+      // count retracts to zero drop out (true deletion semantics).
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_dec,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |        / count(*), 4) AS avg_px
+             |FROM orders WHERE year(o_orderdate) >= 1997
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        def partial(f: org.apache.spark.sql.Column, sign: Int) =
+          ord(s, d).filter(f)
+            .groupBy("o_orderpriority")
+            .agg((count(lit(1)) * sign).as("pn"),
+              (sum(col("o_totalprice").cast(dec)) * sign).as("psum"))
+        val state   = partial(year(col("o_orderdate")) <= 1999, 1)
+        val expired = partial(year(col("o_orderdate")) <= 1996, -1)
+        val fresh   = partial(year(col("o_orderdate")) >= 2000, 1)
+        state.unionByName(expired).unionByName(fresh)
+          .groupBy("o_orderpriority")
+          .agg(sum("pn").cast("long").as("n"), sum("psum").as("s"))
+          .filter(col("n") > 0)
+          .select(col("o_orderpriority"), col("n"),
+            col("s").cast(dec).cast("string").as("sum_dec"),
+            round(col("s").cast("double") / col("n"), 4).as("avg_px"))
       })
   )
 }

@@ -427,6 +427,35 @@ object SampleOps {
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum("n_chars").cast("long").as("chars_taken"),
             sum("doc_id").cast("long").as("id_sum"))
-      })
+      }),
+
+    QueryDef(
+      "sp15_group_kfold",
+      // GROUP-aware k-fold (GroupKFold): the fold is a pure function of
+      // the document's SOURCE, not its id — every doc from one source
+      // lands in the same fold, so near-duplicate documents from a
+      // common origin can never straddle a train/eval boundary (the
+      // classic contamination leak sp13's row-level folds can't
+      // prevent). Disjoint-by-construction; the census pins per-fold
+      // source and doc membership (id_sum) for reproducibility. Same
+      // map-only integer-hash discipline as sp13 — no stored manifest.
+      Some("""WITH f AS (
+             |  SELECT doc_id, source,
+             |    CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 5 AS fold
+             |  FROM documents)
+             |SELECT CAST(fold AS BIGINT) AS fold,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM f GROUP BY 1""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            (conv(substring(md5(col("source").cast("binary")), 1, 8), 16, 10)
+              .cast("long") % 5).cast("long").as("fold"))
+          .groupBy("fold")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct("source").cast("long").as("n_sources"),
+            sum("doc_id").cast("long").as("id_sum")))
   )
 }

@@ -832,6 +832,142 @@ object TextOps {
             sum("h").cast("long").as("total_hits"),
             sum(when(col("h") === 0, col("doc_id")).otherwise(0L))
               .cast("long").as("admitted_id_sum"))
+      }),
+
+    QueryDef(
+      "tx25_feature_scale",
+      // Per-group z-score feature scaling — the normalization step in
+      // front of any quality-score model: each document's length
+      // standardized against its LANGUAGE's distribution (cross-lingual
+      // lengths aren't comparable raw). The group moments stay exact
+      // BIGINTs (n, Σx, Σx²; population variance = (nΣx²−(Σx)²)/n²),
+      // and the float pipeline — mean = Σx/n, sd = √(nΣx²−(Σx)²)/n,
+      // z = (x−mean)/sd — is written as the IDENTICAL IEEE expression
+      // in both engines, so per-row results hash-match with no
+      // accumulation-order exposure. The tiny per-lang stats broadcast
+      // back onto the scan: map-side after one rollup, no window over
+      // a skewed lang partition.
+      Some("""WITH s AS (
+             |  SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+             |    sum(n_chars * n_chars) AS sxx
+             |  FROM documents GROUP BY 1)
+             |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+             |  round((CAST(d.n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+             |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n), 4) AS z
+             |FROM documents d JOIN s ON d.lang = s.lang
+             |WHERE n * sxx - sx * sx > 0""".stripMargin),
+      (s, d) => {
+        val st = docs(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sxx"))
+          .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        docs(s, d).join(broadcast(st), "lang")
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"),
+            round((col("n_chars").cast("double")
+                - col("sx").cast("double") / col("n"))
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) / col("n")), 4).as("z"))
+      }),
+
+    QueryDef(
+      "tx26_zipf_fit",
+      // Zipf's-law fit of the corpus vocabulary: OLS slope of
+      // ln(count) against ln(rank) — natural corpora run near −1, so
+      // the fitted slope is a one-number "does this look like natural
+      // language" screen (synthetic/templated corpora flatten it).
+      // ln() itself bit-matches across engines (established by
+      // tx09/tx13/tx16/tx18), but SUMS of ln terms across rows would
+      // be accumulation-order-dependent — so each log is quantized to
+      // an exact 1e-6 grid integer first (floor(ln·1e6+0.5), the vs04
+      // rounding discipline) and the regression runs on pure BIGINTs:
+      // ev40's closed form, ONE final double division. Vocab rollup +
+      // a vocab-sized fold — scan-dominated at any corpus size.
+      Some("""WITH v AS (
+             |  SELECT tok, count(*) AS c,
+             |    row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents) t
+             |  GROUP BY tok),
+             |q AS (
+             |  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx,
+             |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly
+             |  FROM v),
+             |s AS (
+             |  SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             |    sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+             |  FROM q)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |        / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+             |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .withColumn("r",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .select(
+            floor(log(col("r").cast("double")) * 1e6 + lit(0.5)).as("lx"),
+            floor(log(col("c").cast("double")) * 1e6 + lit(0.5)).as("ly"))
+          .agg(count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+            sum(col("lx") * col("ly")).as("sxy"),
+            sum(col("lx") * col("lx")).as("sxx"))
+          .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+          .select(col("n").cast("long").as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              4).as("zipf_slope"))),
+
+    QueryDef(
+      "tx27_kl_divergence",
+      // Per-language vocabulary DRIFT: KL(lang unigram dist ‖ corpus
+      // unigram dist) — the data-mixing diagnostic that flags a source
+      // whose token distribution diverges from the blend it feeds
+      // (language subsets ARE drifted sub-corpora here, so the numbers
+      // are non-trivial by construction). KL = Σ pᵢ·ln(pᵢ/qᵢ) with
+      // pᵢ = cᵢ/N_lang, qᵢ = dᵢ/M_corpus; every log RATIO is taken on
+      // one double built from exact int64 cross-products
+      // (ln(c·M / (d·N)) — IEEE-identical both engines) and quantized
+      // to a 1e-6-grid integer (tx26's discipline), so the per-lang
+      // sum is Σ cᵢ·kᵢ — pure BIGINT, order-independent — with ONE
+      // final division. Costs: one token rollup + two vocab-sized
+      // broadcasts; scan-dominated at any corpus size.
+      Some("""WITH t AS (
+             |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |lc AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+             |nl AS (SELECT lang, sum(c) AS nl FROM lc GROUP BY 1),
+             |cc AS (SELECT tok, count(*) AS dc FROM t GROUP BY 1),
+             |m AS (SELECT sum(dc) AS mm FROM cc),
+             |k AS (
+             |  SELECT lc.lang, lc.c, nl.nl,
+             |    CAST(floor(ln(CAST(lc.c * m.mm AS DOUBLE)
+             |                  / CAST(cc.dc * nl.nl AS DOUBLE)) * 1000000 + 0.5)
+             |      AS BIGINT) AS ki
+             |  FROM lc JOIN cc USING (tok) JOIN nl ON lc.lang = nl.lang
+             |  CROSS JOIN m)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+             |  round(CAST(sum(c * ki) AS DOUBLE)
+             |        / (CAST(max(nl) AS DOUBLE) * 1000000), 6) AS kl
+             |FROM k GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val t = docs(s, d)
+          .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val lc = t.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val nl = lc.groupBy("lang").agg(sum("c").as("nl"))
+        val cc = lc.groupBy("tok").agg(sum("c").as("dc"))
+        val mm = cc.agg(sum("dc").as("mm"))
+        lc.join(broadcast(cc), "tok")
+          .join(broadcast(nl), "lang")
+          .crossJoin(broadcast(mm))
+          .withColumn("ki",
+            floor(log((col("c") * col("mm")).cast("double")
+                / (col("dc") * col("nl")).cast("double")) * 1e6 + lit(0.5)))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_terms"),
+            round(sum(col("c") * col("ki")).cast("double")
+              / (max("nl").cast("double") * 1e6), 6).as("kl"))
       })
   )
 }

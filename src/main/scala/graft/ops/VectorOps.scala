@@ -66,6 +66,20 @@ object VectorOps {
     assignClusters(vectors, centroids)
       .write.partitionBy("cid").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance: assign NEW vectors against the
+    * SAME centroids and append them into their cells — no rebuild, no
+    * read of the existing index. Dynamic partition overwrite is not
+    * needed because cells are append-only under a fixed codebook;
+    * untouched cells' files are physically untouched (the contract
+    * UpsertSpec pins for the hash-bucket store, here for the IVF
+    * store). Cost scales with the BATCH, not the index — the property
+    * that makes a 100 TB vector lake maintainable daily. Cell-balance
+    * drift under appends is what vs12 audits; when it degrades, vs05's
+    * refit + a one-time `writeIvfIndex` rebuild restore it. */
+  def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignClusters(newVectors, centroids)
+      .write.partitionBy("cid").mode("append").parquet(path)
+
   /** Top-k cosine neighbors of each probe within the probe's cell.
     * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
     * the scan to the probed partitions. Probe sets are small by design,
@@ -829,6 +843,106 @@ object VectorOps {
           .agg(count(lit(1)).cast("long").as("n_in_range"),
             sum("neighbor_id").cast("long").as("neighbor_id_sum"),
             round(max("c"), 4).as("max_c"))
+      }),
+
+    QueryDef(
+      "vs17_multiprobe_recall",
+      // The nprobe SWEEP completing vs06's tuning story: recall@10 at
+      // nprobe=1 vs nprobe=2 (probe the two nearest cells) against the
+      // brute-force truth, in ONE pass — the nprobe=2 candidate set is
+      // scored once and the nprobe=1 ranking is a filtered re-rank of
+      // the same scored rows (cell_rank=1), so widening the sweep
+      // costs windows, not scans. This measured recall-vs-cells curve
+      // is what sets the production nprobe: at 100 TB each extra cell
+      // is a proportional scan cost, so you buy exactly the recall you
+      // need. All rankings are total orders (cos DESC, id) —
+      // engine-deterministic; recall is a ratio of exact integers.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |pc AS (SELECT vec_id AS probe_id, cid, arn AS cell_rank FROM a
+             |       WHERE arn <= 2 AND vec_id BETWEEN 100 AND 104),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 100 AND 104),
+             |bf AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS rn
+             |  FROM p, e WHERE e.vec_id <> probe_id) t WHERE rn <= 10),
+             |cand AS (SELECT pc.probe_id, e.vec_id AS neighbor_id, pc.cell_rank,
+             |    list_cosine_similarity(p.pv, e.v) AS cos
+             |  FROM pc JOIN asg ON asg.cid = pc.cid
+             |  JOIN e ON e.vec_id = asg.vec_id
+             |  JOIN p ON p.probe_id = pc.probe_id
+             |  WHERE e.vec_id <> pc.probe_id),
+             |i2 AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY cos DESC, neighbor_id) AS rn
+             |  FROM cand) t WHERE rn <= 10),
+             |i1 AS (SELECT probe_id, neighbor_id FROM (
+             |  SELECT probe_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY cos DESC, neighbor_id) AS rn
+             |  FROM cand WHERE cell_rank = 1) t WHERE rn <= 10)
+             |SELECT bf.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN i1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_p1,
+             |  CAST(sum(CASE WHEN i2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_p2,
+             |  round(sum(CASE WHEN i1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE), 4) AS recall_p1,
+             |  round(sum(CASE WHEN i2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |        / CAST(count(*) AS DOUBLE), 4) AS recall_p2
+             |FROM bf
+             |LEFT JOIN i1 ON bf.probe_id = i1.probe_id AND bf.neighbor_id = i1.neighbor_id
+             |LEFT JOIN i2 ON bf.probe_id = i2.probe_id AND bf.neighbor_id = i2.neighbor_id
+             |GROUP BY bf.probe_id""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val asg = assignClusters(e, centroids)
+        val wCell = Window.partitionBy("probe_id")
+          .orderBy(col("pcos").desc, col("cid"))
+        val pcells = e.filter(col("vec_id").between(100, 104))
+          .crossJoin(broadcast(centroids))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid"),
+            cosine(col("v"), col("cv")).as("pcos"))
+          .withColumn("cell_rank", row_number().over(wCell))
+          .filter(col("cell_rank") <= 2)
+          .select(col("probe_id"), col("pv"), col("cid"), col("cell_rank"))
+        val probes = pcells.filter(col("cell_rank") === 1)
+          .select(col("probe_id"), col("pv"))
+        val wRank = Window.partitionBy("probe_id")
+          .orderBy(col("c").desc, col("neighbor_id"))
+        val bf = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        val cand = asg.join(broadcast(pcells), Seq("cid"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            col("cell_rank"), cosine(col("pv"), col("v")).as("c"))
+        val i2 = cand.withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10).select(col("probe_id"), col("neighbor_id"))
+        val i1 = cand.filter(col("cell_rank") === 1)
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10).select(col("probe_id"), col("neighbor_id"))
+        val h1 = when(col("m1").isNotNull, 1L).otherwise(0L)
+        val h2 = when(col("m2").isNotNull, 1L).otherwise(0L)
+        bf.join(i1.withColumn("m1", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+          .join(i2.withColumn("m2", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(h1).cast("long").as("hit_p1"),
+            sum(h2).cast("long").as("hit_p2"),
+            round(sum(h1) / count(lit(1)).cast("double"), 4).as("recall_p1"),
+            round(sum(h2) / count(lit(1)).cast("double"), 4).as("recall_p2"))
       })
   )
 }

@@ -205,6 +205,32 @@ object StreamQueries {
               unix_micros(col("session_window.start")).as("start_us"),
               unix_micros(col("session_window.end")).as("end_us"),
               col("n_events"))
-        })
+        }),
+
+    QueryDef(
+      "st06_stream_distinct_users",
+      // Streaming EXACT distinct: hourly unique users via the
+      // dedup-then-count decomposition — dropDuplicates holds one
+      // state row per (hour, user) and emits first-seen rows; the
+      // count over the deduped stream is then an ordinary rollup
+      // (batch-side here, st02's audit discipline). This is how exact
+      // COUNT(DISTINCT) — which no streaming aggregate can do
+      // directly — decomposes into bounded keyed state; with a
+      // watermark the per-hour state evicts as event time passes, so
+      // the unbounded form stays O(active hours × users).
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val kept = runStream(s, s"$d/events.parquet", "append") { src =>
+          tsCol(src)
+            .select(
+              date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+                .as("hour_ts"),
+              col("user_id"))
+            .dropDuplicates("hour_ts", "user_id")
+        }
+        kept.groupBy("hour_ts").agg(count(lit(1)).cast("long").as("n_users"))
+      })
   )
 }

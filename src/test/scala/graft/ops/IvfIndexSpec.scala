@@ -48,4 +48,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(result.exceptAll(expected).count() == 0)
     assert(expected.exceptAll(result).count() == 0)
   }
+
+  test("appendIvfIndex: batch lands in its cells, untouched cells' files unchanged, probes see it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString + "/index"
+    val base = vectors.filter(col("vec_id") < 480)
+    val batch = vectors.filter(col("vec_id") >= 480)
+    VectorOps.writeIvfIndex(base, centroids, path)
+
+    val batchCells = VectorOps.assignClusters(batch, centroids)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    val untouched = (0L until 8L).filterNot(batchCells)
+    def cellFiles(cid: Long): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/cid=$cid")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = untouched.map(c => c -> cellFiles(c)).toMap
+
+    VectorOps.appendIvfIndex(batch, centroids, path)
+
+    // append-only: cells the batch doesn't touch are physically untouched
+    untouched.foreach(c => assert(cellFiles(c) == before(c), s"cell $c files changed"))
+    // the index now holds everything exactly once
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == vectors.count())
+    assert(idx.select("vec_id").distinct().count() == vectors.count())
+    // a probe whose cell got appendees sees them
+    val asg = VectorOps.assignClusters(vectors, centroids)
+    val probeCell = batchCells.head
+    val probes = asg.filter(col("cid") === probeCell).limit(1)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cid").as("pcid"))
+    val got = VectorOps.probeIvfIndex(spark, path, probes, k = 1000)
+    val wantInCell = asg.filter(col("cid") === probeCell).count() - 1 // minus the probe itself
+    assert(got.count() == math.min(1000L, wantInCell))
+  }
 }

@@ -72,7 +72,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // q53: 1-row × 1-row scalar combine (FK count × table row count);
       // vs16: vs01's broadcast-probe corpus stream (range search)
       "vs11_mips_topk", "dd12_semantic_dedup", "vs12_cell_balance",
-      "vs14_ivf_pq_search", "q53_constraint_audit", "vs16_range_search")
+      "vs14_ivf_pq_search", "q53_constraint_audit", "vs16_range_search",
+      // vs17: vs01's broadcast-probe ground-truth pass + the broadcast
+      // 8-centroid cell ranking (the candidate pass itself equi-joins);
+      // tx27: 1-row broadcast corpus token total (tx09's N pattern)
+      "vs17_multiprobe_recall", "tx27_kl_divergence")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

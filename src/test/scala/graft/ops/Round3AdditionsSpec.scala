@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants for the round-3 closing additions (ev40, sp15,
+  * q59, tx25, tx26, vs17, st06) beyond the oracle hash gate: each test
+  * pins a property the DuckDB value-compare can't express (leakage
+  * freedom, monotonicity, equivalence to a direct recompute under a
+  * different plan).
+  */
+class Round3AdditionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sp15 group k-fold: no source straddles a fold (leakage-free), folds disjoint+exhaustive") {
+    val folds = SparkEntry.queries("sp15_group_kfold")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // disjoint+exhaustive on docs
+    assert(folds.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // each distinct source contributes to exactly one fold
+    val totalSources = docs.select("source").distinct().count()
+    assert(folds.agg(sum("n_sources")).head.getLong(0) == totalSources)
+  }
+
+  test("q59 retractable agg: delta-maintained state equals direct recompute") {
+    val maintained = SparkEntry.queries("q59_retractable_agg")(spark, sf)
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(year(col("o_orderdate")) >= 1997)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val joined = maintained.select(col("o_orderpriority"), col("n").as("nm"))
+      .join(direct, "o_orderpriority", "full_outer")
+      .filter(col("nm").isNull || col("n").isNull || col("nm") =!= col("n"))
+    assert(joined.count() == 0)
+  }
+
+  test("vs17 multiprobe recall: probing 2 cells never loses recall vs 1 cell") {
+    val r = SparkEntry.queries("vs17_multiprobe_recall")(spark, sf)
+    assert(r.filter(col("hit_p2") < col("hit_p1")).count() == 0)
+    assert(r.count() == 5) // one row per probe
+  }
+
+  test("tx25 feature scale: per-lang z-scores have mean ~0 and unit population variance") {
+    val z = SparkEntry.queries("tx25_feature_scale")(spark, sf)
+    val stats = z.groupBy("lang")
+      .agg(avg("z").as("m"), avg(col("z") * col("z")).as("m2"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { row =>
+      assert(math.abs(row.getAs[Double]("m")) < 0.01, s"lang mean z off: $row")
+      assert(math.abs(row.getAs[Double]("m2") - 1.0) < 0.05, s"lang var z off: $row")
+    }
+  }
+
+  test("ev40 trend slope is invariant to input partitioning (exact-integer closed form)") {
+    val a = SparkEntry.queries("ev40_trend_slope")(spark, sf).collect().toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = SparkEntry.queries("ev40_trend_slope")(spark, sf).collect().toSet
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("tx26 zipf slope is negative (frequency decays with rank) and covers the vocab") {
+    val r = SparkEntry.queries("tx26_zipf_fit")(spark, sf).head()
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+    assert(r.getAs[Long]("n_terms") > 10)
+  }
+
+  test("tx27 KL divergence: non-negative (up to 1e-6 log-grid rounding) for every lang") {
+    val kl = SparkEntry.queries("tx27_kl_divergence")(spark, sf).collect()
+    assert(kl.nonEmpty)
+    kl.foreach(r => assert(r.getAs[Double]("kl") >= -1e-4, s"negative KL: $r"))
+  }
+
+  test("mm12 modality alignment: paired counts reconcile with the actual id intersection") {
+    val a = SparkEntry.queries("mm12_modality_align")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val paired = docs.join(embs, col("doc_id") === col("vec_id")).count()
+    assert(a.agg(sum("n_paired")).head.getLong(0) == paired)
+    assert(a.agg(sum("n_docs")).head.getLong(0) == docs.count())
+  }
+
+  test("st06 streaming distinct users equals the batch COUNT(DISTINCT) per hour") {
+    val stream = SparkEntry.queries("st06_stream_distinct_users")(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = ev.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
+      .agg(countDistinct("user_id").as("n_users"))
+    assert(stream.collect().toSet == batch.collect().toSet)
+  }
+}
