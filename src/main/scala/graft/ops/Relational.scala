@@ -1385,6 +1385,37 @@ object Relational {
           .select(col("o_orderpriority"), col("n"),
             col("s").cast(dec).cast("string").as("sum_dec"),
             round(col("s").cast("double") / col("n"), 4).as("avg_px"))
+      }),
+
+    QueryDef(
+      "q60_nested_pruning",
+      // Nested-struct round trip + NESTED column pruning — events/logs
+      // lakes are full of struct columns, and reading a whole struct
+      // to touch one leaf multiplies scan bytes. Orders go out as
+      // parquet with two struct columns (who: {custkey, okey},
+      // money: {total, priority}) and come back with only two LEAVES
+      // referenced: Spark's nested-schema pruning cuts the ReadSchema
+      // to those leaves (frozen in PlanQualitySpec), so the scan reads
+      // 2 of 4 nested fields — at 100 TB that's the difference between
+      // scanning the struct lake and scanning two columns. The oracle
+      // aggregates the flat originals: any value/structure loss in the
+      // nested round trip breaks the hash.
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+             |FROM orders GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_nested_").toString
+        ord(s, d)
+          .select(
+            struct(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"))
+              .as("who"),
+            struct(col("o_totalprice").as("total"),
+              col("o_orderpriority").as("priority")).as("money"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy(col("money.priority").as("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("who.custkey")).cast("long").as("custkey_sum"))
       })
   )
 }

@@ -34,6 +34,15 @@ object SampleOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
+  /** events.ts arrives as raw TIMESTAMP(NANOS) longs (nanosAsLong, see
+    * EventOps): truncate to micros exactly like DuckDB's ns→µs cast. */
+  private def evTs(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
   /** Portable per-row hash key: lowercase-hex md5 of the decimal doc_id
     * string — byte-identical between Spark and DuckDB. */
   private def hkey: Column = md5(col("doc_id").cast("string").cast("binary"))
@@ -457,5 +466,32 @@ object SampleOps {
           .agg(count(lit(1)).cast("long").as("n_docs"),
             countDistinct("source").cast("long").as("n_sources"),
             sum("doc_id").cast("long").as("id_sum")))
+      ,
+
+    QueryDef(
+      "sp16_temporal_split",
+      // TEMPORAL train/eval split — for forecasting/recommendation
+      // data the only split that doesn't leak: train strictly before
+      // the cutoff, eval at/after it (here the calendar split point
+      // 2021-03-01 over the event stream). The census pins each
+      // side's span as exact epoch-µs integers, so max(train) <
+      // min(eval) — the no-leakage invariant — is auditable from the
+      // output itself. Map-only partition of the scan; the cutoff
+      // pushes down to the parquet reader on both branches.
+      Some("""SELECT CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 'train'
+             |    ELSE 'eval' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+             |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, d) =>
+        evTs(s, d)
+          .groupBy(when(col("ts") < lit("2024-01-22").cast("timestamp"), "train")
+            .otherwise("eval").as("split"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            countDistinct("user_id").cast("long").as("n_users"),
+            min(unix_micros(col("ts"))).cast("long").as("min_us"),
+            max(unix_micros(col("ts"))).cast("long").as("max_us")))
   )
 }

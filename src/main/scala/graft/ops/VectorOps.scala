@@ -533,9 +533,11 @@ object VectorOps {
       // by cosine. All-pairs scoring broadcasts one side (the corpus
       // fits per-executor here; the 100 TB path swaps in the vs02 IVF
       // cells so each cell scores locally), ranks per source with one
-      // window, then the mutuality check is a self-join of the tiny
-      // top-k edge list on the reversed key. Scores stay inside
-      // WholeStageCodegen via the native cosine.
+      // window, then mutuality is ONE aggregation on the unordered
+      // pair key (a pair is mutual iff it appears in both directions,
+      // count = 2) — a reversed-key self-join would re-evaluate the
+      // whole scoring pipeline for its second input (measured 2x).
+      // Scores stay inside WholeStageCodegen via the native cosine.
       Some("""WITH e AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |sc AS (
@@ -559,12 +561,14 @@ object VectorOps {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("src"), col("nb"), col("c"))
-        topk.as("x")
-          .join(topk.select(col("src").as("ysrc"), col("nb").as("ynb")),
-            col("src") === col("ynb") && col("nb") === col("ysrc"))
-          .filter(col("src") < col("nb"))
-          .select(col("src").as("a"), col("nb").as("b"),
-            round(col("c"), 4).as("cos"))
+        topk
+          .select(least(col("src"), col("nb")).as("a"),
+            greatest(col("src"), col("nb")).as("b"),
+            when(col("src") < col("nb"), col("c")).as("cfwd"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("ndir"), max("cfwd").as("c"))
+          .filter(col("ndir") === 2)
+          .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
       }),
 
     QueryDef(
@@ -943,6 +947,30 @@ object VectorOps {
             sum(h2).cast("long").as("hit_p2"),
             round(sum(h1) / count(lit(1)).cast("double"), 4).as("recall_p1"),
             round(sum(h2) / count(lit(1)).cast("double"), 4).as("recall_p2"))
+      }),
+
+    QueryDef(
+      "vs18_centroid_separation",
+      // Codebook SEPARATION audit — the remaining leg of the IVF
+      // health suite (balance vs12, convergence vs08, recall vs06/
+      // vs17): pairwise cosine between centroids. Centroids that drift
+      // too close make cell assignment arbitrary near their boundary
+      // and cap the recall any nprobe can buy — this 8×8 grid is the
+      // signal to re-seed. Trivially driver-sized here and at 100 TB
+      // (codebooks are KB-scale); the full-matrix shape is the same
+      // broadcast cross vs10 uses on the corpus.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)
+             |SELECT a.cid AS cid_a, b.cid AS cid_b,
+             |  round(list_cosine_similarity(a.cv, b.cv), 4) AS cos
+             |FROM c a JOIN c b ON a.cid < b.cid""".stripMargin),
+      (s, d) => {
+        val c = emb(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val cb = c.select(col("cid").as("cid_b"), col("cv").as("cvb"))
+        c.join(broadcast(cb), col("cid") < col("cid_b"))
+          .select(col("cid").as("cid_a"), col("cid_b"),
+            round(cosine(col("cv"), col("cvb")), 4).as("cos"))
       })
   )
 }

@@ -75,12 +75,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "vs14_ivf_pq_search", "q53_constraint_audit", "vs16_range_search",
       // vs17: vs01's broadcast-probe ground-truth pass + the broadcast
       // 8-centroid cell ranking (the candidate pass itself equi-joins);
-      // tx27: 1-row broadcast corpus token total (tx09's N pattern)
-      "vs17_multiprobe_recall", "tx27_kl_divergence")
+      // tx27: 1-row broadcast corpus token total (tx09's N pattern);
+      // vs18: 8x8 broadcast codebook self-cross (KB-scale both sides)
+      "vs17_multiprobe_recall", "tx27_kl_divergence",
+      "vs18_centroid_separation")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
+  test("q60: nested-schema pruning cuts the struct scan to the two referenced leaves") {
+    val p = plan("q60_nested_pruning")
+    assert(p.contains("ReadSchema: struct<who:struct<custkey:bigint>," +
+      "money:struct<priority:string>>"),
+      s"nested leaves not pruned:\n$p")
   }
 
   test("pp03: the corpus branch scans only the fingerprint inputs, never full rows") {

@@ -88,6 +88,19 @@ class Round3AdditionsSpec extends AnyFunSuite {
     assert(a.agg(sum("n_docs")).head.getLong(0) == docs.count())
   }
 
+  test("sp16 temporal split: train strictly precedes eval (no temporal leakage)") {
+    val r = SparkEntry.queries("sp16_temporal_split")(spark, sf).collect()
+      .map(x => x.getAs[String]("split") -> x).toMap
+    assert(r.keySet == Set("train", "eval"))
+    assert(r("train").getAs[Long]("max_us") < r("eval").getAs[Long]("min_us"))
+  }
+
+  test("vs18 centroid separation: full upper triangle of the 8-centroid codebook") {
+    val r = SparkEntry.queries("vs18_centroid_separation")(spark, sf)
+    assert(r.count() == 28) // C(8,2)
+    assert(r.filter(col("cos") > 0.9999).count() == 0, "degenerate (near-identical) centroids")
+  }
+
   test("st06 streaming distinct users equals the batch COUNT(DISTINCT) per hour") {
     val stream = SparkEntry.queries("st06_stream_distinct_users")(spark, sf)
     val ev = spark.read.parquet(s"$sf/events.parquet")
