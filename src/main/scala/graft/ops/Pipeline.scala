@@ -276,6 +276,75 @@ object Pipeline {
             sum("admitted").cast("long").as("n_admitted"),
             sum(when(col("admitted") === 1, col("doc_id")).otherwise(0L))
               .cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "pp04_eval_build",
+      // EVAL-set construction — the held-out side pp01/pp02 don't
+      // build, with the two leaks that ruin evals closed IN the plan:
+      // benchmark contamination (dd10's integral 2·hit ≥ n span gate
+      // against the doc_id < 25 benchmark, broadcast semi-hit) and
+      // train/eval group leakage (sp15's source-keyed fold: fold 0 is
+      // eval, so a source's near-duplicates can never sit on both
+      // sides). Decontaminated survivors split by fold; the per-split
+      // census (docs, chars, sources, id_sum) pins membership. ONE
+      // plan: shingle scan → broadcast span probe → per-doc rollup →
+      // map-side fold tag → tiny aggregate. Scan-dominated like every
+      // pp entry — the eval build rides the same pass shapes as the
+      // training build it must stay disjoint from.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |bench AS (
+             |  SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id < 25),
+             |corpus AS (
+             |  SELECT doc_id, source, unnest(shs) AS sh FROM sh WHERE doc_id >= 25),
+             |clean AS (
+             |  SELECT c.doc_id, min(c.source) AS source
+             |  FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+             |  GROUP BY c.doc_id
+             |  HAVING 2 * sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+             |         < count(*)),
+             |tagged AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 5 = 0
+             |         THEN 'eval' ELSE 'train' END AS split
+             |  FROM clean)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM tagged GROUP BY split""".stripMargin),
+      (s, d) => {
+        val sets = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.GraftFunctions.word_shingles(col("text"), 5).as("shs"))
+          .filter(size(col("shs")) > 0)
+        val bench = sets.filter(col("doc_id") < 25)
+          .select(explode(col("shs")).as("sh")).distinct()
+        sets.filter(col("doc_id") >= 25)
+          .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
+          .join(broadcast(bench.withColumn("hit_mark", lit(1))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(min(col("source")).as("source"),
+            count(lit(1)).as("n_spans"),
+            sum(when(col("hit_mark").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .filter(lit(2) * col("n_hit") < col("n_spans"))
+          .select(col("doc_id"),
+            when((conv(substring(md5(col("source").cast("binary")), 1, 8), 16, 10)
+              .cast("long") % 5) === 0, "eval").otherwise("train").as("split"),
+            col("source"))
+          .groupBy("split")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct("source").cast("long").as("n_sources"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

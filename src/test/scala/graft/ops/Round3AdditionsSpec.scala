@@ -101,6 +101,15 @@ class Round3AdditionsSpec extends AnyFunSuite {
     assert(r.filter(col("cos") > 0.9999).count() == 0, "degenerate (near-identical) centroids")
   }
 
+  test("pp04 eval build: splits cover exactly dd10's uncontaminated corpus docs") {
+    val pp = SparkEntry.queries("pp04_eval_build")(spark, sf)
+    val clean = SparkEntry.queries("dd10_decontaminate")(spark, sf)
+      .filter(col("contaminated") === 0)
+    assert(pp.agg(sum("n_docs")).head.getLong(0) == clean.count())
+    assert(pp.agg(sum("id_sum")).head.getLong(0) ==
+      clean.agg(sum("doc_id")).head.getLong(0))
+  }
+
   test("st06 streaming distinct users equals the batch COUNT(DISTINCT) per hour") {
     val stream = SparkEntry.queries("st06_stream_distinct_users")(spark, sf)
     val ev = spark.read.parquet(s"$sf/events.parquet")
