@@ -971,6 +971,89 @@ object VectorOps {
         c.join(broadcast(cb), col("cid") < col("cid_b"))
           .select(col("cid").as("cid_a"), col("cid_b"),
             round(cosine(col("cv"), col("cvb")), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs19_pq_distortion",
+      // PQ reconstruction FIDELITY — vs04 answers "what does int8
+      // cost?"; this answers the same for the 16x-smaller PQ codes
+      // vs09/vs14 search over: decode each vector from its 4 block
+      // codes (concatenate the chosen codebook blocks) and measure
+      // cosine(original, reconstruction), rolled up per label. The
+      // block argmin is vs09's integer-exact assignment; the per-row
+      // cosine is quantized to a 1e-6-grid BIGINT before the label
+      // rollup (vs05's mean discipline), so group means are
+      // order-independent. Decode work is a broadcast codebook join on
+      // the code — at 100 TB this is the monitoring pass that decides
+      // when drift forces codebook retraining.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |blocks AS (SELECT vec_id, v, b
+             |           FROM e, (SELECT unnest(range(0, 4)) AS b)),
+             |d AS (SELECT vec_id, b, cid,
+             |        CAST(list_sum(list_transform(range(1, 17),
+             |          i -> CAST(floor((v[16*b+i] - cv[16*b+i])
+             |                          * (v[16*b+i] - cv[16*b+i])
+             |                          * 1000000000000 + 0.5) AS BIGINT)))
+             |          AS BIGINT) AS d2q
+             |      FROM blocks, c),
+             |r AS (SELECT vec_id, b, cid,
+             |        row_number() OVER (PARTITION BY vec_id, b
+             |          ORDER BY d2q, cid) AS rn
+             |      FROM d),
+             |rec AS (SELECT r.vec_id,
+             |          flatten(list(list_slice(c.cv, 16 * r.b + 1, 16 * r.b + 16)
+             |            ORDER BY r.b)) AS vr
+             |        FROM r JOIN c ON c.cid = r.cid WHERE r.rn = 1
+             |        GROUP BY r.vec_id),
+             |q AS (SELECT e.vec_id,
+             |        CAST(floor(list_cosine_similarity(e.v, rec.vr) * 1000000
+             |                   + 0.5) AS BIGINT) AS rcq
+             |      FROM e JOIN rec ON e.vec_id = rec.vec_id)
+             |SELECT CAST(em.label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(q.rcq) AS DOUBLE) / (count(*) * 1000000.0), 4)
+             |    AS avg_recon_cos,
+             |  round(CAST(min(q.rcq) AS DOUBLE) / 1000000.0, 4) AS min_recon_cos
+             |FROM q JOIN embeddings em ON em.vec_id = q.vec_id
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val blocks = e.select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        def el(v: Column, i: Column) = element_at(v, (lit(16) * col("b") + i).cast("int"))
+        val d2q = aggregate(
+          transform(sequence(lit(1), lit(16)), i => {
+            val diff = el(col("v"), i) - el(col("cv"), i)
+            floor(diff * diff * lit(1e12) + lit(0.5))
+          }),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy("vec_id", "b").orderBy(col("d2q"), col("cid"))
+        val pick = blocks.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("b"), col("cid"), d2q.as("d2q"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("b"), col("cid"))
+        val rec = pick.join(broadcast(cb), "cid")
+          .select(col("vec_id"), col("b"),
+            slice(col("cv"), (lit(16) * col("b") + 1).cast("int"), lit(16)).as("blk"))
+          .groupBy("vec_id")
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("b"), col("blk")))),
+            x => x.getField("blk"))).as("vr"))
+        val labels = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        e.join(rec, "vec_id")
+          .select(col("vec_id"),
+            floor(cosine(col("v"), col("vr")) * 1e6 + lit(0.5)).as("rcq"))
+          .join(labels, "vec_id")
+          .groupBy("label")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum("rcq").cast("double") / (count(lit(1)) * lit(1e6)), 4)
+              .as("avg_recon_cos"),
+            round(min("rcq").cast("double") / lit(1e6), 4).as("min_recon_cos"))
       })
   )
 }

@@ -76,9 +76,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // vs17: vs01's broadcast-probe ground-truth pass + the broadcast
       // 8-centroid cell ranking (the candidate pass itself equi-joins);
       // tx27: 1-row broadcast corpus token total (tx09's N pattern);
-      // vs18: 8x8 broadcast codebook self-cross (KB-scale both sides)
+      // vs18: 8x8 broadcast codebook self-cross (KB-scale both sides);
+      // vs19: vs09's broadcast-codebook block-assignment cross
       "vs17_multiprobe_recall", "tx27_kl_divergence",
-      "vs18_centroid_separation")
+      "vs18_centroid_separation", "vs19_pq_distortion")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

@@ -101,6 +101,15 @@ class Round3AdditionsSpec extends AnyFunSuite {
     assert(r.filter(col("cos") > 0.9999).count() == 0, "degenerate (near-identical) centroids")
   }
 
+  test("vs19 PQ distortion: covers every vector; reconstruction beats a random direction") {
+    val r = SparkEntry.queries("vs19_pq_distortion")(spark, sf)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r.agg(sum("n")).head.getLong(0) == total)
+    // random 64-dim directions have E[cos] = 0; a working PQ decode is far above
+    r.collect().foreach(x =>
+      assert(x.getAs[Double]("avg_recon_cos") > 0.3, s"poor reconstruction: $x"))
+  }
+
   test("pp04 eval build: splits cover exactly dd10's uncontaminated corpus docs") {
     val pp = SparkEntry.queries("pp04_eval_build")(spark, sf)
     val clean = SparkEntry.queries("dd10_decontaminate")(spark, sf)
