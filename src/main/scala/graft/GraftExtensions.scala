@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries frequent items"),
       (es: Seq[Expression]) =>
         HeavyHitters(es(0), intArg(es(1), "heavy_hitters")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("topk_freq"),
+      info("topk_freq", "topk_freq(key, cnt, k) - mergeable top-k by (cnt DESC, key)"),
+      (es: Seq[Expression]) =>
+        TopKFreq(es(0), es(1), intArg(es(2), "topk_freq")).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("pair_ids"),
       info("pair_ids", "pair_ids(array<long>) - generator: all i<j pairs as (a, b)"),
       (es: Seq[Expression]) => PairExpandIds(es(0))))

@@ -112,6 +112,13 @@ object GraftFunctions {
   def heavy_hitters(c: Column, k: Int): Column =
     Bridge.column(HeavyHitters(Bridge.expression(c), k).toAggregateExpression())
 
+  /** `topk_freq(key, cnt, k)` aggregate: mergeable top-k entries by
+    * (cnt DESC, key ASC) as a sorted array<struct<tok,n>> — exact when
+    * each key reaches the aggregate once (post-groupBy shape). */
+  def topk_freq(key: Column, cnt: Column, k: Int): Column =
+    Bridge.column(
+      TopKFreq(Bridge.expression(key), Bridge.expression(cnt), k).toAggregateExpression())
+
   /** `word_shingles(text, n)`: distinct word n-grams, one pass. */
   def word_shingles(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
@@ -157,6 +164,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => HeavyHitters(exprs(0),
         intArg(exprs(1), "heavy_hitters")).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_freq", exprs => TopKFreq(exprs(0), exprs(1),
+        intArg(exprs(2), "topk_freq")).toAggregateExpression(), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         intArg(exprs(1), "word_shingles")), "scala_udf")

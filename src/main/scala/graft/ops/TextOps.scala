@@ -968,6 +968,34 @@ object TextOps {
           .agg(count(lit(1)).cast("long").as("n_terms"),
             round(sum(col("c") * col("ki")).cast("double")
               / (max("nl").cast("double") * 1e6), 6).as("kl"))
-      })
+      }),
+
+    QueryDef(
+      "tx28_topk_agg",
+      // tx06's vocabulary top-20 computed by the native MERGEABLE
+      // top-k aggregate (`topk_freq`, a TypedImperativeAggregate)
+      // instead of a global window sort: each map task reduces its
+      // slice of the vocabulary to a k-entry buffer and buffers merge
+      // associatively, so the ranking step ships O(k·partitions) rows
+      // — independent of vocabulary size — where the window plans a
+      // whole-vocabulary single-partition sort. Same oracle as tx06
+      // (identical output contract); TopKFreqSpec freezes the
+      // equivalence and the buffer's eviction ordering.
+      Some("""SELECT tok, n, rnk FROM (
+             |  SELECT tok, count(*) AS n,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS rnk
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents) t
+             |  GROUP BY tok) r
+             |WHERE rnk <= 20""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .agg(graft.functions.GraftFunctions
+            .topk_freq(col("tok"), col("n"), 20).as("tk"))
+          .select(posexplode(col("tk")))
+          .select(col("col.tok").as("tok"), col("col.n").as("n"),
+            (col("pos") + 1).cast("long").as("rnk")))
   )
 }
