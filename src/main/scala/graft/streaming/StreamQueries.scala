@@ -231,6 +231,63 @@ object StreamQueries {
             .dropDuplicates("hour_ts", "user_id")
         }
         kept.groupBy("hour_ts").agg(count(lit(1)).cast("long").as("n_users"))
+      }),
+
+    QueryDef(
+      "st07_stream_cdc_upsert",
+      // The streaming CDC-apply path (MergeStream.upsertStream →
+      // Upsert.mergeInto) under the ORACLE gate: the event stream
+      // replays into a hash-bucketed keyed table with event_id as the
+      // monotone version — last-writer-wins per user both within a
+      // micro-batch (the foreachBatch window) and across the merge.
+      // The final table must hold exactly each user's highest-version
+      // event, which the oracle derives with one argmax window over
+      // the same parquet. UpsertStreamSpec covers exactly-once and
+      // the untouched-bucket file contract; this entry hash-checks the
+      // VALUES the whole CDC pipeline converges to.
+      Some("""SELECT user_id, last_event_id, last_type, last_us, value FROM (
+             |  SELECT user_id, event_id AS last_event_id,
+             |    event_type AS last_type, epoch_us(ts) AS last_us, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val src = s"$d/events.parquet"
+        // stage the input file for the directory-based stream source
+        val inDir = java.nio.file.Files.createTempDirectory("graft_cdc_in_")
+        val file = java.nio.file.Paths.get(src)
+        java.nio.file.Files.createSymbolicLink(inDir.resolve(file.getFileName), file)
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_cdc_tab_").resolve("t").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_").toString
+        // seed table: the pre-existing state the stream updates — the
+        // first events replayed to last-writer form
+        val raw = Tables(s, d, "events")
+        val wSeed = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+        val seed = raw.filter(col("event_id") < 100)
+          .withColumn("__rn__", row_number().over(wSeed))
+          .filter(col("__rn__") === 1).drop("__rn__")
+        graft.ops.Upsert.writeBucketed(seed, table, "user_id", nBuckets = 8)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = MergeStream.upsertStream(
+            s, inDir.toString, raw.schema, table, "user_id", "event_id", 8, ckpt)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          java.nio.file.Files.deleteIfExists(inDir.resolve(file.getFileName))
+          java.nio.file.Files.deleteIfExists(inDir)
+        }
+        val tab = s.read.parquet(table)
+        val tsUs =
+          if (tab.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr("ts DIV 1000")
+          else unix_micros(col("ts"))
+        tab.select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), tsUs.cast("long").as("last_us"),
+          col("value"))
       })
   )
 }
