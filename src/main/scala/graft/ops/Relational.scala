@@ -1416,6 +1416,49 @@ object Relational {
           .groupBy(col("money.priority").as("o_orderpriority"))
           .agg(count(lit(1)).cast("long").as("n"),
             sum(col("who.custkey")).cast("long").as("custkey_sum"))
+      }),
+
+    QueryDef(
+      "q61_star_join",
+      // The 5-table star join (TPC-H Q5's shape): fact lineitem joins
+      // through orders to the customer→nation→region dimension chain,
+      // filtered by market segment and order year, revenue rolled up
+      // by region and year. The plan the engine must produce at 100 TB:
+      // every dimension (customer included — dims are orders-of-
+      // magnitude smaller than facts) BROADCASTS, so the only shuffle
+      // is lineitem⋈orders on the order key plus the final small
+      // rollup; segment/date filters prune the dimension before it
+      // ships. Revenue = extendedprice·(1−discount) summed as
+      // DECIMAL(18,4) — exact, order-independent (doubles would make
+      // a 6-way join's sum partition-order-dependent).
+      Some("""SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |           * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR)
+             |    AS revenue_dec
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE c_mktsegment = 'BUILDING' AND year(o_orderdate) >= 1997
+             |GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        val rev = col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec)
+        li(s, d)
+          .join(ord(s, d).filter(year(col("o_orderdate")) >= 1997),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust(s, d).filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum(rev).cast("string").as("revenue_dec"))
       })
   )
 }

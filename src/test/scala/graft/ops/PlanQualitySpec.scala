@@ -86,6 +86,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
   }
 
+  test("q61: every dimension of the star join broadcasts") {
+    val p = plan("q61_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"customer/nation/region should all broadcast:\n$p")
+  }
+
   test("q60: nested-schema pruning cuts the struct scan to the two referenced leaves") {
     val p = plan("q60_nested_pruning")
     assert(p.contains("ReadSchema: struct<who:struct<custkey:bigint>," +
