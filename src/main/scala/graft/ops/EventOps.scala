@@ -1409,6 +1409,49 @@ object EventOps {
             col("sy").cast("long").as("total_events"),
             round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
               / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
-              6).as("slope")))
+              6).as("slope"))),
+
+    QueryDef(
+      "ev41_user_ccdf",
+      // Heavy-tail audit: the CCDF of per-user activity — what share
+      // of users exceed each activity threshold. This is the curve
+      // that decides salting/skew strategy (q48's diagnostic as a
+      // distribution) and per-user fairness caps. One user rollup,
+      // then a single-row aggregate of 7 conditional counts unpivoted
+      // with stack() — no cross join, no second pass; shares are
+      // ratios of exact integers. At 100 TB: one map-combinable
+      // shuffle on user_id, then driver-sized rows.
+      Some("""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS nu,
+             |  sum(CASE WHEN n >= 1 THEN 1 ELSE 0 END) AS c1,
+             |  sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS c2,
+             |  sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS c5,
+             |  sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS c10,
+             |  sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS c20,
+             |  sum(CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS c50,
+             |  sum(CASE WHEN n >= 100 THEN 1 ELSE 0 END) AS c100
+             |  FROM u)
+             |SELECT CAST(1 AS BIGINT) AS threshold, CAST(c1 AS BIGINT) AS n_users_ge,
+             |  round(CAST(c1 AS DOUBLE) / nu, 4) AS share FROM s
+             |UNION ALL SELECT 2, CAST(c2 AS BIGINT), round(CAST(c2 AS DOUBLE) / nu, 4) FROM s
+             |UNION ALL SELECT 5, CAST(c5 AS BIGINT), round(CAST(c5 AS DOUBLE) / nu, 4) FROM s
+             |UNION ALL SELECT 10, CAST(c10 AS BIGINT), round(CAST(c10 AS DOUBLE) / nu, 4) FROM s
+             |UNION ALL SELECT 20, CAST(c20 AS BIGINT), round(CAST(c20 AS DOUBLE) / nu, 4) FROM s
+             |UNION ALL SELECT 50, CAST(c50 AS BIGINT), round(CAST(c50 AS DOUBLE) / nu, 4) FROM s
+             |UNION ALL SELECT 100, CAST(c100 AS BIGINT), round(CAST(c100 AS DOUBLE) / nu, 4) FROM s""".stripMargin),
+      (s, d) => {
+        val thresholds = Seq(1, 2, 5, 10, 20, 50, 100)
+        val u = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+        val aggs = count(lit(1)).as("nu") +:
+          thresholds.map(t => sum(when(col("n") >= t, 1L).otherwise(0L)).as(s"c$t"))
+        val one = u.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = thresholds
+          .map(t => s"CAST($t AS BIGINT), c$t, round(CAST(c$t AS DOUBLE) / nu, 4)")
+          .mkString(", ")
+        one.selectExpr(
+          s"stack(${thresholds.size}, $stackArgs) AS (threshold, n_users_ge, share)")
+          .select(col("threshold"), col("n_users_ge").cast("long").as("n_users_ge"),
+            col("share"))
+      })
   )
 }

@@ -119,6 +119,22 @@ class Round3AdditionsSpec extends AnyFunSuite {
       clean.agg(sum("doc_id")).head.getLong(0))
   }
 
+  test("ev41 user CCDF: monotone non-increasing, anchored at the distinct-user count") {
+    val r = SparkEntry.queries("ev41_user_ccdf")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("threshold"))
+    assert(r.map(_.getAs[Long]("threshold")).toSeq == Seq(1L, 2L, 5L, 10L, 20L, 50L, 100L))
+    // every user has >= 1 event, so the threshold-1 bucket is ALL users
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.head.getAs[Long]("n_users_ge") == users)
+    assert(r.head.getAs[Double]("share") == 1.0)
+    // CCDF is non-increasing in the threshold
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_users_ge") >= b.getAs[Long]("n_users_ge"))
+      assert(a.getAs[Double]("share") >= b.getAs[Double]("share"))
+    }
+  }
+
   test("st06 streaming distinct users equals the batch COUNT(DISTINCT) per hour") {
     val stream = SparkEntry.queries("st06_stream_distinct_users")(spark, sf)
     val ev = spark.read.parquet(s"$sf/events.parquet")
