@@ -1452,6 +1452,56 @@ object EventOps {
           s"stack(${thresholds.size}, $stackArgs) AS (threshold, n_users_ge, share)")
           .select(col("threshold"), col("n_users_ge").cast("long").as("n_users_ge"),
             col("share"))
+      }),
+
+    QueryDef(
+      "ev42_session_histogram",
+      // Engagement-depth distribution: ev03's sessions bucketed by
+      // events-per-session ('1','2','3-5','6-10','11+') with each
+      // bucket's share of all sessions. The session id is the running
+      // sum of ev03's gap flags (same single user_id shuffle — the lag
+      // and the cumsum share one window ordering), the per-session
+      // rollup is map-side-combinable on (user, sess), and the
+      // histogram is a 5-row aggregate. Shares are ratios of exact
+      // integers. This is the curve that tells a pipeline whether
+      // "session" is even a meaningful unit before sessionized
+      // features are built at 100 TB.
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |s AS (SELECT user_id, sum(new_sess) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS sess_id FROM x),
+             |g AS (SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY 1, 2),
+             |t AS (SELECT count(*) AS ns FROM g),
+             |b AS (SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+             |        WHEN n <= 5 THEN '3-5' WHEN n <= 10 THEN '6-10'
+             |        ELSE '11+' END AS bucket FROM g)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  round(CAST(count(*) AS DOUBLE) / ns, 4) AS share
+             |FROM b, t GROUP BY bucket, ns""".stripMargin),
+      (s, d) => {
+        val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val sess = ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(us - lag(us, 1).over(w) > 1800000000L, 1L).otherwise(0L).as("new_sess"))
+          .withColumn("sess_id",
+            sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id").agg(count(lit(1)).as("n"))
+        val tot = sess.agg(count(lit(1)).as("ns"))
+        sess
+          .select(when(col("n") === 1, "1").when(col("n") === 2, "2")
+            .when(col("n") <= 5, "3-5").when(col("n") <= 10, "6-10")
+            .otherwise("11+").as("bucket"))
+          .crossJoin(broadcast(tot))
+          .groupBy("bucket", "ns")
+          .agg(count(lit(1)).cast("long").as("n_sessions"),
+            round(count(lit(1)).cast("double") / col("ns"), 4).as("share"))
+          .select(col("bucket"), col("n_sessions"), col("share"))
       })
   )
 }

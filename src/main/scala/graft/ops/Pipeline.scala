@@ -345,6 +345,45 @@ object Pipeline {
           .agg(count(lit(1)).cast("long").as("n_docs"),
             countDistinct("source").cast("long").as("n_sources"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "pp05_mixture_schedule",
+      // Domain-mixing schedule for a token-budgeted training run: give
+      // every source an EQUAL share of a budget set at half the corpus
+      // (the DoReMi-style reweighting shape with static uniform
+      // weights). Per source: its token mass, the integer target, the
+      // sampling rate (down-sample when rate<1) and the epoch count
+      // (over-sample when rate>1, ceil'd). Token counts, the budget,
+      // and targets are exact BIGINTs — ceil via (a+b-1) DIV b — so
+      // the only float is one final rounded division per row. One
+      // map-combinable rollup on source + a broadcast single-row
+      // total; at 100 TB this is the planner step that decides how
+      // many times each domain shard gets replayed.
+      Some("""WITH t AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             |               CAST(count(*) AS BIGINT) AS n_src FROM t),
+             |x AS (SELECT source, n_docs, tokens,
+             |        (total // 2) // n_src AS target_tokens FROM t, tot)
+             |SELECT source, n_docs, tokens,
+             |  CAST(target_tokens AS BIGINT) AS target_tokens,
+             |  round(CAST(target_tokens AS DOUBLE) / tokens, 4) AS sample_rate,
+             |  CAST((target_tokens + tokens - 1) // tokens AS BIGINT) AS epochs
+             |FROM x""".stripMargin),
+      (s, d) => {
+        val t = docs(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("tokens"))
+        val tot = t.agg(sum("tokens").as("total"), count(lit(1)).as("n_src"))
+        t.crossJoin(broadcast(tot))
+          .withColumn("target_tokens", expr("(total DIV 2) DIV n_src").cast("long"))
+          .select(col("source"), col("n_docs"), col("tokens"), col("target_tokens"),
+            round(col("target_tokens").cast("double") / col("tokens"), 4).as("sample_rate"),
+            expr("(target_tokens + tokens - 1) DIV tokens").cast("long").as("epochs"))
       })
   )
 }

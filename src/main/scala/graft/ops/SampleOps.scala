@@ -492,6 +492,47 @@ object SampleOps {
           .agg(count(lit(1)).cast("long").as("n_events"),
             countDistinct("user_id").cast("long").as("n_users"),
             min(unix_micros(col("ts"))).cast("long").as("min_us"),
-            max(unix_micros(col("ts"))).cast("long").as("max_us")))
+            max(unix_micros(col("ts"))).cast("long").as("max_us"))),
+
+    QueryDef(
+      "sp17_systematic_resample",
+      // Importance resampling WITHOUT randomness: systematic (stride)
+      // resampling of k=1000 slots by weight (n_chars as the token-mass
+      // proxy). Lay the docs on a [0, W) number line in doc_id order;
+      // slot i lands at u_i=(2i+1)·W/(2k); a doc's copy count is how
+      // many slots fall in its weight interval — the classic low-
+      // variance resampler from particle filtering, here as the
+      // deterministic answer to "sample training docs ∝ weight". All
+      // arithmetic is BIGINT (slots-below-x via (2kx+W−1) DIV 2W), so
+      // the oracle hash-matches and Σcopies = k by construction (spec'd).
+      // The running sum is a global window like tx17's packer; at 100 TB
+      // it becomes the same two-pass per-partition prefix-sum, and the
+      // heavy tail shows up as copy counts, not shuffled rows.
+      Some("""WITH w AS (
+             |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+             |  FROM documents),
+             |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents),
+             |c AS (
+             |  SELECT doc_id, weight,
+             |    least(1000, (2000 * hi + tw - 1) // (2 * tw)) -
+             |    least(1000, (2000 * (hi - weight) + tw - 1) // (2 * tw)) AS n_copies
+             |  FROM w, tot)
+             |SELECT doc_id, weight, CAST(n_copies AS BIGINT) AS n_copies
+             |FROM c WHERE n_copies > 0""".stripMargin),
+      (s, d) => {
+        val win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        val tot = docs(s, d).agg(sum("n_chars").cast("long").as("tw"))
+        docs(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+          .withColumn("hi", sum("weight").over(win).cast("long"))
+          .crossJoin(broadcast(tot))
+          .withColumn("n_copies",
+            least(lit(1000L), expr("(2000 * hi + tw - 1) DIV (2 * tw)")) -
+            least(lit(1000L), expr("(2000 * (hi - weight) + tw - 1) DIV (2 * tw)")))
+          .filter(col("n_copies") > 0)
+          .select(col("doc_id"), col("weight"), col("n_copies").cast("long").as("n_copies"))
+      })
   )
 }

@@ -996,6 +996,43 @@ object TextOps {
             .topk_freq(col("tok"), col("n"), 20).as("tk"))
           .select(posexplode(col("tk")))
           .select(col("col.tok").as("tok"), col("col.n").as("n"),
+            (col("pos") + 1).cast("long").as("rnk"))),
+
+    QueryDef(
+      "tx29_pair_merge_step",
+      // The counting step of a BPE/WordPiece tokenizer-training round:
+      // frequency of every ADJACENT token pair in the corpus, top-20 —
+      // the next merge candidates. Pairs are built per-row with a
+      // higher-order transform over index positions (no self-join on
+      // position, no second explode), counted map-side-combinably, and
+      // ranked by the mergeable native top-k aggregate, so the global
+      // step ships O(k·partitions) rows no matter how large the pair
+      // vocabulary gets — the property that makes iterated merge
+      // rounds feasible at 100 TB (pair vocab is O(vocab²)).
+      Some("""SELECT pair, n, rnk FROM (
+             |  SELECT pair, count(*) AS n,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS BIGINT) AS rnk
+             |  FROM (
+             |    SELECT unnest(list_transform(range(1, len(a)),
+             |             i -> a[i] || ' ' || a[i+1])) AS pair
+             |    FROM (SELECT string_split_regex(trim(text), '\s+') AS a
+             |          FROM documents WHERE length(trim(text)) > 0) t
+             |    WHERE len(a) > 1) p
+             |  GROUP BY pair) r
+             |WHERE rnk <= 20""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(split(trim(col("text")), "\\s+").as("a"))
+          .filter(size(col("a")) > 1)
+          .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
+            i => concat(element_at(col("a"), i), lit(" "),
+              element_at(col("a"), i + 1)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .agg(graft.functions.GraftFunctions
+            .topk_freq(col("pair"), col("n"), 20).as("tk"))
+          .select(posexplode(col("tk")))
+          .select(col("col.tok").as("pair"), col("col.n").as("n"),
             (col("pos") + 1).cast("long").as("rnk")))
   )
 }

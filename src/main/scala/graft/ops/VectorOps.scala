@@ -1054,6 +1054,48 @@ object VectorOps {
             round(sum("rcq").cast("double") / (count(lit(1)) * lit(1e6)), 4)
               .as("avg_recon_cos"),
             round(min("rcq").cast("double") / lit(1e6), 4).as("min_recon_cos"))
+      }),
+
+    QueryDef(
+      "vs20_filtered_ann",
+      // Metadata-FILTERED vector search — the production ANN shape
+      // ("nearest English docs", "nearest docs from this source"): the
+      // candidate set is the embeddings semi-joined to a documents
+      // predicate (lang='en'), then vs01's broadcast-probe top-k over
+      // the survivors. Pre-filtering (restrict, then rank) keeps k
+      // guaranteed, vs post-filtering an unfiltered top-k which can
+      // come back short. The metadata join hits the dimension table's
+      // key, the filter pushes into the documents scan, and the probe
+      // cross stays a broadcast — at 100 TB the lang predicate becomes
+      // a partition prune on a lang-partitioned corpus layout.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |f AS (SELECT e.vec_id, e.v FROM e
+             |      JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 200 AND 204),
+             |sc AS (SELECT probe_id, f.vec_id AS neighbor_id,
+             |         list_cosine_similarity(pv, f.v) AS c
+             |       FROM p, f WHERE f.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM sc)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val en = Tables(s, d, "documents")
+          .filter(col("lang") === "en").select(col("doc_id"))
+        val cand = e.join(en, col("vec_id") === col("doc_id"), "left_semi")
+        val probes = e.filter(col("vec_id").between(200, 204))
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        cand.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
       })
   )
 }

@@ -79,7 +79,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // vs18: 8x8 broadcast codebook self-cross (KB-scale both sides);
       // vs19: vs09's broadcast-codebook block-assignment cross
       "vs17_multiprobe_recall", "tx27_kl_divergence",
-      "vs18_centroid_separation", "vs19_pq_distortion")
+      "vs18_centroid_separation", "vs19_pq_distortion",
+      // vs20: vs01's broadcast-probe corpus stream over the lang-
+      // filtered candidate set (the metadata filter itself is a
+      // semi equi-join); pp05/sp17/ev42: 1-row broadcast total
+      // (corpus token budget / total weight / session count)
+      "vs20_filtered_ann", "pp05_mixture_schedule",
+      "sp17_systematic_resample", "ev42_session_histogram")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

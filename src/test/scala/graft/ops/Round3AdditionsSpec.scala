@@ -135,6 +135,63 @@ class Round3AdditionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sp17 systematic resample: exactly k=1000 slots, per-doc count within 1 of expectation") {
+    val r = SparkEntry.queries("sp17_systematic_resample")(spark, sf)
+    assert(r.agg(sum("n_copies")).head.getLong(0) == 1000L)
+    // systematic (stride) resampling never deviates from k*w/W by a full slot
+    val w = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(sum("n_chars")).head.getLong(0)
+    r.collect().foreach { row =>
+      val exp = 1000.0 * row.getAs[Long]("weight") / w
+      val n = row.getAs[Long]("n_copies")
+      assert(n >= math.floor(exp) && n <= math.floor(exp) + 1, s"slot count off: $row exp=$exp")
+    }
+  }
+
+  test("pp05 mixture schedule: equal per-source targets, epochs = ceil(target/tokens)") {
+    val r = SparkEntry.queries("pp05_mixture_schedule")(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("target_tokens")).distinct.length == 1)
+    r.foreach { row =>
+      val t = row.getAs[Long]("target_tokens"); val tok = row.getAs[Long]("tokens")
+      assert(row.getAs[Long]("epochs") == (t + tok - 1) / tok)
+      assert(row.getAs[Double]("sample_rate") > 0.0)
+    }
+  }
+
+  test("vs20 filtered ANN: 10 neighbors per probe, every neighbor passes the lang filter") {
+    val r = SparkEntry.queries("vs20_filtered_ann")(spark, sf)
+    assert(r.groupBy("probe_id").count().filter(col("count") =!= 10).count() == 0)
+    val en = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").select(col("doc_id"))
+    assert(r.join(en, r("neighbor_id") === en("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("tx29 pair-merge step equals a direct window-ranked recompute") {
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(split(trim(col("text")), "\\s+").as("a"))
+      .filter(size(col("a")) > 1)
+      .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
+        i => concat(element_at(col("a"), i), lit(" "),
+          element_at(col("a"), i + 1)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("pair"), col("n"), col("rnk"))
+    val agg = SparkEntry.queries("tx29_pair_merge_step")(spark, sf)
+    assert(agg.collect().toSet == direct.collect().toSet)
+  }
+
+  test("ev42 session histogram: buckets cover every ev03 session, shares sum to ~1") {
+    val h = SparkEntry.queries("ev42_session_histogram")(spark, sf)
+    val totalSessions = SparkEntry.queries("ev03_sessionize")(spark, sf)
+      .agg(sum("n_sessions")).head.getLong(0)
+    assert(h.agg(sum("n_sessions")).head.getLong(0) == totalSessions)
+    val shareSum = h.agg(sum("share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+  }
+
   test("st06 streaming distinct users equals the batch COUNT(DISTINCT) per hour") {
     val stream = SparkEntry.queries("st06_stream_distinct_users")(spark, sf)
     val ev = spark.read.parquet(s"$sf/events.parquet")
