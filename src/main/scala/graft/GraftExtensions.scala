@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_freq", "topk_freq(key, cnt, k) - mergeable top-k by (cnt DESC, key)"),
       (es: Seq[Expression]) =>
         TopKFreq(es(0), es(1), intArg(es(2), "topk_freq")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(id, score, k) - mergeable top-k selection by (score DESC, id)"),
+      (es: Seq[Expression]) =>
+        TopKByScore(es(0), es(1), intArg(es(2), "topk_by_score")).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("pair_ids"),
       info("pair_ids", "pair_ids(array<long>) - generator: all i<j pairs as (a, b)"),
       (es: Seq[Expression]) => PairExpandIds(es(0))))

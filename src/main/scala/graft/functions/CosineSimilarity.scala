@@ -119,9 +119,21 @@ object GraftFunctions {
     Bridge.column(
       TopKFreq(Bridge.expression(key), Bridge.expression(cnt), k).toAggregateExpression())
 
+  /** `topk_by_score(id, score, k)` aggregate: mergeable top-k selection
+    * by (score DESC, id ASC) as a sorted array<struct<id,score>> —
+    * exact for ANY input shape (selection is a monoid). */
+  def topk_by_score(id: Column, score: Column, k: Int): Column =
+    Bridge.column(
+      TopKByScore(Bridge.expression(id), Bridge.expression(score), k).toAggregateExpression())
+
   /** `word_shingles(text, n)`: distinct word n-grams, one pass. */
   def word_shingles(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+
+  /** `char_ngrams(text, n)`: ALL char n-grams (duplicates kept), one
+    * code-point pass. */
+  def char_ngrams(c: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(c), n))
 
   /** `simhash_sig(tokens)`: 64-bit SimHash of a token array. */
   def simhash_sig(c: Column): Column =
@@ -168,8 +180,14 @@ object GraftFunctions {
       "topk_freq", exprs => TopKFreq(exprs(0), exprs(1),
         intArg(exprs(2), "topk_freq")).toAggregateExpression(), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1),
+        intArg(exprs(2), "topk_by_score")).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         intArg(exprs(1), "word_shingles")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", exprs => CharNgrams(exprs(0),
+        intArg(exprs(1), "char_ngrams")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSignature(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -594,7 +594,16 @@ object DedupOps {
             i => struct(i.as("p"),
               concat_ws(" ", slice(col("toks"), i, lit(5))).as("s")))).as("u"))
           .select(col("doc_id"), col("u.p").as("p"), col("u.s").as("s"))
-        val dfSpans = sp.select("doc_id", "s").distinct()
+        // The df side needs only DISTINCT spans per doc — the native
+        // one-pass word_shingles, not the positional explode. This also
+        // keeps the heavy positional subtree out of the plan twice
+        // (Catalyst re-executes shared subtrees; measured ~35% of the
+        // query). Sub-5-token docs emit a whole-text shingle that can
+        // never equal a true 5-gram (fewer separators), so no filter
+        // is needed on this side.
+        val dfSpans = docs(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.word_shingles(col("text"), 5)).as("s"))
           .groupBy("s").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2).select("s")
         val cov = sp.join(dfSpans, "s")

@@ -727,8 +727,10 @@ object TextOps {
       "tx22_char_ngrams",
       // Per-language character-trigram profile — the feature table a
       // real language-ID model trains on (tx04 uses marker words; this
-      // is the statistical upgrade path). Trigrams come from one
-      // position-sequence transform (no quadratic lambda), explode to
+      // is the statistical upgrade path). Trigrams come from the native
+      // one-pass char_ngrams expression (the HOF sequence+substr
+      // composition re-scans the string per position — O(len²) byte
+      // seeks that dominated this query's profile), explode to
       // (lang, trigram) pairs, and the top-5 per language is a
       // WindowGroupLimit over the aggregated counts — the explode's
       // output is map-side-combined BEFORE the shuffle, so the wire
@@ -746,9 +748,8 @@ object TextOps {
       (s, d) => {
         val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tg"))
         docs(s, d)
-          .select(col("lang"), explode(transform(
-            sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3)))).as("tg"))
+          .select(col("lang"), explode(
+            graft.functions.GraftFunctions.char_ngrams(col("text"), 3)).as("tg"))
           .groupBy("lang", "tg")
           .agg(count(lit(1)).as("n"))
           .withColumn("rnk", row_number().over(w))
