@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated per-group quantiles via BRACKET-AND-REFINE — the
+  * scale path for `percentile` over high-cardinality numerics.
+  *
+  * Why not the built-in exact `percentile`: its aggregation buffer
+  * holds EVERY input value — O(rows-per-group) heap on the map side
+  * and all raw values serialized through the exchange; with few groups
+  * a 100 TB column lands one group's worth of doubles on one reducer.
+  *
+  * Plan (2 scans, all aggregates map-combinable, shuffles of
+  * O(groups·accuracy) rows only):
+  *   1. per group: exact n + `approx_percentile` at q ± 4/accuracy —
+  *      the GK sketch guarantees rank error ≤ n/accuracy, so the two
+  *      probes bracket BOTH ranks the interpolation needs with margin.
+  *   2. per group: exact count below the bracket lo (rebases ranks)
+  *      and `collect_list` of only the ≈ 8n/accuracy in-bracket
+  *      values; sort that small array and index the exact rank values
+  *      out of it.
+  * The refined values are EXACT parquet doubles and the bracket is
+  * correct by the sketch's deterministic error bound, so results are
+  * identical to the built-in `percentile` run-to-run.
+  *
+  * Parity: reproduces `Percentile.getPercentile` arithmetic exactly —
+  * position p = (n-1)·q; lower = floor(p), higher = ceil(p) (longs);
+  * result = lowerVal when higher == lower else
+  * (higher−p)·lowerVal + (p−lower)·higherVal, left-to-right in
+  * doubles — the arithmetic DuckDB `quantile_cont` hash-parity was
+  * established against (ev10/ev20 pattern). Nulls are skipped, as
+  * `percentile` skips them.
+  *
+  * Sizing at scale: in-bracket survivors ≈ 8n/accuracy rows per group
+  * ride a `collect_list`, so pick accuracy ≈ n / 10⁴ (e.g. 10⁶ for
+  * 10¹⁰ rows/group ⇒ ~10⁵-element arrays); GK sketch memory grows
+  * ~O(accuracy·log n) on the map side, which is the explicit trade
+  * against survivor volume.
+  */
+object GridQuantile {
+
+  /** One row per group: `groupCols` ++ one double column per entry of
+    * `qs` (output name → quantile in [0, 1]). Null values are ignored;
+    * all-null/empty groups do not appear (as with groupBy+percentile).
+    */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[(String, Double)],
+      accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "use a literal group for global quantiles")
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+    val g = groupCols.map(col)
+    val margin = 4.0 / accuracy
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
+
+    // pass 1: exact n + sketch brackets [bl, bh] per quantile
+    val probes = qs.flatMap { case (_, q) =>
+      Seq(math.max(0.0, q - margin), math.min(1.0, q + margin))
+    }
+    val brackets = src.groupBy(g: _*).agg(
+      count(lit(1)).as("__n"),
+      approx_percentile(col("__v"),
+        array(probes.map(lit): _*), lit(accuracy)).as("__bk"))
+
+    // Bracket coverage is provable only when the ±4/accuracy quantile
+    // margin is ≥ ~2 RANKS past the sketch's ±n/accuracy rank error:
+    // ε(3n−4) ≥ 2, i.e. n ≥ (2·accuracy+4)/3. Below that a group's
+    // whole value set is itself bounded by ~⅔·accuracy values, so
+    // collecting it all is the same O(accuracy) cost as a bracket.
+    val smallN = col("__n") < lit(2L * accuracy / 3 + 2)
+
+    // pass 2: rank rebase + tiny in-bracket survivor arrays, one agg
+    val refined = src.join(broadcast(brackets), groupCols)
+    val perQ = qs.zipWithIndex.flatMap { case ((name, _), i) =>
+      val bl = element_at(col("__bk"), 2 * i + 1)
+      val bh = element_at(col("__bk"), 2 * i + 2)
+      Seq(
+        sum(when(!smallN && col("__v") < bl, 1L).otherwise(0L)).as(s"__cb_$name"),
+        sort_array(collect_list(
+          when(smallN || (col("__v") >= bl && col("__v") <= bh), col("__v"))))
+          .as(s"__sv_$name"))
+    } :+ max(col("__n")).as("__n")
+    val agg = refined.groupBy(g: _*).agg(perQ.head, perQ.tail: _*)
+
+    val interps = qs.map { case (name, q) =>
+      val p = (col("__n") - 1).cast("double") * lit(q)
+      val lower = floor(p)
+      val higher = ceil(p)
+      // value at 0-indexed global rank r = survivors[r - countBelow]
+      // (element_at is 1-based; ANSI throws loudly if the sketch's
+      // error bound were ever violated rather than mis-hashing)
+      def at(r: Column): Column = element_at(
+        col(s"__sv_$name"), (r - col(s"__cb_$name") + 1).cast("int"))
+      when(higher === lower, at(lower))
+        .otherwise(
+          (higher.cast("double") - p) * at(lower)
+            + (p - lower.cast("double")) * at(higher))
+        .as(name)
+    }
+    agg.select(g ++ interps: _*)
+  }
+}

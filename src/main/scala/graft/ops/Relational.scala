@@ -972,13 +972,15 @@ object Relational {
       "q49_winsorize",
       // Winsorization — outlier capping at the exact p05/p95 fences
       // before a mean-sensitive downstream (the robust-preprocessing
-      // companion to ev10's detection). The fences come from one
-      // percentile pass per group (interpolated identically from the
-      // same parquet doubles in both engines, the ev10/ev20-proven
-      // pattern) and are ROUNDED to the data's 2-decimal grid before
-      // substitution, so the clamped sum stays exact-2dp and its
-      // rounding boundary-safe. Fences broadcast; the clamp pass is
-      // map-only over the fact table.
+      // companion to ev10's detection). The fences come from
+      // GridQuantile (distinct-value counts + cumulative rank — the
+      // built-in `percentile` buffers EVERY value per group, executor-
+      // fatal at 100 TB; this ships at most |price grid| rows per group
+      // and reproduces the same interpolation bit-for-bit) and are
+      // ROUNDED to the data's 2-decimal grid before substitution, so
+      // the clamped sum stays exact-2dp and its rounding
+      // boundary-safe. Fences broadcast; the clamp pass is map-only
+      // over the fact table.
       Some("""WITH p AS (
              |  SELECT l_returnflag,
              |    quantile_cont(l_extendedprice, 0.05) AS p05,
@@ -995,9 +997,8 @@ object Relational {
              |FROM lineitem l JOIN p USING (l_returnflag)
              |GROUP BY 1""".stripMargin),
       (s, d) => {
-        val fences = li(s, d).groupBy("l_returnflag")
-          .agg(percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
-            percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+        val fences = GridQuantile.perGroup(li(s, d), Seq("l_returnflag"),
+          "l_extendedprice", Seq("p05" -> 0.05, "p95" -> 0.95))
         li(s, d).select("l_returnflag", "l_extendedprice")
           .join(broadcast(fences), "l_returnflag")
           .groupBy("l_returnflag")
