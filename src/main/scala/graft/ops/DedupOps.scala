@@ -203,8 +203,13 @@ object DedupOps {
         // Jaccard denominator needs NO join back to the shingle sets
         // (which would re-shingle the corpus twice more): the whole op
         // is exactly two shuffles — posting groupBy, pair groupBy.
+        // postings keyed by xxhash64(shingle): equality is all the join
+        // needs, so the bucket shuffle ships 8-byte longs, not shingle
+        // strings (dd01's hash-equality precedent; upgrade path is a
+        // 2-long 128-bit key if 2^-64-per-pair odds ever matter)
         val post = sets.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
+          .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
         // pair_sized: native generator streams the i<j pairs (5.3M at
         // sf0.1) straight out of each bucket — no interpreted nested
         // HOFs, no per-bucket k² array materialization
@@ -657,8 +662,10 @@ object DedupOps {
              |FROM inter""".stripMargin),
       (s, d) => {
         val sets = shingleSets(docs(s, d)).filter(size(col("shs")) > 0)
+        // hashed posting keys — see dd06
         val post = sets.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
+          .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
         val pairs = post.groupBy("sh")
           .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
           .select(graft.functions.GraftFunctions.pair_sized(col("ids")))

@@ -441,8 +441,14 @@ object TextOps {
           .select(col("doc_id"),
             graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs"))
           .filter(size(col("shs")) > 0)
+        // postings keyed by xxhash64(shingle): the equi-join only needs
+        // shingle EQUALITY, so shuffle 8-byte longs instead of ~25-byte
+        // strings (same move dd01 makes with md5 content equality; at
+        // corpus scale widen to a 2-long 128-bit key if 2^-64-per-pair
+        // collision odds ever matter)
         val post = sets.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("sh"))
+          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
+          .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
         post.groupBy("sh")
           .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
           .select(graft.functions.GraftFunctions.pair_sized(col("ids")))

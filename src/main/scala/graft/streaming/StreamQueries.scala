@@ -288,6 +288,36 @@ object StreamQueries {
         tab.select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), tsUs.cast("long").as("last_us"),
           col("value"))
+      }),
+
+    QueryDef(
+      "st08_stream_enrich",
+      // Stream-STATIC broadcast enrichment — the dimension-join shape
+      // every production event stream runs (attach segment/geo to each
+      // event as it arrives). The dim (customer⋈nation, built batch-
+      // side) is broadcast into every micro-batch, so the stream side
+      // never shuffles: stateless, append-mode, unbounded-safe with no
+      // state store. At 100 TB/day the stream stays partition-local;
+      // only the small dim moves. The finite run makes the emitted set
+      // ≡ the batch join, so the oracle gates the streaming join path.
+      Some("""SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+             |  e.event_type, c.c_mktsegment AS segment, n.n_name AS nation
+             |FROM events e
+             |JOIN customer c ON e.user_id = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin),
+      (s, d) => {
+        val dim = Tables(s, d, "customer")
+          .join(Tables(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("n_name").as("nation"))
+        runStream(s, s"$d/events.parquet", "append") { src =>
+          tsCol(src)
+            .join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"),
+              col("segment"), col("nation"))
+        }
       })
   )
 }
