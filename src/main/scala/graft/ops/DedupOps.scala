@@ -797,10 +797,17 @@ object DedupOps {
     * NULL Spark's division would produce (which would silently drop an
     * exact-duplicate pair of blank docs). */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    // Set sizes are all Jaccard needs, and the shingle sets are already
+    // distinct, so hash each shingle to a long first: the two pair
+    // joins shuffle 8-byte array elements instead of ~25-byte strings
+    // and the intersect/union compare longs (dd06's hashed-posting
+    // move applied to the verify stage).
+    val hsets = sets.select(col("doc_id"),
+      transform(col("shs"), x => xxhash64(x)).as("shs"))
     val unionSize = size(array_union(col("shs_a"), col("shs_b")))
     cand
-      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
+      .join(hsets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
+      .join(hsets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
       .select(col("a"), col("b"),
         when(unionSize === 0, lit(1.0))
           .otherwise(
