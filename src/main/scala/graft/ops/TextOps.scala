@@ -452,6 +452,12 @@ object TextOps {
         post.groupBy("sh")
           .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
           .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+          // size gate BEFORE the pair aggregation: i <= min(na, nb), so
+          // containment i/na >= 0.9 is impossible unless 10*nb >= 9*na —
+          // undersized b-sides drop per posting row, never entering the
+          // map-side hash aggregate or the pair shuffle. Whole-pair
+          // pruning only; the surviving pairs' counts are unchanged.
+          .where(lit(10) * col("nb") >= lit(9) * col("na"))
           .groupBy("a", "b", "na")
           .agg(count(lit(1)).as("i"))
           // integral gate: containment >= 0.9 without a float boundary
