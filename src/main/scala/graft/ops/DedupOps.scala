@@ -216,6 +216,14 @@ object DedupOps {
         val pairs = post.groupBy("sh")
           .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
           .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+          // size-ratio gate BEFORE the pair aggregation: J >= 0.8 forces
+          // 5*min(na,nb) >= 4*max(na,nb) (since J <= min/max), so pairs
+          // of very different sizes are dropped per posting row — they
+          // never enter the map-side hash aggregate or the pair shuffle.
+          // Exactness is untouched: the gate removes only whole pairs
+          // that the final threshold filter would discard anyway.
+          .where(lit(5) * least(col("na"), col("nb")) >=
+            lit(4) * greatest(col("na"), col("nb")))
           .groupBy("a", "b", "na", "nb")
           .agg(count(lit(1)).as("i"))
         val j = col("i").cast("double") /
@@ -677,8 +685,103 @@ object DedupOps {
         pairs.agg(count(lit(1)).cast("long").as("n_candidate_pairs"),
           tier(3).as("n_ge_03"), tier(5).as("n_ge_05"),
           tier(7).as("n_ge_07"), tier(9).as("n_ge_09"))
-      })
+      }),
+
+    QueryDef(
+      "dd16_cdc_chunks",
+      // Content-defined chunking (the FastCDC/rsync discipline applied
+      // at token granularity): a chunk boundary falls after token i
+      // whenever the hash of the trailing 3-token window ≡ 0 (mod 16) —
+      // a pure function of CONTENT, so an insertion early in a document
+      // shifts every byte offset but only the chunks that actually
+      // changed get new identities (fixed-size blocks would invalidate
+      // every block after the edit). Chunks are hashed and counted
+      // across the corpus: the repeated-chunk census is the dedup-
+      // storage audit ("how many bytes does chunk-level dedup save?")
+      // that block stores and training-data lakes run at petabyte
+      // scale. Expected chunk length is 16 tokens (geometric); the md5
+      // boundary hash is the engine-portable choice (oracle-parity),
+      // with xxhash64 the cheaper production swap. One window sort per
+      // doc computes boundary flags AND chunk ids (lag + running sum
+      // share the (doc_id, pos) ordering); one shuffle groups chunk
+      // instances; the census rollup is map-combinable.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+             |tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |p AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(toks) + 1),
+             |      i -> {'pos': i - 1, 'tok': list_extract(toks, i)}), recursive := true)
+             |  FROM tk WHERE len(toks) > 0),
+             |b AS (
+             |  SELECT doc_id, pos, tok,
+             |    CASE WHEN pos >= 2 AND CAST('0x' || substr(md5(
+             |        lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok), 1, 8)
+             |        AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END AS f
+             |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |c AS (
+             |  SELECT doc_id, pos, tok,
+             |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+             |  FROM b),
+             |ch AS (
+             |  SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS ctext
+             |  FROM c GROUP BY 1, 2),
+             |g AS (
+             |  SELECT md5(ctext) AS h, count(*) AS df, min(length(ctext)) AS len
+             |  FROM ch GROUP BY 1)
+             |SELECT CAST(sum(df) AS BIGINT) AS n_chunks,
+             |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+             |  CAST(sum(df - 1) AS BIGINT) AS n_dup_instances,
+             |  CAST(sum((df - 1) * len) AS BIGINT) AS chars_saved,
+             |  CAST(sum(df * len) AS BIGINT) AS total_chunk_chars
+             |FROM g""".stripMargin),
+      (s, d) =>
+        contentDefinedChunks(dupDocs(s, d))
+          .groupBy(md5(col("ctext")).as("h"))
+          .agg(count(lit(1)).as("df"), min(length(col("ctext"))).as("len"))
+          .agg(sum(col("df")).cast("long").as("n_chunks"),
+            count(lit(1)).cast("long").as("n_distinct_chunks"),
+            sum(col("df") - 1).cast("long").as("n_dup_instances"),
+            sum((col("df") - 1) * col("len")).cast("long").as("chars_saved"),
+            sum(col("df") * col("len")).cast("long").as("total_chunk_chars")))
   )
+
+  /** Content-defined chunking (dd16's kernel, exposed for reuse and
+    * spec-level invariants): splits each doc's token stream into chunks
+    * whose boundaries are a pure function of the trailing 3-token
+    * window's hash — edits shift offsets but not downstream chunk
+    * identities. Input: (doc_id, text); output: (doc_id, cid, ctext)
+    * with cid numbering chunks 0..k in token order. One window sort per
+    * doc (lag + running sum share the ordering), one shuffle to
+    * assemble chunks. */
+  def contentDefinedChunks(u: DataFrame): DataFrame = {
+    val toks = u
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // boundary test only fires at pos >= 2, where both lags exist —
+    // concat_ws(null-skipping) and DuckDB's null-propagating || are
+    // equivalent on the guarded rows
+    val gram = concat_ws(" ",
+      lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok"))
+    val flag = when(col("pos") >= 2 &&
+      conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % 16 === 0, 1L)
+      .otherwise(0L)
+    val cid = coalesce(
+      sum(flag).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    toks
+      .select(col("doc_id"), col("pos"), col("tok"), cid.as("cid"))
+      .groupBy("doc_id", "cid")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        st => st.getField("tok")), " ").as("ctext"))
+  }
 
   /** Connected components by iterative min-label propagation — the
     * duplicate-CLUSTER resolution step after pair finding: every doc

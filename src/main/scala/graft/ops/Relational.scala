@@ -1460,6 +1460,51 @@ object Relational {
           .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("yr"))
           .agg(count(lit(1)).cast("long").as("n_items"),
             sum(rev).cast("string").as("revenue_dec"))
+      }),
+
+    QueryDef(
+      "q62_recursive_cte",
+      // Recursive CTE — transitive closure run BY THE SQL ENGINE
+      // (Spark 4's WITH RECURSIVE), not by a driver-coordinated loop:
+      // four exact copies of every doc linked in a +100k chain, roots =
+      // nodes with no incoming edge, and the recursion walks each chain
+      // down, labeling every member with its root (canonical) id. The
+      // DataFrame loop (dd05's connectedComponents) stays the tool for
+      // UNBOUNDED-diameter graphs — engine recursion is depth-limited
+      // and UNION ALL only (cycles would not terminate) — but for the
+      // DAG-shaped closures pipelines actually run (version chains,
+      // directory trees, BOM explosions) the declarative form needs no
+      // driver round-trips: the engine plans one iteration per depth
+      // level, each a join of the frontier (4·|docs| rows max) against
+      // the edge set. Both engines execute the IDENTICAL query text.
+      Some(RecursiveClosureSql),
+      (s, d) => {
+        Tables(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql(RecursiveClosureSql)
       })
   )
+
+  /** q62's query text — one string, submitted verbatim to BOTH engines
+    * (Spark executes it natively; the driver runs it as the DuckDB
+    * oracle): the strongest possible parity statement for the
+    * recursive-CTE surface. */
+  private def RecursiveClosureSql: String =
+    """WITH RECURSIVE
+      |u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents
+      |  UNION ALL SELECT doc_id + 300000, text FROM documents
+      |),
+      |h AS (SELECT doc_id, md5(text) AS hh FROM u),
+      |e AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM h x JOIN h y ON x.hh = y.hh AND y.doc_id = x.doc_id + 100000),
+      |r(node, canonical) AS (
+      |  SELECT doc_id, doc_id FROM h WHERE doc_id NOT IN (SELECT b FROM e)
+      |  UNION ALL
+      |  SELECT e.b, r.canonical FROM r JOIN e ON e.a = r.node
+      |)
+      |SELECT node AS doc_id, CAST(canonical AS BIGINT) AS canonical
+      |FROM r""".stripMargin
 }

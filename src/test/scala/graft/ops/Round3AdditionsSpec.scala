@@ -201,4 +201,33 @@ class Round3AdditionsSpec extends AnyFunSuite {
       .agg(countDistinct("user_id").as("n_users"))
     assert(stream.collect().toSet == batch.collect().toSet)
   }
+
+  test("q62 engine recursion labels every chain member with its root") {
+    val r = SparkEntry.queries("q62_recursive_cte")(spark, sf)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // 4 copies of every doc, and — the chain being built from EXACT
+    // copies — each node's canonical must be its base id (node mod 1e5)
+    assert(r.count() == 4 * nDocs)
+    assert(r.filter(col("canonical") =!= col("doc_id") % 100000L).count() == 0)
+  }
+
+  test("dd16 chunks reassemble to the token stream; boundaries survive a prefix edit") {
+    import spark.implicits._
+    val tokens = (0 until 200).map(i => s"t$i")
+    val v1 = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val v2 = Seq((2L, ("zzz" +: tokens).mkString(" "))).toDF("doc_id", "text")
+    val c1 = DedupOps.contentDefinedChunks(v1).orderBy("cid")
+      .select("ctext").as[String].collect()
+    // reassembly: chunks in cid order concatenate back to the exact stream
+    assert(c1.mkString(" ") == tokens.mkString(" "))
+    assert(c1.length > 2, s"expected multiple chunks, got ${c1.length}")
+    // content-defined resilience: a 1-token PREFIX insertion shifts every
+    // position, but once past the first boundary the trailing windows are
+    // identical, so all later chunk identities survive (a fixed-size
+    // blocker would lose every block). Only the first chunk may differ.
+    val c2 = DedupOps.contentDefinedChunks(v2).orderBy("cid")
+      .select("ctext").as[String].collect()
+    assert(c1.toSet.intersect(c2.toSet).size >= c1.length - 1,
+      s"prefix edit invalidated more than the head chunk")
+  }
 }
