@@ -494,6 +494,43 @@ object MultimodalOps {
             sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).cast("long")
               .as("n_paired"),
             sum(when(col("vec_id").isNull, col("doc_id")).otherwise(0L))
-              .cast("long").as("missing_id_sum")))
+              .cast("long").as("missing_id_sum"))),
+
+    QueryDef(
+      "mm13_frame_windows",
+      // Overlapping frame windows (the audio/STFT framing shape:
+      // window 100 bytes, hop 40) over each payload. mm05 covers the
+      // NON-overlapping partition-for-storage case; feature extraction
+      // frames OVERLAP, so coverage multiplicity (not just coverage) is
+      // part of the contract: interior bytes land in ceil(100/40) = 3
+      // frames. Frame starts are every hop while < n, ragged tail
+      // frames included — descriptors stay an exact integral function
+      // of the payload length, so the decode stub downstream (mm02's
+      // swap point) sees real batch shapes. Map-side sequence explode;
+      // the only shuffle is the per-doc audit rollup.
+      Some("""WITH c AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    unnest(range(0, CAST((octet_length(encode(text)) + 39) // 40
+             |      AS BIGINT))) AS k
+             |  FROM documents WHERE octet_length(encode(text)) > 0)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(sum(least(100, n - k * 40)) AS BIGINT) AS window_bytes,
+             |  CAST(max(n) AS BIGINT) AS n_bytes
+             |FROM c GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        val n = length(encode(col("text"), "UTF-8")).cast("long")
+        val nFrames = ((n + 39) - pmod(n + 39, lit(40L))) / 40
+        Tables(s, d, "documents")
+          .select(col("doc_id"), n.as("n"), nFrames.cast("long").as("nf"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(0L), col("nf") - 1)).as("k"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_frames"),
+            sum(least(lit(100L), col("n") - col("k") * 40))
+              .cast("long").as("window_bytes"),
+            max("n").cast("long").as("n_bytes"))
+      })
   )
 }
+

@@ -1481,6 +1481,46 @@ object Relational {
       (s, d) => {
         Tables(s, d, "documents").createOrReplaceTempView("documents")
         s.sql(RecursiveClosureSql)
+      }),
+
+    QueryDef(
+      "q63_observed_metrics",
+      // The OBSERVATION surface (df.observe): pipeline-health metrics
+      // accumulated ON the rows a job already streams past — row
+      // counts, null counts, sums — with ZERO extra scans. At 100 TB
+      // this is the difference between "audit the load" and "read the
+      // lake twice": the metrics ride the task stream as accumulators
+      // and arrive at the driver with the action's completion. Here the
+      // observed scan is a filtered lineitem pass (the shape of any
+      // ingest validation); the query returns the metrics row itself,
+      // so the oracle's plain aggregate pins exactly what the
+      // instrumented path measured. Sums that must be exact are
+      // integral or DECIMAL (never float accumulators).
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bulk,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             |    AS price_dec
+             |FROM lineitem WHERE l_discount > 0.02""".stripMargin),
+      (s, d) => {
+        val obs = org.apache.spark.sql.Observation()
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val observed = li(s, d).filter(col("l_discount") > 0.02)
+          .observe(obs,
+            count(lit(1)).cast("long").as("n_rows"),
+            sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).cast("long")
+              .as("n_bulk"),
+            sum(col("l_quantity").cast("long")).cast("long").as("qty_sum"),
+            sum(col("l_extendedprice").cast(dec)).cast("string").as("price_dec"))
+        // one foreach action drains the instrumented stream; the
+        // metrics row IS the query result
+        observed.write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long], m("n_bulk").asInstanceOf[Long],
+          m("qty_sum").asInstanceOf[Long], m("price_dec").asInstanceOf[String]))
+          .toDF("n_rows", "n_bulk", "qty_sum", "price_dec")
       })
   )
 

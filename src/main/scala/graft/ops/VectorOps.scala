@@ -1111,6 +1111,57 @@ object VectorOps {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 10)
           .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs21_hamming_topk",
+      // Binary (Hamming) embedding search: each 64-dim vector collapses
+      // to a 64-bit SIGN SIGNATURE packed into two BIGINT words, and
+      // neighbor ranking runs entirely on bit_count(xor) — 16 bytes and
+      // a few ALU ops per comparison instead of 256 bytes and 64 FMAs.
+      // This is the production binary-retrieval trick (sign-bit /
+      // binary-passage retrieval): at 100 TB the packed signatures for
+      // a BILLION vectors fit in ~16 GB — scan-able, cache-resident,
+      // and the float re-rank (vs01's scorer) touches only the Hamming
+      // survivors. Packing is one map-side HOF pass; the probe cross is
+      // vs01's broadcast discipline; ties break on neighbor_id (total
+      // order). Both engines build bits with exact integer shifts
+      // (2^31 max — no sign-bit overflow) on the SAME float sign test.
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             |pk AS (SELECT vec_id,
+             |  CAST(list_sum(list_transform(range(32),
+             |    i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w0,
+             |  CAST(list_sum(list_transform(range(32),
+             |    i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w1
+             |  FROM e),
+             |p AS (SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1 FROM pk WHERE vec_id < 5),
+             |sc AS (SELECT probe_id, pk.vec_id AS neighbor_id,
+             |  bit_count(xor(w0, p0)) + bit_count(xor(w1, p1)) AS hamming
+             |  FROM p, pk WHERE pk.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, hamming,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS rn
+             |  FROM sc)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  CAST(hamming AS BIGINT) AS hamming
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        def word(lo: Int): Column = expr(
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+             |  acc + CASE WHEN element_at(v, i + $lo) > 0
+             |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+            .stripMargin)
+        val packed = emb(s, d)
+          .select(col("vec_id"), word(1).as("w0"), word(33).as("w1"))
+        val probes = packed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("w0").as("p0"), col("w1").as("p1"))
+        val w = Window.partitionBy("probe_id").orderBy(col("hamming"), col("neighbor_id"))
+        packed.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            (bit_count(col("w0").bitwiseXOR(col("p0"))) +
+              bit_count(col("w1").bitwiseXOR(col("p1")))).cast("long").as("hamming"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("hamming"))
       })
   )
 }

@@ -85,7 +85,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // semi equi-join); pp05/sp17/ev42: 1-row broadcast total
       // (corpus token budget / total weight / session count)
       "vs20_filtered_ann", "pp05_mixture_schedule",
-      "sp17_systematic_resample", "ev42_session_histogram")
+      "sp17_systematic_resample", "ev42_session_histogram",
+      // vs21: vs01's broadcast-probe corpus stream on packed signatures
+      "vs21_hamming_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

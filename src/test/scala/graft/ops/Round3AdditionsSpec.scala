@@ -211,6 +211,20 @@ class Round3AdditionsSpec extends AnyFunSuite {
     assert(r.filter(col("canonical") =!= col("doc_id") % 100000L).count() == 0)
   }
 
+  test("vs21 Hamming neighbors are sign-similar: top-1 beats the corpus-mean distance") {
+    val h = SparkEntry.queries("vs21_hamming_topk")(spark, sf)
+    // 64-bit random-sign signatures: unrelated vectors sit near 32 bits
+    // apart; a meaningful nearest neighbor must be well inside that
+    val top1max = h.filter(col("rnk") === 1)
+      .agg(max("hamming")).head.getLong(0)
+    assert(top1max < 32, s"a rank-1 Hamming neighbor at $top1max is no better than random")
+    // ranking is consistent: per probe, distance is non-decreasing in rank
+    val bad = h.selectExpr("probe_id", "rnk", "hamming",
+        "lag(hamming) OVER (PARTITION BY probe_id ORDER BY rnk) AS prev")
+      .filter(col("prev").isNotNull && col("hamming") < col("prev"))
+    assert(bad.count() == 0)
+  }
+
   test("dd16 chunks reassemble to the token stream; boundaries survive a prefix edit") {
     import spark.implicits._
     val tokens = (0 until 200).map(i => s"t$i")
