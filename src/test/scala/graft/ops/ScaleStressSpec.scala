@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Headroom proof ABOVE the gated scale: the bench corpus (sf0.1)
+  * unioned 10× — ~6M lineitem rows — through the engine's three
+  * heavy plan shapes (hash agg, shuffle join + broadcast dim, content
+  * dedup). Each result is checked EXACTLY against the 1× result scaled,
+  * which a plan that spills wrong, drops partitions, or overflows
+  * cannot fake. The multiplication uses unionByName of the same scan
+  * (Catalyst plans one multi-child union over cached file listings), so
+  * the test adds IO-trivial cost and stays in-suite.
+  *
+  * This is a 10× SCALE step under local[*]; the 1000-executor story
+  * rests on the plan shapes PlanQualitySpec freezes (pruned scans,
+  * broadcast dims, map-side partials, bounded shuffles) — this spec
+  * pins that those shapes still produce exact answers when the data
+  * outgrows the per-partition comfort zone the small SFs never leave.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.1"
+
+  private def times10(df: org.apache.spark.sql.DataFrame) =
+    (1 until 10).map(_ => df).foldLeft(df)(_ unionByName _)
+
+  test("hash aggregation at 10x bench scale: every group exactly 10x the 1x rollup") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val base = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("q").as("qs"))
+    val big = times10(li).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n10"), sum("q").as("qs10"))
+    val mismatched = base.join(big, "l_returnflag")
+      .filter(col("n10") =!= col("n") * 10 || col("qs10") =!= col("qs") * 10)
+    assert(mismatched.count() == 0)
+  }
+
+  test("shuffle join at 10x bench scale: fact x10 against orders lands exactly 10x matches") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val baseN = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val big = times10(li).join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(big.agg(sum("n")).head.getLong(0) == 10 * baseN)
+  }
+
+  test("content dedup at 10x bench scale: replicated corpus collapses to the base digest set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(md5(encode(col("text"), "UTF-8")).as("h"))
+    val distinctBase = docs.distinct().count()
+    val distinctBig = times10(docs).distinct().count()
+    assert(distinctBig == distinctBase)
+  }
+}
