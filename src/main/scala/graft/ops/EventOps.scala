@@ -1502,6 +1502,46 @@ object EventOps {
           .agg(count(lit(1)).cast("long").as("n_sessions"),
             round(count(lit(1)).cast("double") / col("ns"), 4).as("share"))
           .select(col("bucket"), col("n_sessions"), col("share"))
+      }),
+
+    QueryDef(
+      "ev43_time_weighted_avg",
+      // Time-weighted average value per user (TWAP): each event's value
+      // holds until the user's next event, so the mean weights values
+      // by their HOLDING TIME, not their count — the correct "average
+      // level" for irregular series (prices, gauge metrics, queue
+      // depths), where a per-event avg over-weights bursts. Exactness
+      // discipline: values quantize to integer cents via round(v*100)
+      // (both engines round the IDENTICAL double away from zero), gaps
+      // are exact epoch-µs leads, and the value·time integral sums as
+      // DECIMAL(38,0) — worst-case products overflow int64, and a
+      // 100 TB rollup can't accept either overflow or float
+      // order-dependence. One division at the very end; one window
+      // shuffle (lead) + the rollup.
+      Some("""WITH o AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vq,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      - epoch_us(ts) AS dt_us
+             |  FROM events)
+             |SELECT user_id, CAST(sum(dt_us) AS BIGINT) AS span_us,
+             |  round(CAST(sum(CAST(vq AS DECIMAL(38,0)) * dt_us) AS DOUBLE)
+             |    / (100.0 * sum(dt_us)), 4) AS twap
+             |FROM o WHERE dt_us IS NOT NULL
+             |GROUP BY user_id HAVING sum(dt_us) > 0""".stripMargin),
+      (s, d) => {
+        val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        ev(s, d)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("vq"),
+            (lead(us, 1).over(w) - us).as("dt_us"))
+          .filter(col("dt_us").isNotNull)
+          .groupBy("user_id")
+          .agg(sum("dt_us").cast("long").as("span_us"),
+            round(sum(col("vq").cast(dec) * col("dt_us")).cast("double")
+              / (lit(100.0) * sum("dt_us")), 4).as("twap"))
+          .filter(col("span_us") > 0)
       })
   )
 }

@@ -1162,6 +1162,78 @@ object VectorOps {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 10)
           .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("hamming"))
+      }),
+
+    QueryDef(
+      "vs22_hamming_rerank",
+      // The production two-stage retrieval architecture end to end:
+      // stage 1 screens the corpus on vs21's packed 64-bit sign
+      // signatures (Hamming top-50 per probe — bit_count(xor) over a
+      // 16-byte record, the pass that scans a billion vectors from a
+      // ~16 GB cache-resident store); stage 2 re-ranks ONLY those 50
+      // survivors with the exact float cosine (vs01's scorer) for the
+      // final top-10. The expensive float pass touches 50 rows per
+      // probe no matter the corpus size — that asymmetry IS the
+      // architecture. Ties break on neighbor_id in both stages; both
+      // stages' selections are integral/total-ordered, so the composed
+      // pipeline is oracle-exact.
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             |pk AS (SELECT vec_id,
+             |  CAST(list_sum(list_transform(range(32),
+             |    i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w0,
+             |  CAST(list_sum(list_transform(range(32),
+             |    i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w1
+             |  FROM e),
+             |p AS (SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1 FROM pk WHERE vec_id < 5),
+             |h AS (SELECT probe_id, pk.vec_id AS neighbor_id,
+             |  bit_count(xor(w0, p0)) + bit_count(xor(w1, p1)) AS hamming,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY
+             |    bit_count(xor(w0, p0)) + bit_count(xor(w1, p1)), pk.vec_id) AS hrn
+             |  FROM p, pk WHERE pk.vec_id <> probe_id),
+             |cand AS (SELECT probe_id, neighbor_id FROM h WHERE hrn <= 50),
+             |sc AS (SELECT probe_id, neighbor_id,
+             |  list_cosine_similarity(
+             |    (SELECT CAST(v AS DOUBLE[]) FROM e WHERE e.vec_id = probe_id),
+             |    (SELECT CAST(v AS DOUBLE[]) FROM e WHERE e.vec_id = neighbor_id)) AS c
+             |  FROM cand),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rn
+             |  FROM sc)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, round(c, 4) AS cos
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        def word(lo: Int): Column = expr(
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+             |  acc + CASE WHEN element_at(v, i + $lo) > 0
+             |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+            .stripMargin)
+        val e = emb(s, d)
+        val packed = e.select(col("vec_id"), word(1).as("w0"), word(33).as("w1"))
+        val probes = packed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("w0").as("p0"), col("w1").as("p1"))
+        val wh = Window.partitionBy("probe_id").orderBy(col("hamming"), col("neighbor_id"))
+        val cand = packed.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            (bit_count(col("w0").bitwiseXOR(col("p0"))) +
+              bit_count(col("w1").bitwiseXOR(col("p1")))).cast("long").as("hamming"))
+          .withColumn("hrn", row_number().over(wh))
+          .filter(col("hrn") <= 50)
+          .select("probe_id", "neighbor_id")
+        // float re-rank joins the 50-per-probe survivors back to their
+        // vectors: the probe side broadcasts, the corpus side is an
+        // equi-join on the id — no second corpus-wide scoring pass
+        val pv = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val wr = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        cand
+          .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+          .join(broadcast(pv), "probe_id")
+          .select(col("probe_id"), col("neighbor_id"),
+            cosine(col("pv"), col("nv")).as("c"))
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+            round(col("c"), 4).as("cos"))
       })
   )
 }

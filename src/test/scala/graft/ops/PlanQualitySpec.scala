@@ -86,8 +86,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // (corpus token budget / total weight / session count)
       "vs20_filtered_ann", "pp05_mixture_schedule",
       "sp17_systematic_resample", "ev42_session_histogram",
-      // vs21: vs01's broadcast-probe corpus stream on packed signatures
-      "vs21_hamming_topk")
+      // vs21: vs01's broadcast-probe corpus stream on packed signatures;
+      // vs22: the same signature screen (stage 2 re-ranks via equi-join)
+      "vs21_hamming_topk", "vs22_hamming_rerank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

@@ -225,6 +225,30 @@ class Round3AdditionsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("vs22 two-stage retrieval recalls most of the brute-force top-10") {
+    val brute = SparkEntry.queries("vs01_topk_bruteforce")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    val twoStage = SparkEntry.queries("vs22_hamming_rerank")(spark, sf)
+      .select("probe_id", "neighbor_id")
+    // 64-bit sign screen -> top-50 -> float re-rank recovers 34/50 of
+    // the exact top-10 on this corpus; gate at >= 25 so the invariant
+    // reads "meaningful recall", not a frozen dataset accident
+    val overlap = twoStage.intersect(brute).count()
+    assert(overlap >= 25, s"two-stage recall collapsed: $overlap/50")
+  }
+
+  test("ev43 TWAP lies within each user's [min, max] value envelope") {
+    val twap = SparkEntry.queries("ev43_time_weighted_avg")(spark, sf)
+    val env = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id")
+      .agg(min(round(col("value"), 2)).as("lo"), max(round(col("value"), 2)).as("hi"))
+    // a time-weighted mean of held values can never leave the envelope
+    // (1e-4 slack for the final 4dp round)
+    val out = twap.join(env, "user_id")
+      .filter(col("twap") < col("lo") - 0.0001 || col("twap") > col("hi") + 0.0001)
+    assert(out.count() == 0)
+  }
+
   test("dd16 chunks reassemble to the token stream; boundaries survive a prefix edit") {
     import spark.implicits._
     val tokens = (0 until 200).map(i => s"t$i")
