@@ -1521,6 +1521,33 @@ object Relational {
         Seq((m("n_rows").asInstanceOf[Long], m("n_bulk").asInstanceOf[Long],
           m("qty_sum").asInstanceOf[Long], m("price_dec").asInstanceOf[String]))
           .toDF("n_rows", "n_bulk", "qty_sum", "price_dec")
+      }),
+
+    QueryDef(
+      "q64_pipe_syntax",
+      // SQL pipe syntax (Spark 4's |> operator chain) — the linear
+      // FROM-first form of scan → filter → aggregate → having → project
+      // that reads in EXECUTION order instead of SQL's inside-out
+      // nesting. Same Catalyst plan as the ANSI spelling (the parser
+      // desugars stage by stage), so the surface costs nothing; the
+      // DuckDB oracle is the classic GROUP BY/HAVING equivalent, which
+      // is itself the parity statement: two very different query
+      // texts, one result hash. Sums go through BIGINT (quantities are
+      // integral) so the aggregate is exact.
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem WHERE l_discount > 0.03
+             |GROUP BY 1, 2 HAVING count(*) > 100""".stripMargin),
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""FROM lineitem
+                ||> WHERE l_discount > 0.03
+                ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                |     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                |   GROUP BY l_returnflag, l_linestatus
+                ||> WHERE n > 100
+                ||> SELECT l_returnflag, l_linestatus, n, qty""".stripMargin)
       })
   )
 
