@@ -606,7 +606,11 @@ object DedupOps {
             sequence(lit(1), size(col("toks")) - 4),
             i => struct(i.as("p"),
               concat_ws(" ", slice(col("toks"), i, lit(5))).as("s")))).as("u"))
-          .select(col("doc_id"), col("u.p").as("p"), col("u.s").as("s"))
+          // span keys hash to longs at creation: both downstream
+          // shuffles (df groupBy + the cov equi-join) ship 8 bytes per
+          // span instead of a ~30-byte string (dd06's hashed-posting
+          // move; equality is all either side needs)
+          .select(col("doc_id"), col("u.p").as("p"), xxhash64(col("u.s")).as("s"))
         // The df side needs only DISTINCT spans per doc — the native
         // one-pass word_shingles, not the positional explode. This also
         // keeps the heavy positional subtree out of the plan twice
@@ -616,7 +620,8 @@ object DedupOps {
         // is needed on this side.
         val dfSpans = docs(s, d)
           .select(col("doc_id"),
-            explode(graft.functions.GraftFunctions.word_shingles(col("text"), 5)).as("s"))
+            explode(graft.functions.GraftFunctions.word_shingles(col("text"), 5)).as("s0"))
+          .select(col("doc_id"), xxhash64(col("s0")).as("s"))
           .groupBy("s").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2).select("s")
         val cov = sp.join(dfSpans, "s")
