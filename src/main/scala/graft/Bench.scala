@@ -80,7 +80,10 @@ object Bench {
       "vs01_topk_bruteforce", "vs02_ivf_topk", "vs03_embed_neardup",
       "sp02_stratified_sample", "rj01_range_join", "mm04_batch_inference",
       "pp01_training_pipeline", "pp02_llm_corpus_pipeline",
-      "st03_stream_interval_join")
+      "st03_stream_interval_join",
+      // session-3 flagships: engine recursion, CDC chunking, two-stage
+      // binary retrieval
+      "q62_recursive_cte", "dd16_cdc_chunks", "vs22_hamming_rerank")
     def f3(v: Double): String = f"$v%.3f"
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s""""$n":${f3(v)}"""))
