@@ -1542,6 +1542,30 @@ object EventOps {
             round(sum(col("vq").cast(dec) * col("dt_us")).cast("double")
               / (lit(100.0) * sum("dt_us")), 4).as("twap"))
           .filter(col("span_us") > 0)
-      })
+      }),
+
+    QueryDef(
+      "ev44_bitmap_distinct",
+      // EXACT count-distinct as a two-level bitmap rollup (Spark 3.5+
+      // bitmap_* surface): ids land in 32768-bit buckets
+      // (bitmap_bucket_number / bitmap_bit_position), each
+      // (type, bucket) group ORs its positions into one 4 KB bitmap,
+      // and the per-type distinct count is the sum of per-bucket
+      // popcounts. Unlike count(DISTINCT) — whose final merge must see
+      // every distinct VALUE on one task — the second stage ships only
+      // fixed-size bitmaps (≤1 per occupied bucket), so the reduce
+      // side is O(id-range/32768 · 4 KB) regardless of row count, and
+      // bitmaps are the natural precomputable/mergeable distinct
+      // sketch for a 100 TB cube (exact, unlike HLL q18). The oracle
+      // is DuckDB's native count(DISTINCT).
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, d) =>
+        ev(s, d)
+          .groupBy(col("event_type"),
+            expr("bitmap_bucket_number(user_id)").as("bkt"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+          .groupBy("event_type")
+          .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users")))
   )
 }

@@ -1548,6 +1548,33 @@ object Relational {
                 |   GROUP BY l_returnflag, l_linestatus
                 ||> WHERE n > 100
                 ||> SELECT l_returnflag, l_linestatus, n, qty""".stripMargin)
+      }),
+
+    QueryDef(
+      "q65_windowed_distinct",
+      // Running COUNT(DISTINCT) over a window — a surface Spark's
+      // window aggregates don't offer directly (DISTINCT is not
+      // allowed in a window aggregate), expressed as
+      // size(collect_set() OVER w): per customer, how many distinct
+      // order priorities they have used up to each order. The oracle
+      // runs DuckDB's native count(DISTINCT …) OVER — two different
+      // evaluation strategies gated to the same answer. Scale shape:
+      // one hash shuffle on o_custkey; the set state is bounded by the
+      // DOMAIN of the counted column (5 priorities), not the frame
+      // length, so per-row state stays O(domain) at any row count.
+      Some("""SELECT o_orderkey,
+             |  CAST(count(DISTINCT o_orderpriority) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS n_prio_seen
+             |FROM orders""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ord(s, d).select(col("o_orderkey"),
+          size(collect_set(col("o_orderpriority")).over(w)).cast("long")
+            .as("n_prio_seen"))
       })
   )
 

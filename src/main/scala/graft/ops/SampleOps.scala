@@ -533,6 +533,48 @@ object SampleOps {
             least(lit(1000L), expr("(2000 * (hi - weight) + tw - 1) DIV (2 * tw)")))
           .filter(col("n_copies") > 0)
           .select(col("doc_id"), col("weight"), col("n_copies").cast("long").as("n_copies"))
+      }),
+
+    QueryDef(
+      "sp18_poisson_bootstrap",
+      // Online Poisson bootstrap (Chamandy et al., "Estimating
+      // uncertainty for massive data streams", Google 2012): each doc's
+      // replicate count k ~ Poisson(1), drawn DETERMINISTICALLY by
+      // inverse-CDF on the 52-bit hash uniform, so every engine —
+      // and every task retry — re-derives the identical resample.
+      // This is how you bootstrap a 100 TB corpus: no global resample
+      // index, one map-side k per row (P(k=0)=e⁻¹ drops the row,
+      // k≥2 replicates it), then a generate-series explode. The CDF
+      // thresholds are double literals, byte-identical in both
+      // engines; u is an exact-integer / 2⁵² correctly-rounded divide.
+      // Shape: map-only scan + explode — zero shuffles before the
+      // consumer, and the expected output mass equals the input mass.
+      Some(s"""WITH u AS (
+             |  SELECT doc_id, source, $oracleHval / 4503599627370496.0 AS u
+             |  FROM (SELECT doc_id, source,
+             |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+             |        FROM documents)),
+             |k AS (
+             |  SELECT doc_id, source,
+             |    CAST(u >= 0.36787944117144233 AS INT) + CAST(u >= 0.7357588823428847 AS INT)
+             |    + CAST(u >= 0.9196986029286058 AS INT) + CAST(u >= 0.9810118431238463 AS INT)
+             |    + CAST(u >= 0.9963401531726563 AS INT) + CAST(u >= 0.9994058151824183 AS INT)
+             |    + CAST(u >= 0.999916758850712 AS INT) + CAST(u >= 0.9999897508033253 AS INT)
+             |      AS k
+             |  FROM u)
+             |SELECT doc_id, source, CAST(unnest(generate_series(1, k)) AS BIGINT) AS rep
+             |FROM k WHERE k >= 1""".stripMargin),
+      (s, d) => {
+        val u = (hval.cast("double") / lit(4503599627370496.0)).as("u")
+        val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+          0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+          0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+        docs(s, d)
+          .select(col("doc_id"), col("source"), u)
+          .withColumn("k", cdf.map(t => (col("u") >= t).cast("int")).reduce(_ + _))
+          .filter(col("k") >= 1)
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1L), col("k").cast("long"))).as("rep"))
       })
   )
 }

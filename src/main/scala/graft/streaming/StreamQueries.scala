@@ -318,6 +318,35 @@ object StreamQueries {
               unix_micros(col("ts")).as("us"), col("event_type"),
               col("segment"), col("nation"))
         }
+      }),
+
+    QueryDef(
+      "st09_stream_wm_dedup",
+      // Watermark-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+      // holds each key only until the event-time watermark passes it,
+      // unlike st02's dropDuplicates whose state grows with the
+      // lifetime key count — the only dedup that runs FOREVER on an
+      // unbounded stream (state is O(keys per watermark window)). The
+      // input is fed with every event doubled (explode over a 2-array),
+      // so the operator demonstrably removes real duplicates; doubles
+      // of a row share its event time, so they always fall inside the
+      // same watermark window and the finite result is exactly DISTINCT
+      // — which the batch oracle checks, with id_sum pinning membership.
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, d) => {
+        val kept = runStream(s, s"$d/events.parquet", "append") { src =>
+          tsCol(src)
+            .select(col("ts"), col("event_id"), col("event_type"),
+              explode(array(lit(1), lit(2))).as("copy_no"))
+            .drop("copy_no")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+        }
+        kept.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("event_id").cast("long").as("id_sum"))
       })
   )
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants for the session-4 additions (sp18, q65, ev44,
+  * st09) beyond the oracle hash gate: each test pins a property the
+  * DuckDB value-compare can't express (distribution shape, window
+  * monotonicity, equivalence to a direct recompute under a different
+  * plan, duplicate-removal under a doubled input).
+  */
+class SessionFourSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sp18 poisson bootstrap: reps are contiguous 1..k, and total mass ~ Poisson(n)") {
+    val reps = SparkEntry.queries("sp18_poisson_bootstrap")(spark, sf).cache()
+    try {
+      // per doc: rep values are exactly 1..k (max == count, min == 1)
+      val bad = reps.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), min("rep").as("mn"), max("rep").as("mx"))
+        .filter(col("mn") =!= 1L || col("mx") =!= col("n"))
+      assert(bad.count() == 0)
+      // total replicate mass is a Poisson(n_docs) draw: mean n, sd sqrt(n).
+      // 500 docs -> [350, 650] is a >6-sigma band; a systematic CDF bug
+      // (wrong thresholds, wrong uniform) lands far outside it.
+      val total = reps.count()
+      val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+      assert(total > nDocs * 0.7 && total < nDocs * 1.3,
+        s"bootstrap mass $total implausible for $nDocs docs")
+      // determinism: a second evaluation is byte-identical (hash-keyed,
+      // not rand()-keyed)
+      val again = SparkEntry.queries("sp18_poisson_bootstrap")(spark, sf)
+      assert(reps.except(again).count() == 0 && again.except(reps).count() == 0)
+    } finally reps.unpersist()
+  }
+
+  test("q65 windowed distinct: running count is non-decreasing and ends at the group's distinct total") {
+    val r = SparkEntry.queries("q65_windowed_distinct")(spark, sf)
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val joined = ord.join(r, "o_orderkey").cache()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // non-decreasing along the frame order
+      val prev = lag("n_prio_seen", 1).over(w)
+      assert(joined.withColumn("p", prev)
+        .filter(col("p").isNotNull && col("n_prio_seen") < col("p"))
+        .count() == 0)
+      // the last row of each customer sees ALL the customer's distinct
+      // priorities
+      val last = joined.withColumn("rn",
+          row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("n_prio_seen"))
+      val direct = ord.groupBy("o_custkey")
+        .agg(countDistinct("o_orderpriority").cast("long").as("nd"))
+      assert(last.join(direct, "o_custkey")
+        .filter(col("n_prio_seen") =!= col("nd")).count() == 0)
+    } finally joined.unpersist()
+  }
+
+  test("ev44 bitmap distinct: equals countDistinct under a different plan") {
+    val bm = SparkEntry.queries("ev44_bitmap_distinct")(spark, sf)
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").cast("long").as("nd"))
+    assert(bm.join(direct, "event_type")
+      .filter(col("n_users") =!= col("nd")).count() == 0)
+    assert(bm.count() == direct.count())
+  }
+
+  test("st09 watermark dedup: doubled stream input collapses to exact batch distinct") {
+    val r = SparkEntry.queries("st09_stream_wm_dedup")(spark, sf)
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_b"),
+        sum("event_id").cast("long").as("s_b"))
+    assert(r.join(direct, "event_type")
+      .filter(col("n") =!= col("n_b") || col("id_sum") =!= col("s_b"))
+      .count() == 0)
+    assert(r.count() == direct.count())
+  }
+}
