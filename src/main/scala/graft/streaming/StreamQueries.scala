@@ -347,6 +347,54 @@ object StreamQueries {
         kept.groupBy("event_type")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("event_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "st10_stream_custom_state",
+      // EventStream.sessionize — the hand-written flatMapGroupsWithState
+      // state machine (one SessionState per user, event-time timeouts)
+      // — under the hash gate. st05 gates the DECLARATIVE session
+      // operator; this gates the imperative custom-state API, the tool
+      // for session semantics session_window can't express. The gate
+      // compares only sessions CLOSED BY A LATER EVENT (a later event
+      // of the user exists past the gap): whether Spark's final
+      // no-data micro-batch fires the event-time timeouts for
+      // still-open sessions is trigger policy, not session semantics,
+      // so those rows are excluded on BOTH sides (Spark side by the
+      // same end_us < user_max - gap predicate the oracle uses).
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |b AS (
+             |  SELECT user_id, us,
+             |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+             |           > 1800000000
+             |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM b),
+             |sess AS (
+             |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+             |    count(*) AS n_events
+             |  FROM g GROUP BY 1, 2),
+             |mx AS (SELECT user_id, max(us) AS mx_us FROM e GROUP BY 1)
+             |SELECT s.user_id, CAST(s.start_us AS BIGINT) AS start_us,
+             |  CAST(s.end_us AS BIGINT) AS end_us,
+             |  CAST(s.n_events AS BIGINT) AS n_events
+             |FROM sess s JOIN mx ON s.user_id = mx.user_id
+             |WHERE mx.mx_us - s.end_us > 1800000000""".stripMargin),
+      (s, d) => {
+        val gapUs = 30L * 60L * 1000000L
+        val out = runStream(s, s"$d/events.parquet", "append") { src =>
+          EventStream.sessionize(tsCol(src), gapMinutes = 30).toDF()
+        }
+        val mx = tsCol(Tables(s, d, "events"))
+          .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("mx_us"))
+        out.join(mx, "user_id")
+          .filter(col("mx_us") - col("end_us") > gapUs)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events").cast("long").as("n_events"))
       })
   )
 }

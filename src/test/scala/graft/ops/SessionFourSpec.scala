@@ -74,6 +74,37 @@ class SessionFourSpec extends AnyFunSuite {
     assert(bm.count() == direct.count())
   }
 
+  test("st10 custom state: emitted sessions are exactly the event-closed ones, disjoint per user") {
+    // localCheckpoint truncates the lineage: the memory-sink view inside
+    // the streamed plan otherwise carries attribute ids that collide
+    // with the test's own events scan in the joins below
+    val r = SparkEntry.queries("st10_stream_custom_state")(spark, sf)
+      .localCheckpoint(true)
+    try {
+      // no emitted session may contain its user's final event (those
+      // are open at end-of-input; timeout emission is excluded by
+      // contract), and sessions of a user never overlap
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"))
+      val mx = ev.groupBy("user_id").agg(max("us").as("mx_us"))
+      assert(r.join(mx, "user_id").filter(col("end_us") >= col("mx_us")).count() == 0)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("start_us")
+      val overlap = r.withColumn("next_start", lead("start_us", 1).over(w))
+        .filter(col("next_start").isNotNull && col("next_start") <= col("end_us"))
+      assert(overlap.count() == 0)
+      // every emitted session's event count reconciles with the raw
+      // rows inside its [start, end] span
+      val ev2 = ev.toDF("uid2", "us2")
+      val spanCount = r.join(ev2,
+          col("user_id") === col("uid2") &&
+            col("us2") >= col("start_us") && col("us2") <= col("end_us"))
+        .groupBy("user_id", "start_us").agg(count(lit(1)).as("n_raw"))
+      assert(r.join(spanCount, Seq("user_id", "start_us"))
+        .filter(col("n_events") =!= col("n_raw")).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("st09 watermark dedup: doubled stream input collapses to exact batch distinct") {
     val r = SparkEntry.queries("st09_stream_wm_dedup")(spark, sf)
     val direct = spark.read.parquet(s"$sf/events.parquet")
