@@ -395,6 +395,46 @@ object StreamQueries {
           .filter(col("mx_us") - col("end_us") > gapUs)
           .select(col("user_id"), col("start_us"), col("end_us"),
             col("n_events").cast("long").as("n_events"))
+      }),
+
+    QueryDef(
+      "st11_stream_seq_numbers",
+      // StatefulSeq.sequenceNumbers — Spark 4's transformWithState
+      // (typed ValueState + MapState per key on the RocksDB store)
+      // under the hash gate: streaming row_number() per user and per
+      // (user, event_type), the stable-ordinal assignment a training
+      // pipeline runs on an unbounded stream. Finite input makes the
+      // streamed ordinals ≡ batch window row_number(), so the oracle
+      // checks the new stateful API end-to-end (state schema creation,
+      // RocksDB reads/writes, ordinal continuation).
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS seq,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY user_id, event_type
+             |    ORDER BY us, event_id) AS BIGINT) AS type_seq
+             |FROM e""".stripMargin),
+      (s, d) => {
+        // transformWithState exists only on the RocksDB provider (its
+        // state schemas aren't implemented by the HDFS-backed default);
+        // scope the provider to this run and restore after.
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          runStream(s, s"$d/events.parquet", "append") { src =>
+            StatefulSeq.sequenceNumbers(tsCol(src)).toDF()
+          }
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        }
       })
   )
 }

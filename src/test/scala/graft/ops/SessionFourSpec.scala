@@ -105,6 +105,28 @@ class SessionFourSpec extends AnyFunSuite {
     } finally r.unpersist()
   }
 
+  test("st11 transformWithState: ordinals dense per user, type ordinals dense per user+type") {
+    val r = SparkEntry.queries("st11_stream_seq_numbers")(spark, sf)
+      .localCheckpoint(true)
+    try {
+      // seq is a permutation of 1..n within each user: max == n and
+      // sum == n(n+1)/2 pin both density and uniqueness
+      val byUser = r.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max("seq").as("mx"), sum("seq").as("s"))
+      assert(byUser.filter(col("mx") =!= col("n") ||
+        col("s") =!= expr("n*(n+1)/2")).count() == 0)
+      // join event_type back in: type_seq is a permutation of 1..m
+      // within each (user, event_type) — the MapState path
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+        .select(col("event_id").as("eid"), col("event_type"))
+      val byType = r.join(ev, col("event_id") === col("eid"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), max("type_seq").as("mx"), sum("type_seq").as("s"))
+      assert(byType.filter(col("mx") =!= col("n") ||
+        col("s") =!= expr("n*(n+1)/2")).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("st09 watermark dedup: doubled stream input collapses to exact batch distinct") {
     val r = SparkEntry.queries("st09_stream_wm_dedup")(spark, sf)
     val direct = spark.read.parquet(s"$sf/events.parquet")
