@@ -1566,6 +1566,47 @@ object EventOps {
             expr("bitmap_bucket_number(user_id)").as("bkt"))
           .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
           .groupBy("event_type")
-          .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users")))
+          .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))),
+
+    QueryDef(
+      "ev45_scd2_intervals",
+      // SCD Type-2 dimension build: compress each user's event-type
+      // change log into validity intervals [valid_from, valid_to) —
+      // the standard warehouse shape for "what was the user's state at
+      // time T" joins (the as-of join ev06 consumes exactly this).
+      // Consecutive same-type events collapse; an interval closes when
+      // the next CHANGE row begins; the open current interval carries
+      // the -1 sentinel (NULL would be engine-portable but not
+      // hash-stable across sort orders). Two window passes over one
+      // hash-partition by user — no second shuffle, both windows share
+      // the (user_id § us, event_id) sort. Exact integers end to end.
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, event_type, us, event_id,
+             |    lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |ch AS (
+             |  SELECT user_id, event_type, us, event_id FROM c
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, CAST(us AS BIGINT) AS valid_from_us,
+             |  CAST(coalesce(lead(us) OVER (
+             |    PARTITION BY user_id ORDER BY us, event_id), -1) AS BIGINT)
+             |    AS valid_to_us
+             |FROM ch""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        ev(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .select(col("user_id"), col("event_type"),
+            col("us").cast("long").as("valid_from_us"),
+            coalesce(lead("us", 1).over(w), lit(-1L)).cast("long")
+              .as("valid_to_us"))
+      })
   )
 }

@@ -1575,7 +1575,110 @@ object Relational {
         ord(s, d).select(col("o_orderkey"),
           size(collect_set(col("o_orderpriority")).over(w)).cast("long")
             .as("n_prio_seen"))
-      })
+      }),
+
+    QueryDef(
+      "q66_variant_json",
+      // The VARIANT type (Spark 4): semi-structured values carried in
+      // the engine's binary-JSON encoding and read back with TYPED
+      // path extraction — the open-schema column a pipeline lands
+      // heterogeneous API payloads into (one column, per-row shape,
+      // no schema migration to add a field). Here each order is
+      // serialized to nested JSON (object + nested object + array),
+      // parsed to VARIANT, and every output value is pulled back out
+      // via variant_get typed paths — the oracle computes the same
+      // aggregate straight from the base columns, so the gate pins the
+      // whole encode→VARIANT→typed-decode loop as value-exact
+      // (doubles survive: to_json's shortest-roundtrip formatting
+      // parses back to the identical IEEE double). Scale shape: VARIANT
+      // decode is per-row work in whole-stage codegen — no shuffle
+      // added; the aggregate shuffles the same 2-key groupBy as any
+      // rollup.
+      Some("""SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        ord(s, d)
+          .select(to_json(struct(
+            col("o_orderkey").as("k"),
+            struct(col("o_orderpriority").as("p"),
+              col("o_totalprice").as("t")).as("meta"),
+            array(col("o_orderstatus")).as("tags"))).as("j"))
+          .select(expr("parse_json(j)").as("v"))
+          .select(
+            expr("variant_get(v, '$.meta.p', 'string')").as("prio"),
+            expr("variant_get(v, '$.tags[0]', 'string')").as("status"),
+            expr("variant_get(v, '$.meta.t', 'double')").as("price"))
+          .groupBy("prio", "status")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(round(col("price") * 100).cast("long")).cast("long").as("cents"))),
+
+    QueryDef(
+      "q67_sql_udf",
+      // SQL-defined functions (Spark 4 CREATE FUNCTION … RETURN):
+      // a scalar UDF (net revenue per line) and a TABLE function (a
+      // parameterized filtered view) declared in SQL and invoked from a
+      // query — the catalog-level reuse surface that replaces
+      // copy-pasted expressions across pipeline jobs. The optimizer
+      // INLINES both bodies into the calling plan (no black-box eval
+      // barrier, unlike a JVM UDF), so pushdown and codegen see through
+      // them; the oracle runs the same logic textually inlined. Float
+      // determinism: the net expression is evaluated per row in the
+      // identical IEEE order in both engines, then cents-quantized
+      // before the cross-row sum.
+      Some("""SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(
+             |    l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100)
+             |    AS BIGINT)) AS BIGINT) AS net_cents
+             |FROM lineitem WHERE l_quantity >= 30
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+                |  p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+                |RETURN p * (1.0 - disc) * (1.0 + tax)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bulk_lines(minq DOUBLE)
+                |RETURNS TABLE (flag STRING, p DOUBLE, disc DOUBLE, tax DOUBLE)
+                |RETURN SELECT l_returnflag, l_extendedprice, l_discount, l_tax
+                |FROM lineitem WHERE l_quantity >= minq""".stripMargin)
+        s.sql("""SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                |  CAST(sum(CAST(round(graft_net(p, disc, tax) * 100) AS BIGINT))
+                |    AS BIGINT) AS net_cents
+                |FROM graft_bulk_lines(30.0)
+                |GROUP BY flag""".stripMargin)
+      }),
+
+    QueryDef(
+      "q68_k_anonymity",
+      // Governance audit: k-anonymity of a quasi-identifier tuple
+      // (nation, market segment) over customers — the release-gate
+      // check run before publishing any per-row extract of a 100 TB
+      // lake. One row out: the k actually achieved (smallest QI group),
+      // how many QI groups fall below the k=4 policy, and how many
+      // ROWS those risky groups expose. One groupBy shuffle on the QI
+      // columns + a broadcast-sized rollup of the group-size table —
+      // group count is bounded by the QI domain, so the second
+      // aggregate never shuffles meaningful volume at any scale.
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(min(sz) AS BIGINT) AS k_achieved,
+             |  CAST(sum(CASE WHEN sz < 4 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_risky_groups,
+             |  CAST(sum(CASE WHEN sz < 4 THEN sz ELSE 0 END) AS BIGINT)
+             |    AS n_risky_rows
+             |FROM g""".stripMargin),
+      (s, d) =>
+        cust(s, d)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("sz"))
+          .agg(min("sz").cast("long").as("k_achieved"),
+            sum(when(col("sz") < 4, 1).otherwise(0)).cast("long")
+              .as("n_risky_groups"),
+            sum(when(col("sz") < 4, col("sz")).otherwise(0)).cast("long")
+              .as("n_risky_rows")))
   )
 
   /** q62's query text — one string, submitted verbatim to BOTH engines

@@ -127,6 +127,37 @@ class SessionFourSpec extends AnyFunSuite {
     } finally r.unpersist()
   }
 
+  test("ev45 SCD2: each event's type matches its covering validity interval, exactly one cover") {
+    val iv = SparkEntry.queries("ev45_scd2_intervals")(spark, sf).localCheckpoint(true)
+    try {
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+        .select(col("user_id").as("uid"), expr("ts DIV 1000").as("us"),
+          col("event_type").as("etype"))
+      // [valid_from, valid_to) containment; -1 marks the open interval
+      val covered = ev.join(iv,
+        col("uid") === col("user_id") && col("us") >= col("valid_from_us") &&
+          (col("valid_to_us") === -1L || col("us") < col("valid_to_us")))
+      // every event is covered exactly once, and by its own type
+      assert(covered.count() == ev.count())
+      assert(covered.filter(col("etype") =!= col("event_type")).count() == 0)
+    } finally iv.unpersist()
+  }
+
+  test("q67 SQL UDFs are inlined: no eval barrier in the physical plan") {
+    val df = SparkEntry.queries("q67_sql_udf")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // an opaque function would surface as a (Scala)UDF node; the SQL
+    // body must instead be inlined arithmetic the codegen sees through
+    assert(!plan.contains("UDF"), s"SQL UDF not inlined:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q66 VARIANT roundtrip covers every order row") {
+    val r = SparkEntry.queries("q66_variant_json")(spark, sf)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.agg(sum("n")).head.getLong(0) == nOrders)
+  }
+
   test("st09 watermark dedup: doubled stream input collapses to exact batch distinct") {
     val r = SparkEntry.queries("st09_stream_wm_dedup")(spark, sf)
     val direct = spark.read.parquet(s"$sf/events.parquet")
