@@ -18,4 +18,27 @@ object Tables {
   /** Read one driver testdata table under the given scale-factor dir. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize a physical event-time column to TIMESTAMP (LTZ), the type
+    * every downstream op (unix_micros, watermarks, window()) was written
+    * against, regardless of how the file encodes it:
+    *  - TIMESTAMP(NANOS) surfaced as a nanos Long (legacy nanosAsLong
+    *    reader): integer-truncate to micros — exactly DuckDB's ns→µs cast;
+    *  - TIMESTAMP_NTZ (micros, no zone): reinterpret in the session zone,
+    *    exact under the UTC sessions Verify/Bench pin (and the same
+    *    wall-clock DuckDB reads);
+    *  - TIMESTAMP: already canonical. */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** The `events` table with `ts` normalized via [[normalizeTs]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(apply(spark, dir, "events"))
 }

@@ -16,18 +16,10 @@ import graft.{QueryDef, Tables}
   */
 object EventOps {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader does
-    * not accept as a timestamp type. We read it as a raw nanos Long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench
-    * session builders) and truncate to microseconds — integer division,
-    * exactly DuckDB's own ns→µs truncation — so both engines see
-    * identical instants. */
-  private def ev(s: SparkSession, d: String) = {
-    val raw = Tables(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
-  }
+  /** The `events` table with `ts` normalized to TIMESTAMP (LTZ) — see
+    * [[graft.Tables.normalizeTs]] for the per-encoding rules (nanos-Long
+    * legacy reader, TIMESTAMP_NTZ micros, already-LTZ). */
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -531,13 +523,9 @@ object EventOps {
              |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
              |FROM w""".stripMargin),
       (s, d) => {
-        // raw nanos long DIV to epoch-hours (or micros via unix_micros
-        // when the reader maps ts to a timestamp)
-        val raw = Tables(s, d, "events")
-        val hrCol =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            expr("ts DIV 3600000000000")
-          else expr("unix_micros(ts) DIV 3600000000")
+        // normalized timestamp → exact epoch-hour integers
+        val raw = Tables.events(s, d)
+        val hrCol = expr("unix_micros(ts) DIV 3600000000")
         val h = raw.filter(col("event_type") === "purchase")
           .groupBy(hrCol.cast("long").as("hr"))
           .agg(round(sum("value"), 2).as("v"))

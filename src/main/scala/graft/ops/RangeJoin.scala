@@ -63,10 +63,10 @@ object RangeJoin {
              |  AND abs(x.tus - y.tus) <= 300000000
              |GROUP BY x.user_id""".stripMargin),
       (s, d) => {
-        // ts is parquet TIMESTAMP(NANOS) read as Long; DIV 1000 is the
-        // same ns→µs truncation DuckDB's TIMESTAMP cast performs.
-        val e = Tables(s, d, "events")
-          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+        // normalized timestamp → exact epoch-micro integers (identical
+        // to DuckDB's epoch_us on the same instants)
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
         bandedSelfJoin(e, key = "user_id", id = "event_id", time = "tus",
           window = 300000000L)
           .groupBy("user_id")
@@ -89,10 +89,10 @@ object RangeJoin {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
       (s, d) => {
-        val base = Tables(s, d, "events")
+        val base = Tables.events(s, d)
           .filter(col("event_type").isin("purchase", "click"))
           .select(col("user_id"), col("event_id"),
-            expr("ts div 1000").as("ts_us"),
+            unix_micros(col("ts")).as("ts_us"),
             when(col("event_type") === "click", 0).otherwise(1).as("side"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts_us", "side")
@@ -170,13 +170,9 @@ object RangeJoin {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val H = 3600000000L
-        val ev = Tables(s, d, "events")
-        val e =
-          (if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else ev)
-            .select(col("user_id"), col("event_id"),
-              unix_micros(col("ts")).as("us"))
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
         val w = Window.partitionBy("user_id").orderBy("us", "event_id")
         val sess = e
           .withColumn("new_sess",

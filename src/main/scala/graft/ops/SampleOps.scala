@@ -34,14 +34,8 @@ object SampleOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
-  /** events.ts arrives as raw TIMESTAMP(NANOS) longs (nanosAsLong, see
-    * EventOps): truncate to micros exactly like DuckDB's ns→µs cast. */
-  private def evTs(s: SparkSession, d: String): DataFrame = {
-    val raw = Tables(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
-  }
+  /** events with `ts` normalized to TIMESTAMP (see Tables.normalizeTs). */
+  private def evTs(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
   /** Portable per-row hash key: lowercase-hex md5 of the decimal doc_id
     * string — byte-identical between Spark and DuckDB. */

@@ -31,13 +31,10 @@ object StreamQueries {
   // memory-sink view names must be unique per START within a session
   private val runId = new AtomicLong(0)
 
-  /** events.ts arrives as raw parquet TIMESTAMP(NANOS) longs
-    * (nanosAsLong, see EventOps): truncate to micros exactly like
-    * DuckDB's ns→µs cast. */
-  private def tsCol(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+  /** events.ts normalized to TIMESTAMP (LTZ) whatever the file encodes —
+    * nanos Long, TIMESTAMP_NTZ micros, or already-LTZ (Tables.normalizeTs);
+    * watermarks/window() require the LTZ type. */
+  private def tsCol(df: DataFrame): DataFrame = graft.Tables.normalizeTs(df)
 
   /** Run `build(stream)` to completion over the parquet file(s) at
     * `path` and return the materialized sink table. */
@@ -280,11 +277,8 @@ object StreamQueries {
           java.nio.file.Files.deleteIfExists(inDir.resolve(file.getFileName))
           java.nio.file.Files.deleteIfExists(inDir)
         }
-        val tab = s.read.parquet(table)
-        val tsUs =
-          if (tab.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            expr("ts DIV 1000")
-          else unix_micros(col("ts"))
+        val tab = graft.Tables.normalizeTs(s.read.parquet(table))
+        val tsUs = unix_micros(col("ts"))
         tab.select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), tsUs.cast("long").as("last_us"),
           col("value"))
