@@ -23,17 +23,26 @@ object Tables {
     * every downstream op (unix_micros, watermarks, window()) was written
     * against, regardless of how the file encodes it:
     *  - TIMESTAMP(NANOS) surfaced as a nanos Long (legacy nanosAsLong
-    *    reader): integer-truncate to micros — exactly DuckDB's ns→µs cast;
-    *  - TIMESTAMP_NTZ (micros, no zone): reinterpret in the session zone,
-    *    exact under the UTC sessions Verify/Bench pin (and the same
-    *    wall-clock DuckDB reads);
+    *    reader): integer-truncate to micros — exactly DuckDB's ns→µs cast.
+    *    CONTRACT: a LongType `c` is always NANOSECONDS. A source holding
+    *    micros-as-INT64 must convert before calling this, or it silently
+    *    shifts 1000×;
+    *  - TIMESTAMP_NTZ (micros, no zone): reinterpret in the session zone
+    *    — only oracle-exact when the session zone is UTC (the same
+    *    wall-clock DuckDB reads), so that pin is asserted here rather
+    *    than trusted to each builder;
     *  - TIMESTAMP: already canonical. */
   def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(c).dataType match {
-      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
-      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"normalizeTs reinterprets TIMESTAMP_NTZ in the session zone; " +
+            s"session timeZone is '$tz' but the oracle contract requires UTC")
+        df.withColumn(c, col(c).cast(TimestampType))
       case _                => df
     }
   }

@@ -479,7 +479,7 @@ object DedupOps {
              |      FROM embeddings WHERE vec_id < 8),
              |a AS (SELECT u.vec_id, u.v, cid,
              |        row_number() OVER (PARTITION BY u.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM u, c),
              |asg AS (SELECT vec_id, v, cid FROM a WHERE arn = 1),
              |drops AS (

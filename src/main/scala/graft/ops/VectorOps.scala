@@ -48,9 +48,18 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
 
   /** Assign every vector to its nearest centroid (broadcast cross +
-    * deterministic argmax). Input cols: (vec_id, v) and (cid, cv). */
+    * deterministic argmax). Input cols: (vec_id, v) and (cid, cv).
+    *
+    * The argmax orders on the cosine QUANTIZED to a 1e-6 grid (the repo's
+    * standard tie-break discipline, cf. tx26/vs19): Spark's codegen
+    * cosine and DuckDB's `list_cosine_similarity` can differ in the last
+    * ulp, and a raw-double near-tie then flips a vector's cluster —
+    * changing group MEMBERSHIP, which no amount of output rounding
+    * repairs (the r2/r3 vs05 hash fail). On the grid both engines rank
+    * identically; `cid` breaks exact grid ties. */
   def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(floor(col("ccos") * 1e6 + lit(0.5)).desc, col("cid"))
     vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
       .withColumn("arn", row_number().over(w))
@@ -169,7 +178,7 @@ object VectorOps {
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
              |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM e, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
              |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
@@ -284,7 +293,7 @@ object VectorOps {
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
              |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM e, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
              |x AS (SELECT asg.cid, unnest(e.v) AS val,
@@ -323,7 +332,7 @@ object VectorOps {
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
              |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM e, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
              |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
@@ -385,7 +394,7 @@ object VectorOps {
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
              |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM e, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
              |x AS (SELECT asg.cid, unnest(e.v) AS val,
@@ -637,7 +646,7 @@ object VectorOps {
              |      FROM embeddings WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
              |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM e, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1)
              |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
@@ -717,7 +726,7 @@ object VectorOps {
              |  SELECT vec_id, cell FROM (
              |    SELECT e.vec_id, cid AS cell,
              |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |        ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |    FROM e, c) t WHERE arn = 1),
              |blocks AS (SELECT vec_id, v, b
              |           FROM e, (SELECT unnest(range(0, 4)) AS b)),
@@ -880,7 +889,7 @@ object VectorOps {
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
              |a AS (SELECT e.vec_id, cid,
              |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
              |      FROM e, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
              |pc AS (SELECT vec_id AS probe_id, cid, arn AS cell_rank FROM a

@@ -32,22 +32,16 @@ final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_event
   */
 object EventStream {
 
-  /** events schema as the stream source sees it: `ts` arrives as raw
-    * TIMESTAMP(NANOS) which the reader (with nanosAsLong) surfaces as a
-    * nanos Long; [[readEvents]] converts to a microsecond timestamp. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Stream the events directory. File stream sources need an explicit
+    * schema; rather than hardcode the physical encoding of `ts` (which
+    * has shifted between TIMESTAMP(NANOS)-as-Long and TIMESTAMP_NTZ
+    * across fixture generations), probe the parquet footer with a batch
+    * reader and normalize whatever arrives via [[graft.Tables.normalizeTs]]. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val footerSchema: StructType = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(footerSchema).parquet(dir))
+  }
 
   /** Hourly tumbling-window counts per event type with a 1-hour
     * watermark: append-mode-safe windowed aggregation. */

@@ -18,8 +18,7 @@ class PartitionLayoutSpec extends AnyFunSuite {
 
   test("day-partitioned events: day filters prune to the matching partitions") {
     val path = Files.createTempDirectory("graft_daypart_").resolve("events").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     ev.write.partitionBy("day").mode("overwrite").parquet(path)
 

@@ -13,8 +13,8 @@ class RangeJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def events = spark.read.parquet(s"$sf/events.parquet")
-    .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+  private def events = graft.Tables.events(spark, sf)
+    .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
 
   test("banded self-join matches the naive O(n^2) range join exactly") {
     val w = 300000000L

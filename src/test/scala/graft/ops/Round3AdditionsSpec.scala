@@ -194,8 +194,7 @@ class Round3AdditionsSpec extends AnyFunSuite {
 
   test("st06 streaming distinct users equals the batch COUNT(DISTINCT) per hour") {
     val stream = SparkEntry.queries("st06_stream_distinct_users")(spark, sf)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.Tables.events(spark, sf)
     val batch = ev.groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
       .agg(countDistinct("user_id").as("n_users"))

@@ -84,8 +84,8 @@ class SessionFourSpec extends AnyFunSuite {
       // no emitted session may contain its user's final event (those
       // are open at end-of-input; timeout emission is excluded by
       // contract), and sessions of a user never overlap
-      val ev = spark.read.parquet(s"$sf/events.parquet")
-        .select(col("user_id"), expr("ts DIV 1000").as("us"))
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
       val mx = ev.groupBy("user_id").agg(max("us").as("mx_us"))
       assert(r.join(mx, "user_id").filter(col("end_us") >= col("mx_us")).count() == 0)
       import org.apache.spark.sql.expressions.Window
@@ -130,8 +130,8 @@ class SessionFourSpec extends AnyFunSuite {
   test("ev45 SCD2: each event's type matches its covering validity interval, exactly one cover") {
     val iv = SparkEntry.queries("ev45_scd2_intervals")(spark, sf).localCheckpoint(true)
     try {
-      val ev = spark.read.parquet(s"$sf/events.parquet")
-        .select(col("user_id").as("uid"), expr("ts DIV 1000").as("us"),
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("user_id").as("uid"), unix_micros(col("ts")).as("us"),
           col("event_type").as("etype"))
       // [valid_from, valid_to) containment; -1 marks the open interval
       val covered = ev.join(iv,

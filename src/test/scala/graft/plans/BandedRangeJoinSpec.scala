@@ -15,9 +15,8 @@ class BandedRangeJoinSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def events = spark.read
-    .parquet("/root/testdata/sf0.001/events.parquet")
-    .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+  private def events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
 
   test("rewrite is result-identical to the naive range join") {
     val a = events.select(col("event_id").as("ida"), col("user_id").as("ka"),

@@ -28,8 +28,7 @@ class EventStreamSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("hourly")
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = graft.Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -45,8 +44,7 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("sessionWindowStats agrees with the stateful sessionizer on session counts") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.Tables.events(spark, sfDir)
 
     // batch mode: session_window works on a plain DataFrame
     val declarative = EventStream.sessionWindowStats(ev, gapMinutes = 30)
@@ -80,8 +78,7 @@ class EventStreamSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("enriched")
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = graft.Tables.events(spark, sfDir)
       .join(dim, col("user_id") === col("dim_user"))
       .groupBy(window(col("ts"), "1 hour"), col("segment"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -100,8 +97,7 @@ class EventStreamSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("attributed")
 
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = graft.Tables.events(spark, sfDir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -181,8 +177,7 @@ class EventStreamSpec extends AnyFunSuite {
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("sliding")
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = graft.Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
