@@ -55,6 +55,56 @@ object DedupOps {
   private def shingleSets(u: DataFrame): DataFrame =
     u.select(col("doc_id"), shingles(col("text")).as("shs"))
 
+  /** EXACT all-pairs shingle-Jaccard >= `threshold` over (doc_id, text)
+    * via PPJoin-style PREFIX FILTERING (Chaudhuri/Bayardo/Xiao): under
+    * ANY global shingle order, two sets with J >= t must both contain
+    * their smallest shared shingle within their first n - ceil(t·n) + 1
+    * shingles (else the intersection can't reach ceil(t·n) elements) —
+    * so candidate pairs need only be enumerated from PREFIX postings,
+    * and ordering shingles by (document-frequency ASC, hash) makes
+    * prefixes the RARE shingles: hot boilerplate postings that explode
+    * a naive posting join quadratically at 100 TB never generate pairs.
+    * Recall stays exactly 1.0 (DedupEdgeSpec pins equivalence to the
+    * unfiltered posting join).
+    *
+    * Plan: shingle+hash once (materialized — 8-byte hashes, not
+    * strings), df rollup, per-doc prefix rank (doc-partitioned window,
+    * bounded by doc length), prefix-bucket pair generation with the
+    * size-ratio gate (J >= t forces min·1/t >= max... here t=0.8:
+    * 5·min >= 4·max), then exact verification of candidates on the full
+    * hash arrays (two doc-keyed joins + array_intersect). */
+  def exactJaccardPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold == 0.8, "prefix length + size gate are derived for t=0.8")
+    val sets = shingleSets(corpus).filter(size(col("shs")) > 0)
+    val hashed = sets.select(col("doc_id"),
+      size(col("shs")).cast("long").as("n"),
+      transform(col("shs"), x => xxhash64(x)).as("hs"))
+      .localCheckpoint(true) // shingle the corpus ONCE for all 3 uses
+    val post = hashed.select(col("doc_id"), col("n"),
+      explode(col("hs")).as("sh"))
+    val dfreq = post.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = post.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+    val cand = prefix.groupBy("sh")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
+      .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+      .where(lit(5) * least(col("na"), col("nb")) >=
+        lit(4) * greatest(col("na"), col("nb")))
+      .select("a", "b").distinct()
+    val j = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    cand
+      .join(hashed.select(col("doc_id").as("a"), col("n").as("na"),
+        col("hs").as("ha")), "a")
+      .join(hashed.select(col("doc_id").as("b"), col("n").as("nb"),
+        col("hs").as("hb")), "b")
+      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .filter(j >= threshold)
+      .select(col("a"), col("b"), round(j, 4).as("jaccard"))
+  }
+
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -197,41 +247,11 @@ object DedupOps {
              |JOIN sz sa ON sa.doc_id = a
              |JOIN sz sb ON sb.doc_id = b
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin),
-      (s, d) => {
-        val sets = shingleSets(dupDocs(s, d)).filter(size(col("shs")) > 0)
-        // set sizes ride along as a scalar in each posting, so the
-        // Jaccard denominator needs NO join back to the shingle sets
-        // (which would re-shingle the corpus twice more): the whole op
-        // is exactly two shuffles — posting groupBy, pair groupBy.
-        // postings keyed by xxhash64(shingle): equality is all the join
-        // needs, so the bucket shuffle ships 8-byte longs, not shingle
-        // strings (dd01's hash-equality precedent; upgrade path is a
-        // 2-long 128-bit key if 2^-64-per-pair odds ever matter)
-        val post = sets.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
-          .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
-        // pair_sized: native generator streams the i<j pairs (5.3M at
-        // sf0.1) straight out of each bucket — no interpreted nested
-        // HOFs, no per-bucket k² array materialization
-        val pairs = post.groupBy("sh")
-          .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
-          .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
-          // size-ratio gate BEFORE the pair aggregation: J >= 0.8 forces
-          // 5*min(na,nb) >= 4*max(na,nb) (since J <= min/max), so pairs
-          // of very different sizes are dropped per posting row — they
-          // never enter the map-side hash aggregate or the pair shuffle.
-          // Exactness is untouched: the gate removes only whole pairs
-          // that the final threshold filter would discard anyway.
-          .where(lit(5) * least(col("na"), col("nb")) >=
-            lit(4) * greatest(col("na"), col("nb")))
-          .groupBy("a", "b", "na", "nb")
-          .agg(count(lit(1)).as("i"))
-        val j = col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double")
-        pairs
-          .filter(j >= 0.8)
-          .select(col("a"), col("b"), round(j, 4).as("jaccard"))
-      }),
+      // Implementation: [[exactJaccardPairs]] — exact PPJoin prefix
+      // filtering; candidate pairs come only from each doc's RAREST
+      // (df-ordered) shingle prefix, so hot boilerplate postings never
+      // blow up quadratically, with provably zero recall loss at t=0.8.
+      (s, d) => exactJaccardPairs(dupDocs(s, d))),
 
     QueryDef(
       "dd07_span_dedup",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -977,12 +977,16 @@ object EventOps {
     QueryDef(
       "ev30_rfm_segments",
       // RFM segmentation — recency / frequency / monetary quartiles
-      // per user, the classic behavioral-cohort operator: three ntile
-      // windows over the per-user rollup (each with a total-order
-      // tie-break on user_id so quartile boundaries are deterministic),
-      // then the 4×4×4 segment census with an id_sum membership pin.
+      // per user, the classic behavioral-cohort operator, with ntile(4)
+      // semantics (total-order tie-break on user_id) reproduced WITHOUT
+      // ntile's single-partition window: the three quartile boundary
+      // KEYS (value, user_id) at ntile's exact cutoff ranks come from
+      // the bracket-refine order-statistic selector
+      // ([[GridQuantile.rankKeys]] — q49's machinery), and each user's
+      // bucket is then a map-side comparison against 3 literal keys.
       // The rollup is ONE hash aggregation over the events scan; the
-      // ntiles run over |users| rows, not |events|.
+      // selector passes run over |users| rollup rows, not |events|, and
+      // nothing row-scale funnels through one task at 100 TB.
       Some("""WITH u AS (
              |  SELECT user_id, max(epoch_us(ts)) AS last_us,
              |    count(*) AS freq, round(sum(value), 2) AS money
@@ -1004,10 +1008,19 @@ object EventOps {
           .agg(max(unix_micros(col("ts"))).as("last_us"),
             count(lit(1)).as("freq"),
             round(sum("value"), 2).as("money"))
-        u.select(col("user_id"),
-            ntile(4).over(Window.orderBy("last_us", "user_id")).cast("long").as("r_q"),
-            ntile(4).over(Window.orderBy("freq", "user_id")).cast("long").as("f_q"),
-            ntile(4).over(Window.orderBy("money", "user_id")).cast("long").as("m_q"))
+          .localCheckpoint(true) // 3 selector passes + assignment reuse it
+        val n = u.count()
+        // ntile(4) bucket sizes: first n%4 buckets get n/4+1 — cutoff
+        // rank of bucket i is i*(n/4) + min(i, n%4)
+        val cuts = Seq(1L, 2L, 3L).map(i => i * (n / 4) + math.min(i, n % 4))
+        def quartile(valueCol: String): Column =
+          GridQuantile.rankKeys(u, valueCol, "user_id", cuts, n)
+            .map { case (kv, kt) =>
+              val v = col(valueCol).cast("double")
+              when(v > kv || (v === kv && col("user_id") > kt), 1L).otherwise(0L)
+            }.reduce(_ + _) + 1L
+        u.select(col("user_id"), quartile("last_us").as("r_q"),
+            quartile("freq").as("f_q"), quartile("money").as("m_q"))
           .groupBy("r_q", "f_q", "m_q")
           .agg(count(lit(1)).cast("long").as("n_users"),
             sum("user_id").cast("long").as("id_sum"))
@@ -1018,9 +1031,13 @@ object EventOps {
       // Activity concentration (Pareto/80-20 audit): what share of all
       // events do the top-20% most active users generate? Exact
       // integer arithmetic throughout — the user count, the ceil(0.2n)
-      // cutoff, both event sums — with ONE final division. The rank
-      // runs over |users| rollup rows; ties break on user_id so the
-      // cutoff membership is deterministic.
+      // cutoff, both event sums — with ONE final division. Membership
+      // in the top 20% is decided WITHOUT a global rank window: the
+      // exact order-statistic key at the cutoff rank comes from the
+      // bracket-refine selector ([[GridQuantile.rankKeys]], ev30's
+      // machinery, on the negated count so DESC becomes ASC), and each
+      // user then compares against 3 literals map-side; ties break on
+      // user_id so cutoff membership is deterministic.
       Some("""WITH u AS (
              |  SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
              |r AS (
@@ -1038,19 +1055,24 @@ object EventOps {
              |    AS DOUBLE) / max(total_ev), 4) AS top_share
              |FROM (SELECT *, n_users AS max_nu FROM r) t""".stripMargin),
       (s, d) => {
-        val wAll = Window.partitionBy()
         val u = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("n_ev"))
-        u.select(col("user_id"), col("n_ev"),
-            row_number().over(Window.orderBy(col("n_ev").desc, col("user_id"))).as("rk"),
-            count(lit(1)).over(wAll).as("n_users"),
-            sum("n_ev").over(wAll).as("total_ev"))
-          .agg(max("n_users").cast("long").as("n_users"),
-            max("total_ev").cast("long").as("total_events"),
-            ((max("n_users") + 4) / 5).cast("long").as("n_top"),
-            sum(when(lit(5) * col("rk") <= col("n_users") + 4, col("n_ev"))
-              .otherwise(0L)).cast("long").as("top_events"),
-            round(sum(when(lit(5) * col("rk") <= col("n_users") + 4, col("n_ev"))
-              .otherwise(0L)).cast("double") / max("total_ev"), 4).as("top_share"))
+          .withColumn("neg", -col("n_ev"))
+          .localCheckpoint(true) // stats + selector + final reuse it
+        val stats = u.agg(count(lit(1)), sum("n_ev")).head()
+        val (n, totalEv) = (stats.getLong(0), stats.getLong(1))
+        val nTop = (n + 4) / 5
+        // key at rank nTop of the (n_ev DESC, user_id) total order;
+        // top-20% membership = key <= cutoff in (neg, user_id) ASC
+        val (kv, kt) = GridQuantile.rankKeys(u, "neg", "user_id", Seq(nTop), n).head
+        val v = col("neg").cast("double")
+        val member = v < kv || (v === kv && col("user_id") <= kt)
+        val topEv = sum(when(member, col("n_ev")).otherwise(0L))
+        u.agg(
+          lit(n).cast("long").as("n_users"),
+          lit(totalEv).cast("long").as("total_events"),
+          lit(nTop).cast("long").as("n_top"),
+          topEv.cast("long").as("top_events"),
+          round(topEv.cast("double") / lit(totalEv), 4).as("top_share"))
       }),
 
     QueryDef(

@@ -103,4 +103,61 @@ object GridQuantile {
     }
     agg.select(g ++ interps: _*)
   }
+
+  /** Exact order-statistic COMPOSITE KEYS `(value, tie)` at the given
+    * 1-based ranks of the `(valueCol, tieCol)` lexicographic total order
+    * — the primitive that replaces a global `ntile`/`row_number` window:
+    * cutoff keys come out of the same bracket-and-refine discipline as
+    * [[perGroup]] (sketch bracket on the value, exact count-below rebase,
+    * tiny in-bracket survivor array), and bucket membership then becomes
+    * a map-side key comparison instead of a single-partition rank.
+    *
+    * Only the requested keys (O(ranks)) reach the driver; the survivor
+    * arrays stay in executors. `valueCol` is compared as double (exact
+    * for integers < 2^53 and for any value both engines round alike);
+    * ties within equal values are resolved by `tieCol` (a Long).
+    *
+    * `n` must be `df.count()` (callers already have it). Requires
+    * 1 <= rank <= n. */
+  def rankKeys(df: DataFrame, valueCol: String, tieCol: String,
+      ranks: Seq[Long], n: Long, accuracy: Int = 10000): Seq[(Double, Long)] = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 1 && r <= n))
+    val margin = 4.0 / accuracy
+    val src = df.select(col(valueCol).cast("double").as("__v"),
+      col(tieCol).cast("long").as("__t"))
+    val smallN = n < 2L * accuracy / 3 + 2
+    val row =
+      if (smallN) {
+        val keys = sort_array(collect_list(struct(col("__v"), col("__t"))))
+        val picks = ranks.zipWithIndex.map { case (r, i) =>
+          element_at(keys, r.toInt).as(s"__k_$i")
+        }
+        src.agg(picks.head, picks.tail: _*).head()
+      } else {
+        val probes = ranks.flatMap { r =>
+          val q = r.toDouble / n
+          Seq(math.max(0.0, q - margin), math.min(1.0, q + margin))
+        }
+        val bk = src.agg(approx_percentile(col("__v"),
+          array(probes.map(lit): _*), lit(accuracy)).as("__bk")).head()
+          .getSeq[Double](0)
+        val perR = ranks.zipWithIndex.flatMap { case (_, i) =>
+          val (bl, bh) = (bk(2 * i), bk(2 * i + 1))
+          Seq(
+            sum(when(col("__v") < bl, 1L).otherwise(0L)).as(s"__cb_$i"),
+            sort_array(collect_list(
+              when(col("__v") >= bl && col("__v") <= bh,
+                struct(col("__v"), col("__t"))))).as(s"__sv_$i"))
+        }
+        val picks = ranks.zipWithIndex.map { case (r, i) =>
+          element_at(col(s"__sv_$i"), (lit(r) - col(s"__cb_$i")).cast("int"))
+            .as(s"__k_$i")
+        }
+        src.agg(perR.head, perR.tail: _*).select(picks: _*).head()
+      }
+    ranks.indices.map { i =>
+      val k = row.getStruct(i)
+      (k.getDouble(0), k.getLong(1))
+    }
+  }
 }

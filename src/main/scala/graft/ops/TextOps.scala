@@ -130,14 +130,20 @@ object TextOps {
              |        FROM documents) t
              |  GROUP BY tok) r
              |WHERE rnk <= 20""".stripMargin),
-      (s, d) => {
-        val w = Window.orderBy(col("n").desc, col("tok"))
+      // Ranking runs through the MERGEABLE native top-k aggregate
+      // (topk_freq, cf. tx28 which froze the equivalence): each map task
+      // reduces its vocabulary slice to a k-entry buffer and buffers
+      // merge associatively — O(k·partitions) shuffle rows instead of a
+      // whole-vocabulary single-partition window sort.
+      (s, d) =>
         docs(s, d)
           .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 20)
-      }),
+          .agg(graft.functions.GraftFunctions
+            .topk_freq(col("tok"), col("n"), 20).as("tk"))
+          .select(posexplode(col("tk")))
+          .select(col("col.tok").as("tok"), col("col.n").as("n"),
+            (col("pos") + 1).cast("long").as("rnk"))),
 
     QueryDef(
       "tx08_stopword_filter",
@@ -193,11 +199,17 @@ object TextOps {
     QueryDef(
       "tx09_tfidf",
       // TF-IDF per (doc, term), the weighting step before embedding /
-      // near-dup ranking. Two shuffles total: tf groups the exploded
-      // token stream (map-side combinable); df reuses tf's already-
-      // distinct (doc, tok) pairs instead of re-aggregating raw tokens.
+      // near-dup ranking. tf groups the exploded token stream (map-side
+      // combinable) and is materialized ONCE; df is then a map-side-
+      // combinable rollup of tf's already-distinct (doc, tok) rows —
+      // the shuffle ships vocab-sized partial counts, NOT the full tf
+      // table through a per-token window sort (the r3 formulation,
+      // 1.5x slower) — joined back by token (AQE broadcasts while the
+      // vocab is small; at 100 TB it degrades to the same token-keyed
+      // shuffle the window needed, so this is never worse). The tf >= 2
+      // gate prunes the probe side BEFORE the join — valid now that df
+      // is computed independently of it.
       // N arrives via a broadcast single-row cross join (no collect).
-      // The tf >= 2 gate is integral — no float-boundary selection.
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
              |  FROM documents),
@@ -213,16 +225,12 @@ object TextOps {
         val tok = docs(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        // df as a window count over tf's already-distinct (doc, tok)
-        // rows: one extra shuffle by tok, but NO second tokenize pass
-        // and no self-join (a groupBy-then-join formulation re-runs the
-        // whole explode subtree — Spark doesn't share subplans)
-        val withDf = tf.withColumn("df",
-          count(lit(1)).over(Window.partitionBy("tok")))
+          .localCheckpoint(true) // tokenize once; df + main reuse it
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs(s, d).select(count(lit(1)).as("n"))
-        withDf
+        tf.filter(col("tf") >= 2)
+          .join(dfreq, "tok")
           .crossJoin(broadcast(n))
-          .filter(col("tf") >= 2)
           .select(col("doc_id"), col("tok"), col("tf"), col("df"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
       }),
@@ -549,7 +557,19 @@ object TextOps {
         val tot = cb.agg(sum("c_ab").cast("long").as("n"))
         val la = cb.groupBy("w1").agg(sum("c_ab").cast("long").as("c_a"))
         val rb = cb.groupBy("w2").agg(sum("c_ab").cast("long").as("c_b"))
-        val w = Window.orderBy(col("pmi").desc, col("bigram"))
+        // Distributed exact top-20 in two stages: per-salt-bucket local
+        // top-20 (64 parallel partitioned windows over the bigram vocab)
+        // then a final window over the <= 64·20 local winners — bounded
+        // by construction, with a non-foldable constant partition key so
+        // it is never a WindowExec-without-partitioning over unbounded
+        // input. Global top-20 ⊆ union of local top-20s, so this is
+        // EXACT with the oracle's double-ordering semantics untouched
+        // (pmi is a computed double; the string-keyed topk aggregates
+        // don't fit, cf. tx06's count-keyed case which uses topk_freq).
+        val salt = pmod(xxhash64(col("bigram")), lit(64L))
+        val wLoc = Window.partitionBy(salt).orderBy(col("pmi").desc, col("bigram"))
+        val w = Window.partitionBy(pmod(xxhash64(col("bigram")), lit(1L)))
+          .orderBy(col("pmi").desc, col("bigram"))
         cb.crossJoin(broadcast(tot))
           .join(broadcast(la), "w1")
           .join(broadcast(rb), "w2")
@@ -557,6 +577,8 @@ object TextOps {
           .withColumn("pmi",
             round(log((col("c_ab") * col("n")).cast("double")
               / (col("c_a") * col("c_b"))), 4))
+          .withColumn("lrn", row_number().over(wLoc))
+          .filter(col("lrn") <= 20)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 20)
           .select(col("bigram"), col("c_ab"), col("pmi"))
@@ -570,9 +592,10 @@ object TextOps {
       // packing, zero padding waste). Everything is exact integer
       // arithmetic over ONE running-sum window in doc_id order: each
       // doc gets its bin, its offset in the bin, and whether it spans a
-      // boundary. At 100 TB the stream is packed per shard (partition
-      // running sums + a broadcast of per-shard totals to make bin ids
-      // global — same shape as this single window).
+      // boundary. The running sum is the two-phase distributed prefix
+      // sum ([[PrefixSum.byLongKey]]): doc_id-range buckets in parallel
+      // + broadcast bucket offsets — no single-partition window, so the
+      // packing layout parallelizes at 100 TB.
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -592,9 +615,10 @@ object TextOps {
         val t = docs(s, d).select(col("doc_id"),
           size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
             .cast("long").as("n_tok"))
-        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-        t.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
-          .filter(col("n_tok") > 0)
+        // zero-token docs contribute 0 to every prefix: filtering them
+        // BEFORE the running sum leaves all cum values unchanged
+        PrefixSum.byLongKey(t.filter(col("n_tok") > 0), "doc_id", Nil,
+            col("n_tok"), "cum", inclusive = false)
           .select(col("doc_id"), col("n_tok"),
             expr("cum DIV 2048").as("bin"),          // integer floor div,
             pmod(col("cum"), lit(2048L)).as("off"),  // exactly DuckDB // and %
@@ -894,8 +918,16 @@ object TextOps {
       // be accumulation-order-dependent — so each log is quantized to
       // an exact 1e-6 grid integer first (floor(ln·1e6+0.5), the vs04
       // rounding discipline) and the regression runs on pure BIGINTs:
-      // ev40's closed form, ONE final double division. Vocab rollup +
-      // a vocab-sized fold — scan-dominated at any corpus size.
+      // ev40's closed form, ONE final double division.
+      //
+      // The rank stage needs NO global window: ly depends only on the
+      // token's count c, and the (c DESC, tok) total order gives every
+      // count-class a contiguous rank range — so the regression sums
+      // are invariant to which token holds which rank within a class.
+      // Plan: vocab rollup → counts-of-counts (tiny) → two-phase prefix
+      // offsets ([[PrefixSum]]) → rank ranges expanded in 64Ki chunks,
+      // REPARTITIONED by (c, chunk) so the fat c=1 class fans out
+      // across the cluster instead of through one task.
       Some("""WITH v AS (
              |  SELECT tok, count(*) AS c,
              |    row_number() OVER (ORDER BY count(*) DESC, tok) AS r
@@ -914,12 +946,22 @@ object TextOps {
              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
              |        / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
              |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin),
-      (s, d) =>
-        docs(s, d)
+      (s, d) => {
+        val cc = docs(s, d)
           .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c"))
-          .withColumn("r",
-            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .groupBy("c").agg(count(lit(1)).as("m"))
+        // rank offset of count-class c = #tokens in classes ranked
+        // before it (higher c) = exclusive prefix of m in c DESC order
+        val off = PrefixSum.byLongKey(cc.withColumn("negc", -col("c")),
+          "negc", Nil, col("m"), "a", inclusive = false)
+        off.select(col("c"), col("a"), col("m"),
+            explode(sequence(lit(0L), expr("(m - 1) DIV 65536"))).as("ch"))
+          .repartition(col("c"), col("ch"))
+          .select(col("c"),
+            explode(sequence(col("a") + col("ch") * 65536 + 1,
+              least(col("a") + col("m"),
+                col("a") + (col("ch") + 1) * 65536))).as("r"))
           .select(
             floor(log(col("r").cast("double")) * 1e6 + lit(0.5)).as("lx"),
             floor(log(col("c").cast("double")) * 1e6 + lit(0.5)).as("ly"))
@@ -930,7 +972,8 @@ object TextOps {
           .select(col("n").cast("long").as("n_terms"),
             round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
               / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
-              4).as("zipf_slope"))),
+              4).as("zipf_slope"))
+      }),
 
     QueryDef(
       "tx27_kl_divergence",

@@ -117,12 +117,16 @@ object VectorOps {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** 16-bit sign signature of `v` under the fixed hyperplanes. */
+  /** 16-bit sign signature of `v` under the fixed hyperplanes. Each
+    * projection uses the native codegen'd dot product — the HOF
+    * formulation (`aggregate` over `zip_with`) interprets its lambdas
+    * and allocates a zipped array PER PLANE PER ROW, which dominated
+    * vs03's profile (r3 bench regression). */
   private def signSignature(v: Column, nPlanes: Int = 16, dim: Int = 64): Column =
     hyperplanes(nPlanes, dim).zipWithIndex
       .map { case (w, j) =>
         val plane = array(w.toIndexedSeq.map(lit): _*)
-        when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+        when(GraftFunctions.dot_product(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
       }
       .reduce((x, y) => x.bitwiseOR(y))
 
