@@ -140,6 +140,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Union"))
   }
 
+  test("no unpartitioned WindowExec over unbounded-cardinality inputs") {
+    // A Window with an empty partition spec moves ALL its input through
+    // ONE task — fatal at 100 TB when the input scales with the data.
+    // PrefixSum / GridQuantile.rankKeys / topk aggregates exist for
+    // those shapes; this pins that no registered query regresses to a
+    // global window EXCEPT over inputs bounded by construction:
+    val allowed = Set(
+      // calendar-bounded aggregates (hours/days/months, not rows):
+      "ev09_daily_rollup", "ev16_zero_fill", "ev19_interpolate",
+      "ev18_rolling_wau", "ev25_cusum_drift",
+      "ev33_seasonal_anomaly", "ev36_seasonal_backtest",
+      "ev38_stickiness", "ev39_alert_episodes", "q63_rolling_mom",
+      "q58_mom_growth",
+      // domain-bounded aggregates: |event types| (ev04), the
+      // returnflag×linestatus contingency grid (q57), the 8-cell IVF
+      // codebook (vs12):
+      "ev04_type_share", "q57_chi_square", "vs12_cell_balance",
+      // post-agg ranks over fixed small domains (grouping-set/segment
+      // counts, k-bounded lists):
+      "q62_recursive_cte", "ev42_session_histogram")
+    // treeString renders `Window [exprs], [partition?], [order?]` with
+    // absent specs omitted: 3 groups = partitioned+ordered; 2 groups =
+    // partitioned-unordered (2nd group has no sort direction) OR
+    // unpartitioned-ordered (2nd group has ASC/DESC); 1 group = fully
+    // global (`... over ()`).
+    def unpartitionedWindow(p: String): Boolean =
+      p.linesIterator.exists { l =>
+        val i = l.indexOf("Window [")
+        i >= 0 && {
+          val groups = l.substring(i + "Window ".length).split("\\], \\[")
+          groups.length match {
+            case 1 => true
+            case 2 => groups(1).contains(" ASC ") || groups(1).contains(" DESC ") ||
+              groups(1).endsWith(" ASC") || groups(1).endsWith(" DESC")
+            case _ => false
+          }
+        }
+      }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .filter(n => unpartitionedWindow(plan(n)))
+    assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
+
   test("shuffle budgets: map-only ops plan ZERO exchanges; pipelines stay within budget") {
     def shuffles(name: String): Int = "Exchange".r.findAllIn(plan(name)).size
     // pure map-side ops — the shapes that must scan-and-go at 100 TB
