@@ -84,8 +84,8 @@ object PrefixSum {
   }
 
   /** Running sum ordered by a lowercase-hex string key (plus tie-breakers),
-    * e.g. an md5: the first 4 hex chars read as a number form a monotone
-    * 65536-way bucketing of the lexicographic hex order. */
+    * e.g. an md5: the first 2 hex chars read as a number form a monotone
+    * 256-way bucketing of the lexicographic hex order. */
   def byHexKey(df: DataFrame, orderCol: String, tieBreak: Seq[Column],
       value: Column, out: String, inclusive: Boolean): DataFrame =
     withRunningSum(df,

@@ -43,7 +43,11 @@ class DeterminismSpec extends AnyFunSuite {
     "sp12_shuffled_shards",   // global md5 permutation + ordered manifest digest
     "ev30_rfm_segments",      // float-ordered (tie-broken) ntile boundaries
     "q55_partial_agg_merge",  // double sums merged across independent partials
-    "vs15_norm_audit")        // double norm sums (avg) across partitions
+    "vs15_norm_audit",        // double norm sums (avg) across partitions
+    "q56_equiheight_histogram", // rankKeys decile cutoffs over the fact table
+    "sp11_curriculum_shards", // two-phase prefix rank + snake assignment
+    "tx26_zipf_fit",          // counts-of-counts rank-range expansion
+    "ev31_pareto_concentration") // rankKeys top-20% cutoff membership
 
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf
