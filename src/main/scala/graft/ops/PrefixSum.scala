@@ -76,6 +76,11 @@ object PrefixSum {
     if (bounds.isNullAt(0)) src.withColumn(out, lit(0L)) // empty input
     else {
       val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      // the bucket expression computes (key - mn) in Long: the key SPAN
+      // must fit in a signed Long or the subtraction wraps silently and
+      // buckets stop being monotone — fail loudly instead
+      require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
+        s"byLongKey key span [$mn, $mx] exceeds Long range")
       val width = (mx - mn) / buckets + 1
       core(src,
         expr(s"(`$orderCol` - $mn) DIV $width"),
