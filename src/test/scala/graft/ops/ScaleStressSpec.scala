@@ -50,6 +50,20 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(big.agg(sum("n")).head.getLong(0) == 10 * baseN)
   }
 
+  test("two-phase prefix sum over 5M rows: every running total closed-form exact") {
+    // the machinery behind tx17/mm07/sp11/sp12/sp14/sp17/tx26 at ~50x
+    // their bench input: keys 0..N-1 with v = k % 7 give every row a
+    // closed-form expected cumsum (21·(k DIV 7) + r(r+1)/2, r = k % 7),
+    // so 5M prefix values are checked exactly with no reference window
+    val n = 5000000L
+    val df = spark.range(n).toDF("k").repartition(64)
+      .withColumn("v", pmod(col("k"), lit(7L)))
+    val got = PrefixSum.byLongKey(df, "k", Nil, col("v"), "cum", inclusive = true)
+    val want = lit(21L) * expr("k DIV 7") + expr("(k % 7) * (k % 7 + 1) DIV 2")
+    assert(got.filter(col("cum") =!= want).count() == 0)
+    assert(got.count() == n)
+  }
+
   test("content dedup at 10x bench scale: replicated corpus collapses to the base digest set") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(md5(encode(col("text"), "UTF-8")).as("h"))
