@@ -1012,12 +1012,9 @@ object EventOps {
             count(lit(1)).as("freq"),
             round(sum("value"), 2).as("money"))
           .localCheckpoint(true) // 3 selector passes + assignment reuse it
-        val n = u.count()
-        // ntile(4) bucket sizes: first n%4 buckets get n/4+1 — cutoff
-        // rank of bucket i is i*(n/4) + min(i, n%4)
-        val cuts = Seq(1L, 2L, 3L).map(i => i * (n / 4) + math.min(i, n % 4))
+        // fused count+bracket selector per metric (ntile(4) cutoff keys)
         def quartile(valueCol: String): Column =
-          GridQuantile.rankKeys(u, valueCol, "user_id", cuts, n)
+          GridQuantile.ntileCutKeys(u, valueCol, "user_id", 4)._2
             .map { case (kv, kt) =>
               val v = col(valueCol).cast("double")
               when(v > kv || (v === kv && col("user_id") > kt), 1L).otherwise(0L)

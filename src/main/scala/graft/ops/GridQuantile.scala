@@ -119,6 +119,83 @@ object GridQuantile {
     *
     * `n` must be `df.count()` (callers already have it). Requires
     * 1 <= rank <= n. */
+  /** [[rankKeys]] when the caller knows the target ranks only as
+    * FRACTIONS of the (unknown) row count — ntile cutoffs, top-p%
+    * boundaries. Fuses the count into the bracket pass (one scan
+    * saved vs count-then-rankKeys: stats+bracket, refine — the minimum
+    * for exact order statistics without a global sort): probes sit at
+    * `fractions ± margin`, and `mkRanks(n)` supplies the exact integer
+    * ranks once n is known. Each rank must stay within 4 rows of its
+    * fraction (ntile(B) cutoffs stray up to B/4 rows from i·n/B, so
+    * B <= 16 is covered; ceil-of-fraction ranks stray < 1), which the
+    * raised small-n fallback threshold absorbs inside the sketch
+    * margin. Returns (n, keys). */
+  def rankKeysByFraction(df: DataFrame, valueCol: String, tieCol: String,
+      fractions: Seq[Double], mkRanks: Long => Seq[Long],
+      accuracy: Int = 10000): (Long, Seq[(Double, Long)]) = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0))
+    val margin = 4.0 / accuracy
+    val src = df.select(col(valueCol).cast("double").as("__v"),
+      col(tieCol).cast("long").as("__t"))
+    val probes = fractions.flatMap { f =>
+      Seq(math.max(0.0, f - margin), math.min(1.0, f + margin))
+    }
+    val first = src.agg(count(lit(1)).as("__n"),
+      approx_percentile(col("__v"), array(probes.map(lit): _*), lit(accuracy))
+        .as("__bk")).head()
+    val n = first.getLong(0)
+    require(n >= 1, "rankKeysByFraction needs a non-empty input")
+    val ranks = mkRanks(n)
+    require(ranks.length == fractions.length &&
+      ranks.forall(r => r >= 1 && r <= n))
+    ranks.zip(fractions).foreach { case (r, f) =>
+      require(math.abs(r - f * n) <= 4.0 + 1e-9,
+        s"rank $r strays more than 4 rows from fraction $f of $n")
+    }
+    // bracket coverage needs margin·n >= sketch-rank-error (n/accuracy)
+    // + 2 + the <=4-row rank/fraction drift: with margin - eps = 3/acc,
+    // n >= 2·accuracy gives 3n/acc >= 6 >= 2 + 4. Below that the whole
+    // input is O(accuracy) values: collect it instead
+    val row =
+      if (n < 2L * accuracy) {
+        val keys = sort_array(collect_list(struct(col("__v"), col("__t"))))
+        val picks = ranks.zipWithIndex.map { case (r, i) =>
+          element_at(keys, r.toInt).as(s"__k_$i")
+        }
+        src.agg(picks.head, picks.tail: _*).head()
+      } else {
+        val bk = first.getSeq[Double](1)
+        val perR = ranks.indices.flatMap { i =>
+          val (bl, bh) = (bk(2 * i), bk(2 * i + 1))
+          Seq(
+            sum(when(col("__v") < bl, 1L).otherwise(0L)).as(s"__cb_$i"),
+            sort_array(collect_list(
+              when(col("__v") >= bl && col("__v") <= bh,
+                struct(col("__v"), col("__t"))))).as(s"__sv_$i"))
+        }
+        val picks = ranks.zipWithIndex.map { case (r, i) =>
+          element_at(col(s"__sv_$i"), (lit(r) - col(s"__cb_$i")).cast("int"))
+            .as(s"__k_$i")
+        }
+        src.agg(perR.head, perR.tail: _*).select(picks: _*).head()
+      }
+    (n, ranks.indices.map { i =>
+      val k = row.getStruct(i)
+      (k.getDouble(0), k.getLong(1))
+    })
+  }
+
+  /** ntile(buckets) cutoff keys — the boundary (value, tie) at the
+    * exact end rank of each of the first buckets-1 ntile groups —
+    * via [[rankKeysByFraction]]; bucket membership is then
+    * `1 + count(key > cutoff_i)`. Returns (n, keys). */
+  def ntileCutKeys(df: DataFrame, valueCol: String, tieCol: String,
+      buckets: Int, accuracy: Int = 10000): (Long, Seq[(Double, Long)]) =
+    rankKeysByFraction(df, valueCol, tieCol,
+      (1 until buckets).map(_.toDouble / buckets),
+      n => (1L until buckets.toLong).map(i => i * (n / buckets) + math.min(i, n % buckets)),
+      accuracy)
+
   def rankKeys(df: DataFrame, valueCol: String, tieCol: String,
       ranks: Seq[Long], n: Long, accuracy: Int = 10000): Seq[(Double, Long)] = {
     require(ranks.nonEmpty && ranks.forall(r => r >= 1 && r <= n))

@@ -1272,9 +1272,10 @@ object Relational {
         val src = li(s, d)
           .select(col("l_extendedprice"),
             (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("tie"))
-        val n = src.count()
-        val cuts = (1L to 9L).map(i => i * (n / 10) + math.min(i, n % 10))
-        val keys = graft.ops.GridQuantile.rankKeys(src, "l_extendedprice", "tie", cuts, n)
+        // fused count+bracket pass: 3 narrow scans total (stats+bracket,
+        // refine, assign) — the minimum without a global sort
+        val (_, keys) =
+          graft.ops.GridQuantile.ntileCutKeys(src, "l_extendedprice", "tie", 10)
         val v = col("l_extendedprice").cast("double")
         val bucket = keys.map { case (kv, kt) =>
           when(v > kv || (v === kv && col("tie") > kt), 1L).otherwise(0L)

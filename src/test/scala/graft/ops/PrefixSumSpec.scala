@@ -80,6 +80,26 @@ class PrefixSumSpec extends AnyFunSuite {
       inclusive = true).count() == 0)
   }
 
+  test("ntileCutKeys reproduces exact ntile(10) boundaries through the bracket path") {
+    val rnd = new scala.util.Random(19)
+    val n = 50000 // > 2·accuracy → bracket regime
+    val rows = (0L until n.toLong).map(i => (rnd.nextInt(800).toDouble, i))
+    val df = rows.toDF("v", "t").repartition(17)
+    val (gotN, keys) = GridQuantile.ntileCutKeys(df, "v", "t", 10)
+    assert(gotN == n)
+    val sorted = rows.sorted
+    val want = (1 to 9).map(i => sorted(i * (n / 10) + math.min(i, n % 10) - 1))
+    assert(keys == want)
+    // and the derived bucket assignment equals ntile(10) exactly
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v", "t")
+    val bucket = keys.map { case (kv, kt) =>
+      when(col("v") > kv || (col("v") === kv && col("t") > kt), 1).otherwise(0)
+    }.reduce(_ + _) + 1
+    val bad = df.withColumn("nt", ntile(10).over(w))
+      .withColumn("bk", bucket).filter(col("nt") =!= col("bk"))
+    assert(bad.count() == 0)
+  }
+
   test("rankKeys returns the exact order-statistic keys in both regimes") {
     val rnd = new scala.util.Random(3)
     // duplicate-heavy values force real tie-breaking through the tie col
