@@ -48,21 +48,27 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    // Two timed runs per query, keep the min ("agg" declares this in the
-    // output). Single runs are a lottery on this JVM: the C2 compiler
-    // occasionally stalls behind 64 queries' worth of generated classes
-    // and a random query runs 5-15x slow interpreted — min-of-2 reports
-    // the engine's steady state instead of JIT scheduling noise.
+    // Per query: ONE warm-up execution (excluded from timing — it
+    // absorbs that query's codegen/JIT compilation and parquet-footer
+    // caching) then THREE timed runs, keep the min ("agg" declares
+    // this in the output). The r4 bench proved min-of-2 with no
+    // per-query warm-up can't separate structural cost from JIT noise:
+    // run "a" was routinely 2-5x run "b" on unchanged code (e.g. vs11
+    // a=1.80 b=0.34), and queries early in the fixed order paid the
+    // compilation of later queries' shared helper classes. Min-of-3
+    // after a warm-up reports the engine's steady state.
     // Optional regex filter for local iteration on a subset
     // (e.g. SPARK_GRAFT_BENCH_FILTER='q3[789]|tx14'); unset = all.
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
-        val a = once(name, fn)
-        val b = once(name, fn)
-        System.err.println(f"[bench] $name%-24s a=$a%.3f b=$b%.3f")
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        val w = once(name, fn) // warm-up, excluded
+        val runs = Seq.fill(timedRuns)(once(name, fn))
+        System.err.println(f"[bench] $name%-24s w=$w%.3f " +
+          runs.zipWithIndex.map { case (t, i) => f"r${i + 1}=$t%.3f" }.mkString(" "))
+        name -> (if (w < 0 || runs.exists(_ < 0)) -1.0 else runs.min)
       }
     // total covers successful queries only; -1 markers must not shrink it
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -92,7 +98,7 @@ object Bench {
       .groupBy { case (n, _) => n.takeWhile(_.isLetter) }.toSeq.sortBy(_._1)
       .map { case (fam, rs) => s""""$fam":${f3(rs.map(_._2).sum)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":$timedRuns,"warmup_runs":1,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,36 @@ object VectorOps {
       .select(col("vec_id"), col("v"), col("cid"))
   }
 
+  /** Quantize each component to the 1e-4 integer grid. floor(x*1e4+0.5)
+    * on a double is IEEE-identical in Spark and DuckDB, so qv is the
+    * SAME integer vector on both engines for the same parquet bytes. */
+  private def quantize1e4(v: Column): Column =
+    transform(v, x => floor(x * lit(1e4) + lit(0.5)).cast("long"))
+
+  /** Integer-exact nearest-centroid assignment (squared-L2 argmin on
+    * 1e-4-quantized components) — the engine-independent variant used
+    * where group MEMBERSHIP must hash-match a foreign engine (vs05's
+    * Lloyd refit; cf. vs09's integer-exact PQ distances). After the
+    * per-element quantization every comparison is 64-bit integer
+    * arithmetic: Σ(Δq)² ≤ 64·(2·⌈|x|·1e4⌉)² ≈ 7e9 for unit-scale
+    * embeddings — no double score anywhere, so no ulp/grid-boundary
+    * flips (the r2–r4 vs05 hash-fail). Exact integer ties break on
+    * cid. [[assignClusters]] (cosine argmax) remains the IVF-serving
+    * variant where both sides of the comparison are Spark. */
+  def assignClustersL2Exact(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val qcents = centroids.select(col("cid"), quantize1e4(col("cv")).as("qc"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id").orderBy(col("qd").asc, col("cid").asc)
+    vectors.select(col("vec_id"), col("v"), quantize1e4(col("v")).as("qv"))
+      .crossJoin(broadcast(qcents))
+      .select(col("vec_id"), col("v"), col("cid"), d2.as("qd"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
   /** Materialize the IVF layout: vectors partitioned on disk by their
     * cluster (`.../cid=N/`). At probe time only the probes' cells are
     * scanned — partition pruning does the index lookup. This is the
@@ -278,27 +308,38 @@ object VectorOps {
     QueryDef(
       "vs05_kmeans_step",
       // One Lloyd iteration refitting the IVF index centroids: assign
-      // every vector to its nearest centroid (same deterministic
-      // cosine-argmax as vs02), then per-centroid element-wise mean.
-      // posexplode keeps the mean a flat (cid, dim) aggregation — one
-      // shuffle, map-side combinable, dims bounded — instead of a
-      // zip_with fold that would serialize whole vectors through an
-      // aggregation buffer. This is how the vs02/IVF layout gets
-      // periodically retrained at 100 TB.
+      // every vector to its nearest centroid, then per-centroid
+      // element-wise mean. posexplode keeps the mean a flat (cid, dim)
+      // aggregation — one shuffle, map-side combinable, dims bounded —
+      // instead of a zip_with fold that would serialize whole vectors
+      // through an aggregation buffer. This is how the vs02/IVF layout
+      // gets periodically retrained at 100 TB.
       //
-      // Determinism: avg(double) is summation-order-dependent, and the
-      // two engines (and even two Spark runs with different partition
-      // counts) fold partials in different orders — r2's hash mismatch.
-      // Quantize each element to an exact integer (floor(x*1e6+0.5),
-      // IEEE-identical per value) so the group sum is integer-exact and
-      // order-independent; one final double division both engines do
-      // identically.
+      // Determinism (r2–r4 hash-fail postmortem): any double-valued
+      // score — even one quantized to a 1e-6 grid AFTER the cosine —
+      // leaves membership hostage to the last ulp of the two engines'
+      // cosine kernels at grid boundaries. The fix is vs09's
+      // discipline: make the SCORE itself integer-exact. The
+      // assignment metric is squared-L2 argmin over components
+      // quantized to a 1e-4 grid (floor(x*1e4+0.5) per element is
+      // IEEE-identical on both engines since both read the same
+      // parquet doubles; everything after is 64-bit integer
+      // arithmetic, order-independent and engine-independent — max
+      // Σ(Δq)² here is 64·(2·5301)² ≈ 7.2e9 « 2⁶³). L2 is also the
+      // canonical Lloyd metric. Ties (exact equal integer distance)
+      // break on cid. The mean stays integer-exact via the 1e6
+      // element quantization; one final double division both engines
+      // do identically.
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-             |a AS (SELECT e.vec_id, cid,
-             |        row_number() OVER (PARTITION BY e.vec_id
-             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
-             |      FROM e, c),
+             |q AS (SELECT vec_id, v,
+             |        list_transform(v, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) AS qv
+             |      FROM e),
+             |c AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 8),
+             |a AS (SELECT q.vec_id, cid,
+             |        row_number() OVER (PARTITION BY q.vec_id
+             |          ORDER BY list_sum(list_transform(list_zip(q.qv, c.qc),
+             |            p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, cid) AS arn
+             |      FROM q, c),
              |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
              |x AS (SELECT asg.cid, unnest(e.v) AS val,
              |        generate_subscripts(e.v, 1) AS dim
@@ -312,7 +353,7 @@ object VectorOps {
         val e = emb(s, d)
         val centroids = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
-        assignClusters(e, centroids)
+        assignClustersL2Exact(e, centroids)
           .select(col("cid"), posexplode(col("v")))
           .toDF("cid", "pos", "val")
           .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))

@@ -32,13 +32,31 @@ final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_event
   */
 object EventStream {
 
+  /** The canonical events schema, used when the footer probe finds no
+    * files yet: a stream must be startable AHEAD of its first data
+    * (ADVICE r4 — `spark.read.parquet` throws on an empty dir). `ts` as
+    * TIMESTAMP_NTZ matches the current fixture generation; files that
+    * later arrive with the legacy nanos-Long encoding need a restart
+    * with real files present (the probe then sees them). */
+  val canonicalEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Stream the events directory. File stream sources need an explicit
     * schema; rather than hardcode the physical encoding of `ts` (which
     * has shifted between TIMESTAMP(NANOS)-as-Long and TIMESTAMP_NTZ
     * across fixture generations), probe the parquet footer with a batch
-    * reader and normalize whatever arrives via [[graft.Tables.normalizeTs]]. */
+    * reader and normalize whatever arrives via [[graft.Tables.normalizeTs]].
+    * An empty (or not-yet-existing) directory falls back to
+    * [[canonicalEventsSchema]] so the stream can start before data. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val footerSchema: StructType = spark.read.parquet(dir).schema
+    val footerSchema: StructType =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => canonicalEventsSchema }
     graft.Tables.normalizeTs(
       spark.readStream.schema(footerSchema).parquet(dir))
   }

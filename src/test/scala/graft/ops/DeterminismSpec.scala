@@ -49,6 +49,31 @@ class DeterminismSpec extends AnyFunSuite {
     "tx26_zipf_fit",          // counts-of-counts rank-range expansion
     "ev31_pareto_concentration") // rankKeys top-20% cutoff membership
 
+  test("vs05 cluster MEMBERSHIP identical across partition counts") {
+    // The r2–r4 vs05 hash-fails were membership flips, which the output
+    // means can mask dimension-by-dimension. Diff the assignment itself:
+    // same (vec_id → cid) map regardless of input partitioning or
+    // shuffle parallelism (integer-exact L2 admits no fold-order or ulp
+    // sensitivity by construction).
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      def membership(inputParts: Int, shuffleParts: String): Seq[String] = {
+        conf.set("spark.sql.shuffle.partitions", shuffleParts)
+        val e = spark.read.parquet(s"$sf/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .repartition(inputParts)
+        val c = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        rows(VectorOps.assignClustersL2Exact(e, c).select("vec_id", "cid"))
+      }
+      val a = membership(2, "3")
+      val b = membership(13, "8")
+      assert(a.nonEmpty && a == b, "vs05 assignment is parallelism-dependent")
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("results identical at shuffle.partitions = 3 vs 8") {
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")

@@ -21,6 +21,24 @@ class EventStreamSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("readEvents starts on an empty directory and picks up late-arriving files") {
+    // ADVICE r4: the footer probe threw on an empty dir, so a stream
+    // could not be started ahead of its data. Start on empty, then drop
+    // the file in and expect rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_empty_")
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val q = EventStream.hourlyCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("from_empty").start()
+    try {
+      q.processAllAvailable() // zero batches, must not throw
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("from_empty").count() > 0)
+    } finally q.stop()
+  }
+
   test("hourlyCounts: streaming result matches the batch equivalent") {
     val stream = EventStream.readEvents(spark, streamDir)
     val q = EventStream.hourlyCounts(stream)
