@@ -8,7 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column names MUST match between `fn` and `oracle` — the driver sorts
   * columns by name before hashing. Ops whose semantics SQL cannot express
   * (LSH internals, file-sink pipelines) leave `oracle` empty and get the
-  * driver's weaker rows-only check. */
+  * driver's weaker rows-only check.
+  *
+  * `fn` is allowed to be EAGER: queries built on the two-phase selectors
+  * (PrefixSum, GridQuantile.rankKeys*) execute bounded driver-side jobs
+  * (checkpoint, stats, O(buckets|ranks) collects) while CONSTRUCTING the
+  * returned DataFrame — callers must not assume `fn` is free until an
+  * action. Such queries short-circuit to an empty frame on empty input
+  * rather than throwing (the byLongKey pattern). */
 final case class QueryDef(
     name: String,
     oracle: Option[String],

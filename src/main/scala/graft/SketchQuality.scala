@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object SketchQuality {
 
-  /** name -> metric -> value, all doubles for uniform JSON. */
+  /** name -> metric -> value, all doubles for uniform JSON.
+    *
+    * The pair-set collects here are QA-tooling collects, bounded by the
+    * audit corpus (sketch-tier pair sets at sf0.001/sf0.01), not engine
+    * data paths — the quality audit is driver-side by design. */
   def metrics(spark: SparkSession, sfDir: String): Seq[(String, Seq[(String, Double)])] = {
     val exactPairs = SparkEntry.queries("dd06_exact_jaccard")(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     def pairMetrics(name: String): (String, Seq[(String, Double)]) = {
+      // bounded by the audit corpus' pair count (QA tooling, see above)
       val got = SparkEntry.queries(name)(spark, sfDir)
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val tp = (got intersect exactPairs).size.toDouble
@@ -37,25 +42,39 @@ object SketchQuality {
         "recall_vs_dd06" -> (if (exactPairs.isEmpty) 1.0 else tp / exactPairs.size)))
     }
 
+    // ev14's GK sketch returns an ACTUAL data value, while the exact
+    // `percentile` interpolates between order statistics — so value
+    // distance includes the irreducible gap between adjacent tail
+    // values and is only reported informationally. The enforceable
+    // metric is RANK error: how far (in rank space) the returned
+    // value's rank interval [count(<x)/n, count(<=x)/n] sits from the
+    // target quantile — GK guarantees <= 1/accuracy.
     val ev = Tables.events(spark, sfDir)
+    val approxQ = SparkEntry.queries("ev14_approx_quantiles")(spark, sfDir)
+    val ranked = ev.join(approxQ, "event_type").groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      max(col("p50_approx")).as("a50"), max(col("p95_approx")).as("a95"),
+      sum(when(col("value") < col("p50_approx"), 1L).otherwise(0L)).cast("double").as("lt50"),
+      sum(when(col("value") <= col("p50_approx"), 1L).otherwise(0L)).cast("double").as("le50"),
+      sum(when(col("value") < col("p95_approx"), 1L).otherwise(0L)).cast("double").as("lt95"),
+      sum(when(col("value") <= col("p95_approx"), 1L).otherwise(0L)).cast("double").as("le95"))
+    def rankErr(lt: String, le: String, q: Double) =
+      greatest(col(lt) / col("n") - lit(q), lit(q) - col(le) / col("n"), lit(0.0))
     val exactQ = ev.groupBy("event_type").agg(
       percentile(col("value"), lit(0.5)).as("e50"),
       percentile(col("value"), lit(0.95)).as("e95"))
-    val qErr = SparkEntry.queries("ev14_approx_quantiles")(spark, sfDir)
-      .join(exactQ, "event_type")
+    val qErr = ranked.join(exactQ, "event_type")
       .select(
-        max(abs(col("p50_approx") - col("e50"))).as("m50"),
-        max(abs(col("p95_approx") - col("e95"))).as("m95"),
-        max(abs(col("p50_approx") - col("e50")) /
-          greatest(abs(col("e50")), lit(1e-9))).as("r50"),
-        max(abs(col("p95_approx") - col("e95")) /
-          greatest(abs(col("e95")), lit(1e-9))).as("r95"))
+        max(rankErr("lt50", "le50", 0.5)).as("k50"),
+        max(rankErr("lt95", "le95", 0.95)).as("k95"),
+        max(abs(col("a50") - col("e50"))).as("m50"),
+        max(abs(col("a95") - col("e95"))).as("m95"))
       .head()
     val ev14 = ("ev14_approx_quantiles", Seq(
-      "max_abs_err_p50" -> qErr.getDouble(0),
-      "max_abs_err_p95" -> qErr.getDouble(1),
-      "max_rel_err_p50" -> qErr.getDouble(2),
-      "max_rel_err_p95" -> qErr.getDouble(3)))
+      "max_rank_err_p50" -> qErr.getDouble(0),
+      "max_rank_err_p95" -> qErr.getDouble(1),
+      "max_abs_err_p50" -> qErr.getDouble(2),
+      "max_abs_err_p95" -> qErr.getDouble(3)))
 
     val ord = Tables(spark, sfDir, "orders")
     val exactD = ord.groupBy("o_orderstatus")
@@ -68,8 +87,27 @@ object SketchQuality {
     val q18 = ("q18_approx_distinct", Seq(
       "max_rel_err" -> dErr.getDouble(0)))
 
+    // vs10's IVF-celled mutual-kNN vs its exact N² kernel. Recorded,
+    // not thresholded: IVF recall is data-dependent and this corpus is
+    // near-uniform (weak neighbors scattered across cells — the
+    // adversarial case). IvfIndexSpec pins >= 0.95 on a clustered
+    // corpus, the regime the index exists for.
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // both edge sets bounded by the audit corpus (QA tooling, see above)
+    val exactEdges = graft.ops.VectorOps.mutualKnnExact(emb)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val celledEdges = SparkEntry.queries("vs10_mutual_knn")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vtp = (celledEdges intersect exactEdges).size.toDouble
+    val vs10 = ("vs10_mutual_knn", Seq(
+      "n_pairs" -> celledEdges.size.toDouble,
+      "n_exact_tier_pairs" -> exactEdges.size.toDouble,
+      "precision_vs_exact" -> (if (celledEdges.isEmpty) 1.0 else vtp / celledEdges.size),
+      "recall_vs_exact" -> (if (exactEdges.isEmpty) 1.0 else vtp / exactEdges.size)))
+
     Seq(pairMetrics("dd02_minhash_lsh"), pairMetrics("dd03_simhash"),
-      pairMetrics("dd04_ngram_jaccard"), ev14, q18)
+      pairMetrics("dd04_ngram_jaccard"), ev14, q18, vs10)
   }
 
   def main(args: Array[String]): Unit = {

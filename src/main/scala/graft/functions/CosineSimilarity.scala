@@ -139,6 +139,14 @@ object GraftFunctions {
   def simhash_sig(c: Column): Column =
     Bridge.column(SimHashSignature(Bridge.expression(c)))
 
+  /** `pq_block_codes(v, blockDim, cids, codebook)`: per-block PQ
+    * argmin codes + integer-quantized block distances, one map-side
+    * pass (vs09's kernel). `cids` must be ascending and parallel to
+    * `codebook`. */
+  def pq_block_codes(v: Column, blockDim: Int, cids: Array[Long],
+      codebook: Array[Array[Double]]): Column =
+    Bridge.column(PqBlockCodes(Bridge.expression(v), blockDim, cids, codebook))
+
   /** `pair_ids(array<long>)` generator: all i<j pairs as rows (a, b). */
   def pair_ids(c: Column): Column =
     Bridge.column(PairExpandIds(Bridge.expression(c)))

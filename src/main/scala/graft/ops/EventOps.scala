@@ -21,6 +21,51 @@ object EventOps {
     * legacy reader, TIMESTAMP_NTZ micros, already-LTZ). */
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** Distinct (user_id, day_idx) activity pairs — the input grain for
+    * the rolling-distinct engagement metrics (ev18 WAU, ev38 MAU). */
+  private def userDays(s: SparkSession, d: String) =
+    ev(s, d)
+      .select(col("user_id"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
+      .distinct()
+
+  /** Exact rolling-`w`-day distinct-user count per day, WITHOUT a
+    * global distinct window (which would drag the users×days pairs
+    * through one task — the r4 ADVICE row-scale shape). Decomposition:
+    *
+    *   1. a user active on day a contributes to days [a, a+w−1]; merge
+    *      each user's overlapping intervals with a PER-USER window
+    *      (partitioned by user_id — scales with the user base);
+    *   2. disjoint intervals become +1 at start / −1 at end+1 DELTAS,
+    *      summed per day — day-grained, calendar-bounded cardinality;
+    *   3. the rolling distinct count at day d is the running sum of
+    *      deltas ≤ d: a single ordered pass over CALENDAR rows (the
+    *      legitimately-bounded onePart category), with ud's own days
+    *      injected as 0-deltas so every output day has a row.
+    *
+    * Returns (day_idx, `out`) for every day in the coverage span;
+    * callers join to the days they report. */
+  private def rollingDistinctDays(ud: org.apache.spark.sql.DataFrame, w: Int,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy("day_idx")
+    val prevEnd = max(col("day_idx") + lit(w - 1))
+      .over(uw.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = ud
+      .withColumn("newg",
+        when(prevEnd.isNull || col("day_idx") > prevEnd, 1L).otherwise(0L))
+      .withColumn("g", sum(col("newg")).over(uw))
+      .groupBy(col("user_id"), col("g"))
+      .agg(min("day_idx").as("s"), (max("day_idx") + lit(w - 1)).as("e"))
+    val deltas = intervals.select(col("s").as("day_idx"), lit(1L).as("dlt"))
+      .unionAll(intervals.select((col("e") + 1).as("day_idx"), lit(-1L).as("dlt")))
+      .unionAll(ud.select(col("day_idx"), lit(0L).as("dlt")))
+      .groupBy("day_idx").agg(sum("dlt").as("dlt"))
+    val dw = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
+      .orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    deltas.select(col("day_idx"), sum(col("dlt")).over(dw).cast("long").as(out))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -439,11 +484,12 @@ object EventOps {
       "ev18_rolling_wau",
       // Rolling 7-day distinct active users (WAU) — the engagement
       // metric every product pipeline reports. Spark has no DISTINCT
-      // window aggregate, so it is composed as size(collect_set) over
-      // a RANGE frame on the distinct (user, day) pairs; the global
-      // window is bounded by users×days, not events (at 100 TB,
-      // partition by a coarse time bucket and stitch the boundary
-      // week). Exact integers end-to-end.
+      // window aggregate, and composing one as collect_set over a
+      // global RANGE frame drags the users×days pairs through a single
+      // task (r4 ADVICE: row-scale, not calendar-bounded). Rewritten
+      // scale-first via [[rollingDistinctDays]]: per-USER coverage
+      // intervals (partitioned windows), then a +1/−1 delta prefix over
+      // DAY-grained rows — only the calendar passes through one task.
       Some("""WITH ud AS (
              |  SELECT DISTINCT user_id,
              |    date_diff('day', DATE '1970-01-01',
@@ -454,16 +500,10 @@ object EventOps {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS wau
              |FROM ud""".stripMargin),
       (s, d) => {
-        val ud = ev(s, d)
-          .select(col("user_id"),
-            datediff(to_date(date_trunc("day", col("ts"))),
-              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
-          .distinct()
-        val w = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
-          .orderBy("day_idx").rangeBetween(-6, 0)
-        ud.select(col("day_idx"),
-            size(collect_set(col("user_id")).over(w)).cast("long").as("wau"))
-          .distinct()
+        val ud = userDays(s, d)
+        ud.select(col("day_idx")).distinct()
+          .join(rollingDistinctDays(ud, 7, "wau"), Seq("day_idx"))
+          .select(col("day_idx"), col("wau"))
       }),
 
     // Mergeable approx-quantile sketch (Greenwald-Khanna via
@@ -478,7 +518,10 @@ object EventOps {
       (s, d) =>
         ev(s, d)
           .groupBy("event_type")
-          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
+          // accuracy 10⁴: rank error <= n/10⁴ keeps the p95 within 1%
+          // relative even on the sf0.001 tail (SketchQualitySpec's
+          // floor); sketch memory stays O(accuracy·log n) per group
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
             .as("qs"))
           .select(col("event_type"),
             element_at(col("qs"), 1).as("p50_approx"),
@@ -1013,12 +1056,14 @@ object EventOps {
             round(sum("value"), 2).as("money"))
           .localCheckpoint(true) // 3 selector passes + assignment reuse it
         // fused count+bracket selector per metric (ntile(4) cutoff keys)
+        // reduceOption: zero cutoff keys (empty input) degrades to a
+        // constant bucket over an empty frame instead of throwing
         def quartile(valueCol: String): Column =
           GridQuantile.ntileCutKeys(u, valueCol, "user_id", 4)._2
             .map { case (kv, kt) =>
               val v = col(valueCol).cast("double")
               when(v > kv || (v === kv && col("user_id") > kt), 1L).otherwise(0L)
-            }.reduce(_ + _) + 1L
+            }.reduceOption(_ + _).getOrElse(lit(0L)) + 1L
         u.select(col("user_id"), quartile("last_us").as("r_q"),
             quartile("freq").as("f_q"), quartile("money").as("m_q"))
           .groupBy("r_q", "f_q", "m_q")
@@ -1059,20 +1104,30 @@ object EventOps {
           .withColumn("neg", -col("n_ev"))
           .localCheckpoint(true) // stats + selector + final reuse it
         val stats = u.agg(count(lit(1)), sum("n_ev")).head()
-        val (n, totalEv) = (stats.getLong(0), stats.getLong(1))
-        val nTop = (n + 4) / 5
-        // key at rank nTop of the (n_ev DESC, user_id) total order;
-        // top-20% membership = key <= cutoff in (neg, user_id) ASC
-        val (kv, kt) = GridQuantile.rankKeys(u, "neg", "user_id", Seq(nTop), n).head
-        val v = col("neg").cast("double")
-        val member = v < kv || (v === kv && col("user_id") <= kt)
-        val topEv = sum(when(member, col("n_ev")).otherwise(0L))
-        u.agg(
-          lit(n).cast("long").as("n_users"),
-          lit(totalEv).cast("long").as("total_events"),
-          lit(nTop).cast("long").as("n_top"),
-          topEv.cast("long").as("top_events"),
-          round(topEv.cast("double") / lit(totalEv), 4).as("top_share"))
+        val n = stats.getLong(0)
+        // empty input: the selector has no rank to pick and sum() is
+        // null — short-circuit to the (lazily) empty result frame
+        if (n == 0)
+          u.filter(lit(false)).select(
+            lit(0L).as("n_users"), lit(0L).as("total_events"),
+            lit(0L).as("n_top"), lit(0L).as("top_events"),
+            lit(0.0).as("top_share"))
+        else {
+          val totalEv = stats.getLong(1)
+          val nTop = (n + 4) / 5
+          // key at rank nTop of the (n_ev DESC, user_id) total order;
+          // top-20% membership = key <= cutoff in (neg, user_id) ASC
+          val (kv, kt) = GridQuantile.rankKeys(u, "neg", "user_id", Seq(nTop), n).head
+          val v = col("neg").cast("double")
+          val member = v < kv || (v === kv && col("user_id") <= kt)
+          val topEv = sum(when(member, col("n_ev")).otherwise(0L))
+          u.agg(
+            lit(n).cast("long").as("n_users"),
+            lit(totalEv).cast("long").as("total_events"),
+            lit(nTop).cast("long").as("n_top"),
+            topEv.cast("long").as("top_events"),
+            round(topEv.cast("double") / lit(totalEv), 4).as("top_share"))
+        }
       }),
 
     QueryDef(
@@ -1298,10 +1353,10 @@ object EventOps {
       "ev38_stickiness",
       // DAU/MAU stickiness — the canonical engagement ratio: each
       // day's distinct actives over the trailing-30-day distinct
-      // actives (ev18's RANGE-frame distinct composition, two frames
-      // sharing ONE day-ordered sort). Exact integers until the final
-      // ratio; the window runs over users×days pairs, never raw
-      // events.
+      // actives. DAU is a plain per-day count over the distinct pairs;
+      // MAU reuses ev18's per-user interval-coverage decomposition
+      // ([[rollingDistinctDays]]) so nothing row-scale crosses a
+      // single task. Exact integers until the final ratio.
       Some("""WITH ud AS (
              |  SELECT DISTINCT user_id,
              |    date_diff('day', DATE '1970-01-01',
@@ -1318,19 +1373,12 @@ object EventOps {
              |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS stickiness
              |FROM ud""".stripMargin),
       (s, d) => {
-        val ud = ev(s, d)
-          .select(col("user_id"),
-            datediff(to_date(date_trunc("day", col("ts"))),
-              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_idx"))
-          .distinct()
-        val wD = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
-          .orderBy("day_idx").rangeBetween(0, 0)
-        val wM = Window.partitionBy(PrefixSum.onePart(col("day_idx")))
-          .orderBy("day_idx").rangeBetween(-29, 0)
-        ud.select(col("day_idx"),
-            size(collect_set(col("user_id")).over(wD)).cast("long").as("dau"),
-            size(collect_set(col("user_id")).over(wM)).cast("long").as("mau"))
-          .distinct()
+        val ud = userDays(s, d)
+        // DAU is a plain per-day distinct count (ud is already distinct
+        // pairs); MAU rides the same per-user coverage machinery as
+        // ev18 with a 30-day horizon.
+        val dau = ud.groupBy("day_idx").agg(count(lit(1)).cast("long").as("dau"))
+        dau.join(rollingDistinctDays(ud, 30, "mau"), Seq("day_idx"))
           .select(col("day_idx"), col("dau"), col("mau"),
             round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
       }),

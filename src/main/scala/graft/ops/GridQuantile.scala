@@ -118,7 +118,22 @@ object GridQuantile {
     * ties within equal values are resolved by `tieCol` (a Long).
     *
     * `n` must be `df.count()` (callers already have it). Requires
-    * 1 <= rank <= n. */
+    * 1 <= rank <= n.
+    *
+    * EAGER: the selectors in this object run driver-side jobs (bracket
+    * agg + refine agg + `.head()`) at CALL time, not at action time —
+    * a QueryDef built on them executes those passes during
+    * construction. Callers must handle n == 0 themselves (here: by not
+    * calling; byFraction: by the (0, empty) return).
+    *
+    * Single-task bound of the refine agg: the no-group final merge
+    * concentrates every survivor array — ~8·n/accuracy rows PER
+    * REQUESTED RANK (e.g. ~0.72% of n for 9 deciles at accuracy
+    * 10⁴) — in one task. Sub-linear in n but not constant: at large n
+    * raise `accuracy` proportionally (survivors shrink as 1/accuracy;
+    * the GK sketch grows only ~O(accuracy·log n) map-side), keeping
+    * the merge task O(ranks·10⁴) rows by the accuracy ≈ n/10⁴ sizing
+    * rule above. */
   /** [[rankKeys]] when the caller knows the target ranks only as
     * FRACTIONS of the (unknown) row count — ntile cutoffs, top-p%
     * boundaries. Fuses the count into the bracket pass (one scan
@@ -144,7 +159,11 @@ object GridQuantile {
       approx_percentile(col("__v"), array(probes.map(lit): _*), lit(accuracy))
         .as("__bk")).head()
     val n = first.getLong(0)
-    require(n >= 1, "rankKeysByFraction needs a non-empty input")
+    // Empty input: no rank exists — return (0, no keys) and let the
+    // caller short-circuit to its empty result (membership exprs built
+    // from zero keys classify everything into bucket 1, which is
+    // harmless because the source is empty too).
+    if (n == 0) return (0L, Seq.empty)
     val ranks = mkRanks(n)
     require(ranks.length == fractions.length &&
       ranks.forall(r => r >= 1 && r <= n))

@@ -3,16 +3,22 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed exact running sum — the two-phase prefix-sum shape that
   * replaces a global `Window.orderBy(...)` (which Spark executes by
   * moving ALL rows into a single partition: the 100 TB scale-killer the
   * round-3 bench log warned about).
   *
-  * Phase 0: the input is materialized once (`localCheckpoint`) — it is
-  * typically a narrow (key, value) projection of an expensive upstream
-  * plan, and the two phases below must see the same rows without
-  * recomputing that plan.
+  * Phase 0: the input is materialized once — it is typically a narrow
+  * (key, value) projection of an expensive upstream plan, and the two
+  * phases below must see the same rows without recomputing that plan.
+  * A DETERMINISTIC plan is `persist`ed lazily, so the first real pass
+  * (bounds or totals) both computes its aggregate AND populates the
+  * cache in ONE job — the r4 verdict's fused-pass ask; an
+  * eviction-forced recompute is value-identical by determinism. Only a
+  * nondeterministic plan pays the extra eager `localCheckpoint` job,
+  * because its recompute could change the rows between phases.
   * Phase 1: rows are bucketed by a coarse MONOTONE prefix of the leading
   * sort key (value-derived, so deterministic under recompute), and the
   * running sum within each bucket runs as an ordinary partitioned window
@@ -26,6 +32,29 @@ import org.apache.spark.sql.functions._
   * distributed and shuffles once, on the bucket key.
   */
 object PrefixSum {
+
+  /** Cached inputs from prior PrefixSum calls, released on the next
+    * call: engine queries consume each result before building the next
+    * (Verify/Bench are sequential), so an earlier call's cache is dead
+    * weight by then — and because only DETERMINISTIC plans are cached,
+    * a straggler re-collected later just recomputes identical rows. */
+  private val cached = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Pin `df`'s rows across the multi-pass phases. Deterministic plan:
+    * lazy persist (first pass fuses compute+cache). Nondeterministic:
+    * eager localCheckpoint (rows must never be recomputed). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val nondet = df.queryExecution.analyzed.exists(
+      _.expressions.exists(_.exists(!_.deterministic)))
+    if (nondet) df.localCheckpoint(true)
+    else {
+      var prev = cached.poll()
+      while (prev != null) { prev.unpersist(false); prev = cached.poll() }
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.add(p)
+      p
+    }
+  }
 
   /** Constant-0 but NON-FOLDABLE partition key for windows whose input
     * is bounded by construction (calendar buckets, fixed domains, k-
@@ -42,17 +71,19 @@ object PrefixSum {
     * (SQL `ROWS ... AND 1 PRECEDING`, first row = 0). */
   def withRunningSum(df: DataFrame, bucket: Column, orderCols: Seq[Column],
       value: Column, out: String, inclusive: Boolean): DataFrame =
-    core(df.localCheckpoint(true), bucket, orderCols, value, out, inclusive)
+    core(materialize(df), bucket, orderCols, value, out, inclusive)
 
-  /** Two-phase body; `df` MUST already be deterministic under recompute
-    * (checkpointed) — the totals pass and the final plan must see the
-    * same rows. Adding the deterministic bucket column here (instead of
-    * before the callers' checkpoint) avoids a second materialization. */
+  /** Two-phase body; `df` MUST already be stable under recompute
+    * (persisted-deterministic or checkpointed) — the totals pass and
+    * the final plan must see the same rows. Adding the deterministic
+    * bucket column here (instead of before the callers'
+    * materialization) avoids a second materialization. */
   private def core(df: DataFrame, bucket: Column, orderCols: Seq[Column],
       value: Column, out: String, inclusive: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val src = df.withColumn("__psb", bucket)
+    // bounded collect: <= `buckets` per-bucket totals, never row-scale
     val totals = src.groupBy(col("__psb")).agg(sum(value).cast("long").as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -71,7 +102,9 @@ object PrefixSum {
   def byLongKey(df: DataFrame, orderCol: String, tieBreak: Seq[Column],
       value: Column, out: String, inclusive: Boolean,
       buckets: Int = 1024): DataFrame = {
-    val src = df.localCheckpoint(true)
+    val src = materialize(df)
+    // on the deterministic path this single job computes the bounds AND
+    // fills the cache the totals/final phases reuse
     val bounds = src.agg(min(col(orderCol)), max(col(orderCol))).head()
     if (bounds.isNullAt(0)) src.withColumn(out, lit(0L)) // empty input
     else {

@@ -1279,7 +1279,7 @@ object Relational {
         val v = col("l_extendedprice").cast("double")
         val bucket = keys.map { case (kv, kt) =>
           when(v > kv || (v === kv && col("tie") > kt), 1L).otherwise(0L)
-        }.reduce(_ + _) + 1L
+        }.reduceOption(_ + _).getOrElse(lit(0L)) + 1L
         src
           .groupBy(bucket.as("bucket"))
           .agg(count(lit(1)).cast("long").as("n"),

@@ -45,6 +45,7 @@ object Upsert {
       keyCol: String,
       nBuckets: Int): Int = {
     val batch = withBucket(updates, keyCol, nBuckets)
+    // bounded collect: <= nBuckets distinct bucket ids, never row-scale
     val affected = batch.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return 0

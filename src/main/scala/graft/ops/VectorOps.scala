@@ -83,7 +83,16 @@ object VectorOps {
     * flips (the r2–r4 vs05 hash-fail). Exact integer ties break on
     * cid. [[assignClusters]] (cosine argmax) remains the IVF-serving
     * variant where both sides of the comparison are Spark. */
-  def assignClustersL2Exact(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignClustersL2Exact(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    rankCellsL2Exact(vectors, centroids)
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+
+  /** Full integer-exact centroid ranking per vector — (vec_id, v, cid,
+    * arn) with arn = 1 the nearest cell, 2 the runner-up, … Multiprobe
+    * callers keep arn <= P as probe cells; [[assignClustersL2Exact]]
+    * keeps arn == 1. Same engine-independence argument as there. */
+  def rankCellsL2Exact(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val qcents = centroids.select(col("cid"), quantize1e4(col("cv")).as("qc"))
     val d2 = aggregate(
       zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
@@ -93,8 +102,7 @@ object VectorOps {
       .crossJoin(broadcast(qcents))
       .select(col("vec_id"), col("v"), col("cid"), d2.as("qd"))
       .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .select(col("vec_id"), col("v"), col("cid"), col("arn"))
   }
 
   /** Materialize the IVF layout: vectors partitioned on disk by their
@@ -121,8 +129,9 @@ object VectorOps {
 
   /** Top-k cosine neighbors of each probe within the probe's cell.
     * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
-    * the scan to the probed partitions. Probe sets are small by design,
-    * so they are collected ONCE into a local relation — otherwise the
+    * the scan to the probed partitions. Probe sets are small by design
+    * (bounded collect: a probe BATCH, never the corpus), so they are
+    * collected ONCE into a local relation — otherwise the
     * (possibly expensive) probe derivation would execute twice: for the
     * cid pruning list and again inside the join. */
   def probeIvfIndex(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame = {
@@ -139,6 +148,74 @@ object VectorOps {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), round(col("c"), 4).as("cos"))
+  }
+
+  /** Shared tail of the mutual-kNN plans: per-source top-3 via the
+    * mergeable `topk_by_score` aggregate, then mutuality as one
+    * aggregation on the unordered pair key. Input cols: (src, nb, c). */
+  private def mutualEdges(scored: DataFrame): DataFrame = {
+    val topk = scored
+      .groupBy("src")
+      .agg(graft.functions.GraftFunctions
+        .topk_by_score(col("nb"), col("c"), 3).as("tk"))
+      .select(col("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.id").as("nb"), col("e.score").as("c"))
+    topk
+      .select(least(col("src"), col("nb")).as("a"),
+        greatest(col("src"), col("nb")).as("b"),
+        when(col("src") < col("nb"), col("c")).as("cfwd"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("ndir"), max("cfwd").as("c"))
+      .filter(col("ndir") === 2)
+      .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+  }
+
+  /** vs10's registered plan: mutual-kNN over IVF candidate sets —
+    * every vector lives in its integer-exact-L2 home cell, every
+    * source probes its `nprobe` nearest cells, scoring joins
+    * probes×homes ON THE CELL KEY. Work shards by cell across
+    * executors; pair count ≈ Σ_cells nprobe·|cell|²/|cells| instead of
+    * N². RECALL against [[mutualKnnExact]] is DATA-DEPENDENT: on
+    * clustered corpora (the regime IVF exists for — IvfIndexSpec pins
+    * >= 0.95 there) nearly all true neighbors share the home cell; on
+    * a near-uniform corpus like the synthetic test embeddings,
+    * neighbors are weak (cos ≈ 0.3) and scatter across cells, so
+    * recall degrades (measured and recorded in SKETCH_QUALITY.json
+    * rather than hidden — ~0.36 at nprobe 2/8; raising nprobe buys
+    * recall linearly until it IS the exact kernel). Norms hoisted out
+    * of the pair loop: cosine = dot/(sa·sb) with sa, sb computed once
+    * per vector (same left-to-right accumulation, sqrt, product,
+    * divide as the fused native expression — scores stay bit-identical
+    * to the DuckDB oracle). */
+  def mutualKnnCelled(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val ranked = rankCellsL2Exact(e, cents)
+    val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
+    val home = ranked.filter(col("arn") === 1)
+      .select(col("cid"), col("vec_id").as("nb"), col("v").as("nv"),
+        nrm.as("nbn"))
+    val probes = ranked.filter(col("arn") <= nprobe)
+      .select(col("cid"), col("vec_id").as("src"), col("v"), nrm.as("sn"))
+    mutualEdges(probes
+      .join(home, Seq("cid"))
+      .filter(col("src") =!= col("nb"))
+      .select(col("src"), col("nb"),
+        (GraftFunctions.dot_product(col("v"), col("nv"))
+          / (col("sn") * col("nbn"))).as("c")))
+  }
+
+  /** The exact N² mutual-kNN kernel — vs10's registered plan until r5,
+    * now its VERIFIER (IvfIndexSpec measures the celled plan's recall
+    * against it). Broadcast all-pairs with hoisted norms; right per
+    * batch, quadratic at corpus scale. */
+  def mutualKnnExact(e: DataFrame): DataFrame = {
+    val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
+    val other = e.select(col("vec_id").as("nb"), col("v").as("nv"),
+      nrm.as("nbn"))
+    mutualEdges(e.select(col("vec_id").as("src"), col("v"), nrm.as("sn"))
+      .join(broadcast(other), col("src") =!= col("nb"))
+      .select(col("src"), col("nb"),
+        (GraftFunctions.dot_product(col("v"), col("nv"))
+          / (col("sn") * col("nbn"))).as("c")))
   }
 
   /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
@@ -558,25 +635,23 @@ object VectorOps {
              |FROM r WHERE rn = 1""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
+        // the codebook is 8 centroid rows — collected ONCE into the
+        // native pq_block_codes expression (bounded-collect discipline,
+        // cf. the IVF probe lists). The whole query is then a map-only
+        // scan: one fused loop nest per row inside WholeStageCodegen
+        // replaces the r4 explode → crossJoin → HOF-score → window
+        // pipeline (5.0 s → native expression; same integer-exact
+        // arithmetic, hash unchanged).
         val cb = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
-        val blocks = e.select(col("vec_id"), col("v"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        def el(v: Column, i: Column) = element_at(v, (lit(16) * col("b") + i).cast("int"))
-        val d2q = aggregate(
-          transform(sequence(lit(1), lit(16)), i => {
-            val diff = el(col("v"), i) - el(col("cv"), i)
-            floor(diff * diff * lit(1e12) + lit(0.5))
-          }),
-          lit(0L), (acc, x) => acc + x)
-        val w = Window.partitionBy("vec_id", "b").orderBy(col("d2q"), col("cid"))
-        blocks.crossJoin(broadcast(cb))
-          .select(col("vec_id"), col("b"), col("cid"), d2q.as("d2q"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("b").cast("long").as("block"),
-            col("cid").cast("long").as("code"),
-            round(col("d2q").cast("double") / lit(1e12), 4).as("err"))
+          .select(col("vec_id"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        val codes = GraftFunctions.pq_block_codes(
+          col("v"), 16, cb.map(_._1), cb.map(_._2))
+        e.select(col("vec_id"), explode(codes).as("pq"))
+          .select(col("vec_id"), col("pq.block").as("block"),
+            col("pq.code").as("code"),
+            round(col("pq.d2q").cast("double") / lit(1e12), 4).as("err"))
       }),
 
     QueryDef(
@@ -584,60 +659,50 @@ object VectorOps {
       // Mutual-kNN graph construction — the edge set behind
       // graph-based diversity sampling and semantic clustering: an
       // (a, b) edge exists iff each vector ranks in the other's top-3
-      // by cosine. All-pairs scoring broadcasts one side (the corpus
-      // fits per-executor here; the 100 TB path swaps in the vs02 IVF
-      // cells so each cell scores locally), ranks per source with one
-      // window, then mutuality is ONE aggregation on the unordered
-      // pair key (a pair is mutual iff it appears in both directions,
-      // count = 2) — a reversed-key self-join would re-evaluate the
-      // whole scoring pipeline for its second input (measured 2x).
-      // Scores stay inside WholeStageCodegen via the native cosine,
-      // and the per-source top-3 is the mergeable `topk_by_score`
-      // aggregate: each map partition collapses its candidates to 3
-      // entries before the exchange, so the ranking shuffle ships
-      // O(N·k) rows instead of the window plan's all-N² scored rows
-      // (measured 5.3s → ~1.5s at sf0.1).
-      Some("""WITH e AS (
-             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |sc AS (
-             |  SELECT a.vec_id AS src, b.vec_id AS nb,
-             |    list_cosine_similarity(a.v, b.v) AS c
-             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-             |r AS (
-             |  SELECT src, nb, c, row_number() OVER (PARTITION BY src
-             |    ORDER BY c DESC, nb) AS rn FROM sc),
-             |k AS (SELECT src, nb, c FROM r WHERE rn <= 3)
+      // by cosine among its CANDIDATES. Since r5 the registered plan
+      // is the 100 TB shape, not the N² kernel: candidates come from
+      // the vs02 IVF layout — every vector lives in its (integer-exact
+      // L2) home cell, every source probes its top-2 cells, and
+      // scoring joins probes×homes ON THE CELL KEY, so work shards by
+      // cell across executors and the pair count drops from N² to
+      // ~Σ|probe_c|·|home_c| (≈N²/4 at 8 cells; with √N cells the
+      // standard IVF economics apply). The assignment metric is the
+      // engine-independent quantized L2 ([[rankCellsL2Exact]], vs05's
+      // discipline) so both engines derive IDENTICAL candidate sets —
+      // which is what keeps this multiprobe plan ORACLE-EXACT rather
+      // than sketch-tier; [[IvfIndexSpec]] additionally measures its
+      // recall against the exact N² kernel ([[mutualKnnExact]], the
+      // demoted verifier). Per-source top-3 is the mergeable
+      // `topk_by_score` aggregate (O(N·k) shuffle); mutuality is ONE
+      // aggregation on the unordered pair key (count = 2 ⇔ both
+      // directions survived), not a reversed-key self-join that would
+      // re-evaluate the scoring pipeline twice.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id, v,
+             |        list_transform(v, x -> CAST(floor(x*10000+0.5) AS BIGINT)) AS qv
+             |      FROM e),
+             |c AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 8),
+             |r AS (SELECT q.vec_id, cid, row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_sum(list_transform(list_zip(q.qv, c.qc),
+             |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, cid) AS arn
+             |      FROM q, c),
+             |home AS (SELECT r.vec_id AS nb, cid FROM r WHERE arn = 1),
+             |probes AS (SELECT r.vec_id AS src, cid FROM r WHERE arn <= 2),
+             |sc AS (SELECT p.src, h.nb, list_cosine_similarity(ev.v, eh.v) AS c
+             |       FROM probes p JOIN home h USING (cid)
+             |       JOIN e ev ON ev.vec_id = p.src JOIN e eh ON eh.vec_id = h.nb
+             |       WHERE p.src <> h.nb),
+             |rk AS (SELECT src, nb, c, row_number() OVER (PARTITION BY src
+             |         ORDER BY c DESC, nb) AS rn FROM sc),
+             |k AS (SELECT src, nb, c FROM rk WHERE rn <= 3)
              |SELECT x.src AS a, x.nb AS b, round(x.c, 4) AS cos
              |FROM k x JOIN k y ON x.src = y.nb AND x.nb = y.src
              |WHERE x.src < x.nb""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
-        // norms hoisted out of the pair loop: cosine = dot/(sa·sb) with
-        // sa, sb computed ONCE per vector (the native cosine recomputes
-        // both norms per pair — 3x the flops on an N² loop). Same
-        // left-to-right accumulation, sqrt, product, divide as the
-        // fused expression, so scores stay bit-identical to the oracle.
-        val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
-        val other = e.select(col("vec_id").as("nb"), col("v").as("nv"),
-          nrm.as("nbn"))
-        val topk = e.select(col("vec_id").as("src"), col("v"), nrm.as("sn"))
-          .join(broadcast(other), col("src") =!= col("nb"))
-          .select(col("src"), col("nb"),
-            (GraftFunctions.dot_product(col("v"), col("nv"))
-              / (col("sn") * col("nbn"))).as("c"))
-          .groupBy("src")
-          .agg(graft.functions.GraftFunctions
-            .topk_by_score(col("nb"), col("c"), 3).as("tk"))
-          .select(col("src"), explode(col("tk")).as("e"))
-          .select(col("src"), col("e.id").as("nb"), col("e.score").as("c"))
-        topk
-          .select(least(col("src"), col("nb")).as("a"),
-            greatest(col("src"), col("nb")).as("b"),
-            when(col("src") < col("nb"), col("c")).as("cfwd"))
-          .groupBy("a", "b")
-          .agg(count(lit(1)).as("ndir"), max("cfwd").as("c"))
-          .filter(col("ndir") === 2)
-          .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        mutualKnnCelled(e, cents, nprobe = 2)
       }),
 
     QueryDef(

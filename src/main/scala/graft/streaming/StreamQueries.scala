@@ -52,6 +52,18 @@ object StreamQueries {
     java.nio.file.Files.createSymbolicLink(dir.resolve(file.getFileName), file)
     val src = s.readStream.schema(schema).parquet(dir.toString)
     val name = s"graft_stream_sink_${runId.incrementAndGet()}"
+    // Memory sinks live in driver heap until their temp view is
+    // dropped (bounded collect: the catalog's table LIST, not data).
+    // Callers consume each stream's table before starting the
+    // next (Verify writes it out, Bench counts it), so every sink from
+    // an EARLIER run is dead weight by now — without this, a bench
+    // pass over the st family accumulates tens of sf-sized result
+    // tables and later streaming runs pay the GC bill (the r4→r5 st03
+    // slowdown under the 3-run bench).
+    s.catalog.listTables().collect()
+      .map(_.name)
+      .filter(t => t.startsWith("graft_stream_sink_") && t != name)
+      .foreach(s.catalog.dropTempView)
     // Stateful streaming cost scales with the number of state-store
     // partitions (one store + checkpoint commit per shuffle partition
     // per batch), not with data volume at this scale: pin a small

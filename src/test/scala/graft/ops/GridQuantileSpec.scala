@@ -36,6 +36,14 @@ class GridQuantileSpec extends AnyFunSuite {
     for (k <- got.keySet) assert(got(k) == want(k), s"group $k")
   }
 
+  test("rankKeysByFraction on empty input returns (0, no keys) instead of throwing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Long)].toDF("v", "t")
+    val (n, keys) = GridQuantile.rankKeysByFraction(
+      empty, "v", "t", Seq(0.25, 0.5), nn => Seq(nn / 4, nn / 2))
+    assert(n == 0L && keys.isEmpty)
+  }
+
   test("small groups (collect-all regime) match percentile exactly") {
     val rnd = new scala.util.Random(7)
     val rows: Seq[(String, Double)] = (1 to 500).map(_ => ("a", rnd.nextDouble() * 100)) ++

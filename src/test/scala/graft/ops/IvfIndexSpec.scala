@@ -17,6 +17,37 @@ class IvfIndexSpec extends AnyFunSuite {
   private lazy val centroids = vectors.filter(col("vec_id") < 8)
     .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  private def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("celled vs10 recall >= 0.95 vs the exact kernel on CLUSTERED data (IVF's regime)") {
+    // vs10's registered plan is the IVF multiprobe; the exact N² kernel
+    // is its verifier (dd02-vs-dd06 discipline). IVF recall is
+    // data-dependent, so the >= 0.95 pin runs on a corpus with real
+    // cluster structure: each vector = a strong per-cluster anchor
+    // (one of the 8 centroid rows, scaled) + the original vector as
+    // noise. True neighbors are then intra-cluster — the shape
+    // production embedding corpora have and IVF exists for. (On the
+    // near-uniform raw synthetic corpus recall degrades — measured in
+    // SketchQuality, not asserted here.)
+    val sf01 = "/root/testdata/sf0.01"
+    val e = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    val clustered = e.withColumn("aid", pmod(col("vec_id"), lit(8)))
+      .join(broadcast(anchors), "aid")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("av"), (x, a) => x * lit(0.25) + a).as("v"))
+    val cents = clustered.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val exact = edges(VectorOps.mutualKnnExact(clustered))
+    val celled = edges(VectorOps.mutualKnnCelled(clustered, cents, nprobe = 2))
+    val recall = (celled intersect exact).size.toDouble / exact.size
+    assert(exact.nonEmpty && recall >= 0.95,
+      s"celled vs10 recall $recall vs ${exact.size} exact edges on clustered corpus")
+  }
+
   test("writeIvfIndex partitions by cluster; probe scan prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString + "/index"
     VectorOps.writeIvfIndex(vectors, centroids, path)
