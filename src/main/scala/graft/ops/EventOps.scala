@@ -46,7 +46,7 @@ object EventOps {
     *
     * Returns (day_idx, `out`) for every day in the coverage span;
     * callers join to the days they report. */
-  private def rollingDistinctDays(ud: org.apache.spark.sql.DataFrame, w: Int,
+  private[ops] def rollingDistinctDays(ud: org.apache.spark.sql.DataFrame, w: Int,
       out: String): org.apache.spark.sql.DataFrame = {
     val uw = Window.partitionBy("user_id").orderBy("day_idx")
     val prevEnd = max(col("day_idx") + lit(w - 1))

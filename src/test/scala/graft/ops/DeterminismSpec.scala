@@ -31,7 +31,9 @@ class DeterminismSpec extends AnyFunSuite {
     "pp01_training_pipeline", // multi-stage composition (gate→dedup→split)
     "tx13_perplexity",        // double sums across a shuffled join
     "vs06_recall_eval",       // two rankings joined on tie-broken top-k
-    "vs09_pq_codes",          // argmin over integer-quantized distances
+    "vs09_pq_codes",          // native pq_block_codes argmin (map-only)
+    "vs10_mutual_knn",        // IVF-celled candidates + mutual top-3
+    "dd03_simhash",           // banded simhash candidates + exact verify
     "tx16_pmi",               // double-scored global top-k (pmi DESC, bigram)
     "ev19_interpolate",       // IGNORE-NULLS neighbor windows + interpolation
     "tx17_sequence_pack",     // global running sum over doc order

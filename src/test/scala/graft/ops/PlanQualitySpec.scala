@@ -189,7 +189,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // pure map-side ops — the shapes that must scan-and-go at 100 TB
     for (n <- Seq("sp01_hash_sample", "tx02_token_counts", "tx03_quality_score",
         "tx12_gopher_rules", "mm01_media_meta", "q34_zorder_key", "vs04_quantize",
-        "tx21_normalize"))
+        "tx21_normalize",
+        // r5: the native pq_block_codes expression made vs09 a pure
+        // scan→score→explode pass (the codebook rides as a plan
+        // reference object, not a join side)
+        "vs09_pq_codes"))
       assert(shuffles(n) == 0, s"$n should be map-only, got ${shuffles(n)} exchanges")
     // prefix dedup: one shuffle on the 16-token digest feeds BOTH the
     // survivor window and the group count

@@ -64,6 +64,26 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(got.count() == n)
   }
 
+  test("rolling-distinct coverage over 2M users: every WAU value closed-form exact") {
+    // ev18/ev38's machinery (per-user interval merge + day-grained
+    // delta prefix) at ~70x its bench input. Each user is active on
+    // days u%D and u%D+3 — the two 7-day coverage intervals OVERLAP,
+    // so a plan that skips the per-user merge double-counts every day
+    // in [s+3, s+6]. Merged coverage is [s, s+9], hence
+    // wau(d) = m · |[d-9, d] ∩ [0, D-1]| exactly, for every output day.
+    val U = 2000000L
+    val D = 1000L
+    val m = U / D
+    val users = spark.range(U).toDF("user_id").repartition(64)
+      .withColumn("s", pmod(col("user_id"), lit(D)))
+    val ud = users.select(col("user_id"), col("s").as("day_idx"))
+      .unionByName(users.select(col("user_id"), (col("s") + 3).as("day_idx")))
+    val got = EventOps.rollingDistinctDays(ud, 7, "wau")
+    val want = lit(m) *
+      (least(col("day_idx"), lit(D - 1)) - greatest(col("day_idx") - 9, lit(0L)) + 1)
+    assert(got.filter(col("wau") =!= want).count() == 0)
+  }
+
   test("content dedup at 10x bench scale: replicated corpus collapses to the base digest set") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(md5(encode(col("text"), "UTF-8")).as("h"))
