@@ -147,6 +147,13 @@ object GraftFunctions {
       codebook: Array[Array[Double]]): Column =
     Bridge.column(PqBlockCodes(Bridge.expression(v), blockDim, cids, codebook))
 
+  /** `sorted_intersect_count(a, b)`: |A ∩ B| of two ascending-sorted
+    * `array<bigint>` columns (distinct values counted) — the zero-
+    * allocation replacement for `size(array_intersect(a, b))` in the
+    * dedup verify stages. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
   /** `pair_ids(array<long>)` generator: all i<j pairs as rows (a, b). */
   def pair_ids(c: Column): Column =
     Bridge.column(PairExpandIds(Bridge.expression(c)))
@@ -201,6 +208,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "oph_minhash_sig", exprs => OphMinHash(exprs(0),
         intArg(exprs(1), "oph_minhash_sig")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pair_ids", exprs => PairExpandIds(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

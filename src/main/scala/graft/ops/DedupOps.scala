@@ -76,9 +76,12 @@ object DedupOps {
   def exactJaccardPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
     require(threshold == 0.8, "prefix length + size gate are derived for t=0.8")
     val sets = shingleSets(corpus).filter(size(col("shs")) > 0)
+    // hs sorted ONCE per doc (O(n log n) on ~doc-length arrays) so the
+    // per-PAIR verify below is an allocation-free merge count — at
+    // scale pairs dwarf docs, so the sort is the cheap side.
     val hashed = sets.select(col("doc_id"),
       size(col("shs")).cast("long").as("n"),
-      transform(col("shs"), x => xxhash64(x)).as("hs"))
+      sort_array(transform(col("shs"), x => xxhash64(x))).as("hs"))
       .localCheckpoint(true) // shingle the corpus ONCE for all 3 uses
     val post = hashed.select(col("doc_id"), col("n"),
       explode(col("hs")).as("sh"))
@@ -100,7 +103,8 @@ object DedupOps {
         col("hs").as("ha")), "a")
       .join(hashed.select(col("doc_id").as("b"), col("n").as("nb"),
         col("hs").as("hb")), "b")
-      .withColumn("i", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("i",
+        graft.functions.GraftFunctions.sorted_intersect_count(col("ha"), col("hb")))
       .filter(j >= threshold)
       .select(col("a"), col("b"), round(j, 4).as("jaccard"))
   }
@@ -943,16 +947,21 @@ object DedupOps {
     // joins shuffle 8-byte array elements instead of ~25-byte strings
     // and the intersect/union compare longs (dd06's hashed-posting
     // move applied to the verify stage).
+    // sorted per-doc hash arrays: the per-pair intersect is then the
+    // allocation-free merge count, and |A ∪ B| = |A| + |B| − |A ∩ B|
+    // (shs is distinct per doc) replaces the array_union materialization
     val hsets = sets.select(col("doc_id"),
-      transform(col("shs"), x => xxhash64(x)).as("shs"))
-    val unionSize = size(array_union(col("shs_a"), col("shs_b")))
+      sort_array(transform(col("shs"), x => xxhash64(x))).as("shs"))
+    val inter = graft.functions.GraftFunctions
+      .sorted_intersect_count(col("shs_a"), col("shs_b"))
     cand
       .join(hsets.select(col("doc_id").as("a"), col("shs").as("shs_a")), "a")
       .join(hsets.select(col("doc_id").as("b"), col("shs").as("shs_b")), "b")
+      .withColumn("i", inter)
+      .withColumn("u", (size(col("shs_a")) + size(col("shs_b"))).cast("long") - col("i"))
       .select(col("a"), col("b"),
-        when(unionSize === 0, lit(1.0))
-          .otherwise(
-            size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") / unionSize)
+        when(col("u") === 0, lit(1.0))
+          .otherwise(col("i").cast("double") / col("u").cast("double"))
           .as("j"))
       .filter(col("j") >= threshold)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
