@@ -79,10 +79,10 @@ object DedupOps {
     // hs sorted ONCE per doc (O(n log n) on ~doc-length arrays) so the
     // per-PAIR verify below is an allocation-free merge count — at
     // scale pairs dwarf docs, so the sort is the cheap side.
-    val hashed = sets.select(col("doc_id"),
-      size(col("shs")).cast("long").as("n"),
-      sort_array(transform(col("shs"), x => xxhash64(x))).as("hs"))
-      .localCheckpoint(true) // shingle the corpus ONCE for all 3 uses
+    val hashed = Pin.once( // shingle the corpus ONCE for all 3 uses
+      sets.select(col("doc_id"),
+        size(col("shs")).cast("long").as("n"),
+        sort_array(transform(col("shs"), x => xxhash64(x))).as("hs")))
     val post = hashed.select(col("doc_id"), col("n"),
       explode(col("hs")).as("sh"))
     val dfreq = post.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -1049,12 +1049,12 @@ object EventOps {
              |  CAST(sum(user_id) AS BIGINT) AS id_sum
              |FROM q GROUP BY 1, 2, 3""".stripMargin),
       (s, d) => {
-        val u = ev(s, d)
-          .groupBy("user_id")
-          .agg(max(unix_micros(col("ts"))).as("last_us"),
-            count(lit(1)).as("freq"),
-            round(sum("value"), 2).as("money"))
-          .localCheckpoint(true) // 3 selector passes + assignment reuse it
+        val u = Pin.once( // 3 selector passes + assignment reuse it
+          ev(s, d)
+            .groupBy("user_id")
+            .agg(max(unix_micros(col("ts"))).as("last_us"),
+              count(lit(1)).as("freq"),
+              round(sum("value"), 2).as("money")))
         // fused count+bracket selector per metric (ntile(4) cutoff keys)
         // reduceOption: zero cutoff keys (empty input) degrades to a
         // constant bucket over an empty frame instead of throwing
@@ -1100,9 +1100,9 @@ object EventOps {
              |    AS DOUBLE) / max(total_ev), 4) AS top_share
              |FROM (SELECT *, n_users AS max_nu FROM r) t""".stripMargin),
       (s, d) => {
-        val u = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("n_ev"))
-          .withColumn("neg", -col("n_ev"))
-          .localCheckpoint(true) // stats + selector + final reuse it
+        val u = Pin.once( // stats + selector + final reuse it
+          ev(s, d).groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+            .withColumn("neg", -col("n_ev")))
         val stats = u.agg(count(lit(1)), sum("n_ev")).head()
         val n = stats.getLong(0)
         // empty input: the selector has no rank to pick and sum() is

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed exact running sum — the two-phase prefix-sum shape that
   * replaces a global `Window.orderBy(...)` (which Spark executes by
@@ -33,28 +32,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object PrefixSum {
 
-  /** Cached inputs from prior PrefixSum calls, released on the next
-    * call: engine queries consume each result before building the next
-    * (Verify/Bench are sequential), so an earlier call's cache is dead
-    * weight by then — and because only DETERMINISTIC plans are cached,
-    * a straggler re-collected later just recomputes identical rows. */
-  private val cached = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-
-  /** Pin `df`'s rows across the multi-pass phases. Deterministic plan:
-    * lazy persist (first pass fuses compute+cache). Nondeterministic:
-    * eager localCheckpoint (rows must never be recomputed). */
-  private def materialize(df: DataFrame): DataFrame = {
-    val nondet = df.queryExecution.analyzed.exists(
-      _.expressions.exists(_.exists(!_.deterministic)))
-    if (nondet) df.localCheckpoint(true)
-    else {
-      var prev = cached.poll()
-      while (prev != null) { prev.unpersist(false); prev = cached.poll() }
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.add(p)
-      p
-    }
-  }
+  /** Pin `df`'s rows across the multi-pass phases — shared policy in
+    * [[Pin]] (lazy persist for deterministic plans, bounded release of
+    * prior queries' caches). */
+  private def materialize(df: DataFrame): DataFrame = Pin.once(df)
 
   /** Constant-0 but NON-FOLDABLE partition key for windows whose input
     * is bounded by construction (calendar buckets, fixed domains, k-

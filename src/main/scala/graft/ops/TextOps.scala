@@ -224,8 +224,8 @@ object TextOps {
       (s, d) => {
         val tok = docs(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true) // tokenize once; df + main reuse it
+        val tf = Pin.once( // tokenize once; df + main reuse it
+          tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs(s, d).select(count(lit(1)).as("n"))
         tf.filter(col("tf") >= 2)
