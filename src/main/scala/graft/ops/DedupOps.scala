@@ -715,9 +715,20 @@ object DedupOps {
         val post = sets.select(col("doc_id"),
           size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
           .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
-        val pairs = post.groupBy("sh")
-          .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
-          .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
+        // Pair enumeration as a posting SELF-JOIN, not collect_set +
+        // expand: the sweep's semantics are inherently all-co-occurring-
+        // pairs (tiers go down to 0.3 — no prefix filter applies), so a
+        // hot shingle's pairs are unavoidable work, but the join STREAMS
+        // them through the pair aggregation with O(posting-list) memory
+        // per task, where a collect_set buffer would materialize the
+        // whole hot bucket (and its D²/2 expansion) inside one
+        // aggregation row — the single-task shape this repo bans. At
+        // 100 TB this sweep runs on a sample regardless; the join shape
+        // keeps even the full-corpus run memory-safe.
+        val pairs = post
+          .select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+          .join(post.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
           .groupBy("a", "b", "na", "nb")
           .agg(count(lit(1)).as("i"))
         def tier(t: Int) =
