@@ -344,14 +344,21 @@ object SampleOps {
       // corpus once per epoch" step of a training run, made a pure
       // function of the data: order = md5(doc_id) (a fixed permutation,
       // stable under retries and re-runs), shard = round-robin over the
-      // shuffled order. The per-shard manifest md5 pins the EXACT
-      // within-shard sequence, not just membership — readers consuming
-      // the shard in manifest order see the same byte stream every
-      // epoch. The global rank is the two-phase distributed prefix
-      // count ([[PrefixSum.byHexKey]]: 256 hash-prefix buckets in
-      // parallel + broadcast offsets — no single-partition window);
-      // integer assignment follows; the manifest agg is q45's
-      // sorted-struct LISTAGG discipline.
+      // shuffled order. The per-shard manifest pins the EXACT
+      // within-shard sequence, not just membership — as a MERGEABLE
+      // position-salted hash sum: Σ h48(rk || ':' || doc_id) mod 2⁴⁸.
+      // Any id change, omission, or position swap shifts the sum (up to
+      // the 2⁻⁴⁸-per-pair collision class the hashed joins already
+      // accept), and the aggregate is a commutative map-side-combinable
+      // sum — O(1) buffer per task, where an md5-of-LISTAGG manifest
+      // (the previous form) would buffer a whole shard's id list
+      // (n/8 rows) inside ONE aggregation row: the single-task shape
+      // this repo bans. Summed in DECIMAL(38) on both engines (a 1e12-
+      // row shard sums to ~2⁸⁸ « 10³⁸, where BIGINT would wrap
+      // engine-divergently). The global rank is the two-phase
+      // distributed prefix count ([[PrefixSum.byHexKey]]: 256
+      // hash-prefix buckets in parallel + broadcast offsets — no
+      // single-partition window); integer assignment follows.
       Some("""WITH r AS (
              |  SELECT doc_id,
              |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
@@ -360,20 +367,23 @@ object SampleOps {
              |SELECT CAST(rk % 8 AS BIGINT) AS shard,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-             |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk))
-             |    AS manifest_md5
+             |  CAST(sum(CAST(CAST('0x' || substr(md5(
+             |        CAST(rk AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+             |      1, 12) AS BIGINT) AS HUGEINT)) % 281474976710656
+             |    AS BIGINT) AS manifest_chk
              |FROM r GROUP BY 1""".stripMargin),
       (s, d) => {
         val src = docs(s, d).select(col("doc_id"))
           .withColumn("h", md5(col("doc_id").cast("string")))
+        val h48 = conv(substring(md5(concat(col("rk").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10)
+          .cast("decimal(38,0)")
         PrefixSum.byHexKey(src, "h", Seq(col("doc_id")),
             lit(1L), "rk", inclusive = false)
           .groupBy((col("rk") % 8).cast("long").as("shard"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum("doc_id").cast("long").as("id_sum"),
-            md5(array_join(
-              transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
-                x => x.getField("doc_id").cast("string")), ",")).as("manifest_md5"))
+            (sum(h48) % lit(281474976710656L)).cast("long").as("manifest_chk"))
       }),
 
     QueryDef(

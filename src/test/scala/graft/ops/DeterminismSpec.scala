@@ -42,7 +42,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q49_winsorize",          // percentile fences + clamped double sum
     "ev27_session_paths",     // session cumsum + sorted-struct path assembly
     "dd13_prefix_dedup",      // digest window survivor pick
-    "sp12_shuffled_shards",   // global md5 permutation + ordered manifest digest
+    "sp12_shuffled_shards",   // global md5 permutation + mergeable manifest hash sum
     "ev30_rfm_segments",      // float-ordered (tie-broken) ntile boundaries
     "q55_partial_agg_merge",  // double sums merged across independent partials
     "vs15_norm_audit",        // double norm sums (avg) across partitions
