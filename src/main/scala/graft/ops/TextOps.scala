@@ -442,58 +442,10 @@ object TextOps {
              |SELECT a, b, round(CAST(i AS DOUBLE) / na, 4) AS cont_a_in_b
              |FROM inter WHERE 10 * i >= 9 * na""".stripMargin),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val base = docs(s, d)
         val u = base.select(col("doc_id"), col("text"))
           .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-        // postings keyed by xxhash64(shingle): the equi-join only needs
-        // shingle EQUALITY, so shuffle 8-byte longs instead of ~25-byte
-        // strings (same move dd01 makes with md5 content equality; at
-        // corpus scale widen to a 2-long 128-bit key if 2^-64-per-pair
-        // collision odds ever matter). hs sorted once per doc for the
-        // merge-count verify (dd06's sort-once + merge-many trade).
-        val sets = Pin.once(u
-          .select(col("doc_id"),
-            graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs"))
-          .filter(size(col("shs")) > 0)
-          .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-            sort_array(transform(col("shs"), x => xxhash64(x))).as("hs")))
-        val post = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
-        // PPJoin prefix filtering, generalized to ASYMMETRIC
-        // containment: C(A,B) = |A∩B|/|A| >= 0.9 forces overlap
-        // alpha = ceil(0.9*na), so under ANY global shingle order the
-        // intersection must touch A's first na - alpha + 1 shingles
-        // (else at most alpha - 1 remain) — only the CONTAINED side
-        // prefixes; the containing side posts its full set. Ordering by
-        // (document-frequency ASC, hash) makes prefixes the RARE
-        // shingles, so hot boilerplate never multiplies on the prefix
-        // side of the candidate join — the same guard that keeps dd06
-        // off the quadratic path at 100 TB.
-        val dfreq = post.groupBy("sh").agg(count(lit(1)).as("df"))
-        val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-        val prefixA = post.join(dfreq, "sh")
-          .withColumn("rk", row_number().over(wDoc))
-          .filter(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + 1)
-          .select(col("sh"), col("doc_id").as("a"), col("n").as("na"))
-        val cand = prefixA
-          .join(post.select(col("sh"), col("doc_id").as("b"), col("n").as("nb")), "sh")
-          // emitted direction is a < b (a contained in b), and
-          // i <= min(na, nb) makes containment impossible unless
-          // 10*nb >= 9*na — both prune per posting row, before distinct
-          .filter(col("a") < col("b") && lit(10) * col("nb") >= lit(9) * col("na"))
-          .select("a", "b").distinct()
-        // exact verify on the pinned sorted hash arrays: the integral
-        // count from the zero-allocation merge kernel, gated without a
-        // float boundary
-        cand
-          .join(sets.select(col("doc_id").as("a"), col("n").as("na"),
-            col("hs").as("ha")), "a")
-          .join(sets.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
-          .withColumn("i",
-            graft.functions.GraftFunctions.sorted_intersect_count(col("ha"), col("hb")))
-          .filter(lit(10) * col("i") >= lit(9) * col("na"))
-          .select(col("a"), col("b"),
-            round(col("i").cast("double") / col("na"), 4).as("cont_a_in_b"))
+        containmentPairs(u)
       }),
 
     QueryDef(
@@ -1113,4 +1065,57 @@ object TextOps {
           .select(col("col.tok").as("pair"), col("col.n").as("n"),
             (col("pos") + 1).cast("long").as("rnk")))
   )
+
+  /** EXACT all-pairs containment C(A,B) = |A∩B|/|A| >= 0.9 over word-3-
+    * shingle sets, emitted as (a, b, cont_a_in_b) for a < b — tx14's
+    * kernel, exposed for spec-level equivalence checks (the asymmetric
+    * companion to [[DedupOps.exactJaccardPairs]]).
+    *
+    * PPJoin prefix filtering, generalized to ASYMMETRIC containment:
+    * C >= 0.9 forces overlap alpha = ceil(0.9·na), so under ANY global
+    * shingle order the intersection must touch A's first
+    * na - alpha + 1 shingles (else at most alpha - 1 remain) — only
+    * the CONTAINED side prefixes; the containing side posts its full
+    * set. Ordering by (document-frequency ASC, hash) makes prefixes
+    * the RARE shingles, so hot boilerplate never multiplies on the
+    * prefix side of the candidate join — the same guard that keeps
+    * dd06 off the quadratic path at 100 TB. Postings are keyed by
+    * xxhash64(shingle) (8-byte shuffles; widen to 128-bit at corpus
+    * scale if 2^-64-per-pair odds matter) and the exact verify is the
+    * zero-allocation [[graft.functions.SortedIntersectCount]] merge
+    * over per-doc hash arrays sorted once at build. */
+  def containmentPairs(u: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sets = Pin.once(u
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        sort_array(transform(col("shs"), x => xxhash64(x))).as("hs")))
+    val post = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
+    val dfreq = post.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefixA = post.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + 1)
+      .select(col("sh"), col("doc_id").as("a"), col("n").as("na"))
+    val cand = prefixA
+      .join(post.select(col("sh"), col("doc_id").as("b"), col("n").as("nb")), "sh")
+      // emitted direction is a < b (a contained in b), and
+      // i <= min(na, nb) makes containment impossible unless
+      // 10*nb >= 9*na — both prune per posting row, before distinct
+      .filter(col("a") < col("b") && lit(10) * col("nb") >= lit(9) * col("na"))
+      .select("a", "b").distinct()
+    // exact verify on the pinned sorted hash arrays: the integral
+    // count from the zero-allocation merge kernel, gated without a
+    // float boundary
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("n").as("na"),
+        col("hs").as("ha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+      .withColumn("i",
+        graft.functions.GraftFunctions.sorted_intersect_count(col("ha"), col("hb")))
+      .filter(lit(10) * col("i") >= lit(9) * col("na"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / col("na"), 4).as("cont_a_in_b"))
+  }
 }
