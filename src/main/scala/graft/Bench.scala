@@ -89,7 +89,12 @@ object Bench {
       "st03_stream_interval_join",
       // session-3 flagships: engine recursion, CDC chunking, two-stage
       // binary retrieval
-      "q62_recursive_cte", "dd16_cdc_chunks", "vs22_hamming_rerank")
+      "q62_recursive_cte", "dd16_cdc_chunks", "vs22_hamming_rerank",
+      // round-5 flagships: native PQ codes, IVF-celled mutual-kNN,
+      // calibrated SimHash, mergeable epoch-shuffle manifest, exact
+      // percentile winsorization, all-pairs threshold sweep
+      "vs09_pq_codes", "vs10_mutual_knn", "dd03_simhash",
+      "sp12_shuffled_shards", "q49_winsorize", "dd15_threshold_sweep")
     def f3(v: Double): String = f"$v%.3f"
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s""""$n":${f3(v)}"""))
