@@ -28,6 +28,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def bit_exact(s: pd.DataFrame, o: pd.DataFrame) -> bool:
+    """Faithful proxy for the driver's bit-level hash: float columns are
+    compared as raw uint64/uint32 bit patterns, so -0.0 != +0.0 and NaN
+    payloads must match exactly (pandas .equals treats -0.0 == +0.0,
+    which hid the vs05 sign-bit mismatch for a round — r5 verdict)."""
+    import numpy as np
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            av = a.to_numpy(dtype=np.float64).view(np.uint64)
+            bv = b.to_numpy(dtype=np.float64).view(np.uint64)
+            if not np.array_equal(av, bv):
+                return False
+        elif not a.equals(b):
+            return False
+    return True
+
+
 def main() -> int:
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -82,23 +100,33 @@ def main() -> int:
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
             n_fail += 1
             continue
-        if s.equals(o):
-            print(f"pass {name}: {len(s)} rows exact")
+        if bit_exact(s, o):
+            print(f"pass {name}: {len(s)} rows bit-exact")
             n_pass += 1
             continue
-        # diagnose: exact match failed — try per-cell with float tolerance
+        # diagnose: bit-exact failed — classify the mismatch
+        import numpy as np
         close = True
+        sign_only = True
         for c in s.columns:
             a, b = s[c], o[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
-                import numpy as np
-                if not np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True):
+                af, bf = a.to_numpy(dtype=float), b.to_numpy(dtype=float)
+                if not np.allclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True):
                     close = False
+                    sign_only = False
                     break
+                # values equal under tolerance: is the residual only ±0.0?
+                bits_ne = af.view(np.uint64) != bf.view(np.uint64)
+                if np.any(bits_ne & ~((af == 0.0) & (bf == 0.0))):
+                    sign_only = False
             elif not a.equals(b):
                 close = False
+                sign_only = False
                 break
-        if close:
+        if close and sign_only:
+            print(f"FAIL {name}: -0.0/+0.0 sign-bit mismatch ({len(s)} rows) — normalize with + 0.0")
+        elif close:
             print(f"FAIL {name}: float-bits-only mismatch ({len(s)} rows) — tighten rounding")
         else:
             print(f"FAIL {name}: value mismatch; first diffs:")

@@ -100,17 +100,16 @@ object SketchQuality {
     val celledEdges = SparkEntry.queries("vs10_mutual_knn")(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val vtp = (celledEdges intersect exactEdges).size.toDouble
-    // key names carry the caveat INTO the artifact: these numbers are
-    // the adversarial-uniform-corpus datapoint, not the index's quality
-    // claim (vs10 itself is oracle-EXACT — the celled graph is the
-    // query's definition — and IvfIndexSpec enforces recall >= 0.95 on
-    // a clustered corpus, the regime IVF exists for)
-    val vs10 = ("vs10_mutual_knn_uniform_corpus_datapoint", Seq(
+    // Measured numbers ONLY under the r2-r4 key names (cross-round
+    // diffability; r5's key rename + embedded 0.95 floor constant were
+    // flagged by ADVICE as a pseudo-metric — the floor is enforced in
+    // IvfIndexSpec, and the uniform-corpus caveat rides in the
+    // top-level "_notes" field of the artifact instead).
+    val vs10 = ("vs10_mutual_knn", Seq(
       "n_pairs" -> celledEdges.size.toDouble,
       "n_exact_tier_pairs" -> exactEdges.size.toDouble,
-      "precision_vs_exact_uniform" -> (if (celledEdges.isEmpty) 1.0 else vtp / celledEdges.size),
-      "recall_vs_exact_uniform" -> (if (exactEdges.isEmpty) 1.0 else vtp / exactEdges.size),
-      "clustered_corpus_recall_floor_enforced_in_spec" -> 0.95))
+      "precision_vs_exact" -> (if (celledEdges.isEmpty) 1.0 else vtp / celledEdges.size),
+      "recall_vs_exact" -> (if (exactEdges.isEmpty) 1.0 else vtp / exactEdges.size)))
 
     Seq(pairMetrics("dd02_minhash_lsh"), pairMetrics("dd03_simhash"),
       pairMetrics("dd04_ngram_jaccard"), ev14, q18, vs10)
@@ -131,9 +130,17 @@ object SketchQuality {
     val m = metrics(spark, sfDir)
     def f(v: Double): String = if (v == v.floor && v.abs < 1e15) v.toLong.toString
       else f"$v%.6f"
+    val notes =
+      "vs10: numbers are the adversarial near-uniform test-corpus datapoint, " +
+        "not the index's quality claim (vs10 the query is oracle-exact by plan " +
+        "definition; IvfIndexSpec enforces recall >= 0.95 on a clustered corpus, " +
+        "the regime IVF exists for). " +
+        "ev14: the CONTRACT metric is rank error (GK's actual guarantee, " +
+        "floor-enforced in SketchQualitySpec); abs-err columns are value-scale " +
+        "context on a heavy tail, not thresholds."
     val json = m.map { case (name, kvs) =>
       s"""  "$name": {${kvs.map { case (k, v) => s""""$k": ${f(v)}""" }.mkString(", ")}}"""
-    }.mkString("{\n", ",\n", s",\n  \"sf_dir\": \"$sfDir\"\n}\n")
+    }.mkString("{\n", ",\n", s",\n  \"_notes\": \"$notes\",\n  \"sf_dir\": \"$sfDir\"\n}\n")
     Files.writeString(Paths.get(outFile), json)
     println(s"[sketch-quality] wrote $outFile")
     spark.stop()

@@ -150,7 +150,11 @@ object GraftFunctions {
   /** `sorted_intersect_count(a, b)`: |A ∩ B| of two ascending-sorted
     * `array<bigint>` columns (distinct values counted) — the zero-
     * allocation replacement for `size(array_intersect(a, b))` in the
-    * dedup verify stages. */
+    * dedup verify stages. PRECONDITIONS (apply equally to the SQL temp
+    * function registered below): elements must be non-null (a null slot
+    * raises an error) and each array ASCENDING-sorted (NOT checked —
+    * unsorted input silently undercounts). Build inputs with
+    * `sort_array(...)`; see `SortedIntersectCount` Scaladoc. */
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 

@@ -21,8 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Semantics match `size(array_intersect(a, b))` on sorted inputs:
   * DISTINCT common values are counted (equal runs are skipped on both
   * sides), so inputs need not be duplicate-free, only sorted. Null
-  * array → null; elements are assumed non-null (they are `xxhash64`
-  * outputs everywhere this is used).
+  * array → null. PRECONDITIONS (also stated at the SQL registration,
+  * `CosineSimilarity.scala`): elements must be NON-NULL — a null slot
+  * now raises an error rather than silently reading garbage bytes
+  * (r5 ADVICE; one never-taken branch per element read, free under
+  * branch prediction) — and arrays must be ASCENDING-sorted, which is
+  * NOT checked (a full check would visit consecutive pairs the merge
+  * loop skips); unsorted input undercounts. All engine call sites
+  * build inputs via `sort_array` over `xxhash64` outputs, satisfying
+  * both by construction.
   *
   * The sort the inputs need is paid ONCE per document at signature
   * build (`sort_array` over an ~n-element hash array, n = shingle
@@ -49,6 +56,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var cnt = 0L
     while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element (inputs must be non-null, ascending-sorted)")
+      }
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv < yv) i += 1
@@ -77,6 +88,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         |final int $ny = $b.numElements();
         |int $i = 0; int $j = 0; long $cnt = 0L;
         |while ($i < $nx && $j < $ny) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+        |    throw new IllegalArgumentException(
+        |      "sorted_intersect_count: null array element (inputs must be non-null, ascending-sorted)");
+        |  }
         |  final long $xv = $a.getLong($i);
         |  final long $yv = $b.getLong($j);
         |  if ($xv < $yv) { $i++; }

@@ -20,25 +20,58 @@ import org.apache.spark.storage.StorageLevel
   * queries are dead weight — left alone they accumulate across a
   * 228-query pass and later queries pay the GC bill (the r4→r5 st03
   * slowdown, and dd06's 2× first-run outlier). Each pin therefore
-  * releases all but the most recent `Keep` pinned frames. `Keep` is
-  * sized above the maximum pins a single query performs (ev30 pins its
-  * user table and GridQuantile pins per-metric inputs), so a pin can
-  * never unpersist a sibling that the SAME query still needs — and
-  * even that worst case would only recompute, not corrupt, because
-  * only deterministic plans enter the queue.
+  * releases all but the most recent `Keep` pinned frames. The actual
+  * pinning callers are PrefixSum.materialize (one pin per
+  * byHexKey/byLongKey call), dd06's shingle reuse
+  * (`DedupOps.scala`), tx09's tf reuse and tx14's token-set reuse
+  * (`TextOps.scala`), and ev30/ev31's selector passes
+  * (`EventOps.scala`) — at most 3 pins live within any single query,
+  * so `Keep` = 6 means a pin can never unpersist a sibling that the
+  * SAME query still needs (PinBudgetSpec pins this bound). Even that
+  * worst case would only recompute, not corrupt, for integer/string
+  * plans; NOTE the recompute-safety argument is weaker for
+  * shuffle-order-dependent float aggregates (e.g. round(sum(double)))
+  * which Spark flags `deterministic` yet may differ in ulps on an
+  * eviction-forced recompute — acceptable only because the per-query
+  * pin count stays under `Keep`, which is exactly what PinBudgetSpec
+  * enforces.
+  *
+  * Bench runs each query 1+3 times on an identical plan: Spark's
+  * CacheManager dedups the cache entry across reruns, so a naive
+  * deque would hold several entries aliasing ONE cache entry and
+  * evicting the oldest alias would unpersist data the newest pin
+  * still references (silently measuring recompute, not cache). A
+  * re-pin of an already-cached plan therefore REFRESHES the existing
+  * deque entry's position instead of inserting a duplicate.
   */
 object Pin {
 
   private val Keep = 6
   private val cached = new java.util.ArrayDeque[DataFrame]
 
+  /** Max pins observed between [[resetBudget]] calls — test-only
+    * observability for PinBudgetSpec's "no query exceeds Keep" pin. */
+  @volatile private[graft] var pinsSinceReset = 0
+  private[graft] def resetBudget(): Unit = pinsSinceReset = 0
+
   /** Pin `df`'s rows across multiple consuming passes. */
   def once(df: DataFrame): DataFrame = {
+    pinsSinceReset += 1
     val nondet = df.queryExecution.analyzed.exists(
       _.expressions.exists(_.exists(!_.deterministic)))
     if (nondet) df.localCheckpoint(true)
     else cached.synchronized {
+      // Dataset.storageLevel consults the CacheManager by plan
+      // equivalence (sameResult), so it detects a cache entry created
+      // via a DIFFERENT Dataset instance with the same plan.
+      val wasCached = df.storageLevel != StorageLevel.NONE
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      if (wasCached) {
+        val it = cached.iterator()
+        while (it.hasNext)
+          if (it.next().queryExecution.analyzed
+                .sameResult(p.queryExecution.analyzed)) it.remove()
+      }
       cached.addLast(p)
       while (cached.size > Keep) cached.removeFirst().unpersist(false)
       p

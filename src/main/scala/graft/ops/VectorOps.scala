@@ -406,7 +406,11 @@ object VectorOps {
       // canonical Lloyd metric. Ties (exact equal integer distance)
       // break on cid. The mean stays integer-exact via the 1e6
       // element quantization; one final double division both engines
-      // do identically.
+      // do identically. The trailing `+ 0.0` on both sides normalizes
+      // IEEE -0.0 → +0.0: DuckDB's round() emits -0.0 for a tiny
+      // negative mean while Spark's BigDecimal HALF_UP round emits
+      // +0.0, and the driver's compare hashes doubles at the BIT
+      // level (r5 verdict: 2/512 cells differed only in the sign bit).
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |q AS (SELECT vec_id, v,
              |        list_transform(v, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) AS qv
@@ -423,7 +427,7 @@ object VectorOps {
              |      FROM asg JOIN e USING (vec_id))
              |SELECT cid, CAST(dim AS BIGINT) AS dim,
              |  round(CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             |        / (count(*) * 1000000.0), 4) AS c_new,
+             |        / (count(*) * 1000000.0), 4) + 0.0 AS c_new,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM x GROUP BY cid, dim""".stripMargin),
       (s, d) => {
@@ -435,8 +439,8 @@ object VectorOps {
           .toDF("cid", "pos", "val")
           .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
           .agg(
-            round(sum(floor(col("val") * 1e6 + lit(0.5))).cast("double")
-              / (count(lit(1)) * lit(1e6)), 4).as("c_new"),
+            (round(sum(floor(col("val") * 1e6 + lit(0.5))).cast("double")
+              / (count(lit(1)) * lit(1e6)), 4) + lit(0.0)).as("c_new"),
             count(lit(1)).as("n"))
       }),
 
