@@ -1456,7 +1456,7 @@ object EventOps {
              |SELECT event_type, CAST(n AS BIGINT) AS n_days,
              |  CAST(sy AS BIGINT) AS total_events,
              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-             |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+             |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope
              |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin),
       (s, d) =>
         ev(s, d)
@@ -1470,9 +1470,11 @@ object EventOps {
           .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
           .select(col("event_type"), col("n").cast("long").as("n_days"),
             col("sy").cast("long").as("total_events"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            // + 0.0 normalizes a -0.0 slope (flat-trend boundary; the
+            // driver hash is bit-level — r6 negative-near-zero audit)
+            (round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
               / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
-              6).as("slope"))),
+              6) + lit(0.0)).as("slope"))),
 
     QueryDef(
       "ev41_user_ccdf",

@@ -1349,7 +1349,7 @@ object Relational {
              |SELECT yr, mo, revenue, n_orders,
              |  lag(revenue) OVER (ORDER BY yr, mo) AS prev_revenue,
              |  round((revenue - lag(revenue) OVER (ORDER BY yr, mo)) * 100 /
-             |    lag(revenue) OVER (ORDER BY yr, mo), 4) AS pct_change
+             |    lag(revenue) OVER (ORDER BY yr, mo), 4) + 0.0 AS pct_change
              |FROM m""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy(PrefixSum.onePart(col("yr")))
@@ -1362,7 +1362,7 @@ object Relational {
           .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
           .withColumn("pct_change",
             round((col("revenue") - col("prev_revenue")) * 100 /
-              col("prev_revenue"), 4))
+              col("prev_revenue"), 4) + lit(0.0))
       }),
 
     QueryDef(

@@ -864,7 +864,7 @@ object TextOps {
              |  FROM documents GROUP BY 1)
              |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
              |  round((CAST(d.n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / n)
-             |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n), 4) AS z
+             |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n), 4) + 0.0 AS z
              |FROM documents d JOIN s ON d.lang = s.lang
              |WHERE n * sxx - sx * sx > 0""".stripMargin),
       (s, d) => {
@@ -875,10 +875,12 @@ object TextOps {
         docs(s, d).join(broadcast(st), "lang")
           .select(col("doc_id"), col("lang"),
             col("n_chars").cast("long").as("n_chars"),
-            round((col("n_chars").cast("double")
+            // + 0.0: a z-score in (-5e-5, 0) rounds to IEEE -0.0 in
+            // DuckDB but +0.0 in Spark — bit-level hash hazard (r6)
+            (round((col("n_chars").cast("double")
                 - col("sx").cast("double") / col("n"))
               / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                  .cast("double")) / col("n")), 4).as("z"))
+                  .cast("double")) / col("n")), 4) + lit(0.0)).as("z"))
       }),
 
     QueryDef(
@@ -918,7 +920,7 @@ object TextOps {
              |  FROM q)
              |SELECT CAST(n AS BIGINT) AS n_terms,
              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-             |        / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+             |        / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS zipf_slope
              |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin),
       (s, d) => {
         val cc = docs(s, d)
@@ -944,9 +946,9 @@ object TextOps {
             sum(col("lx") * col("lx")).as("sxx"))
           .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
           .select(col("n").cast("long").as("n_terms"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            (round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
               / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
-              4).as("zipf_slope"))
+              4) + lit(0.0)).as("zipf_slope"))
       }),
 
     QueryDef(

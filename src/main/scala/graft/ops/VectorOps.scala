@@ -805,7 +805,8 @@ object VectorOps {
              |  JOIN e b ON b.vec_id = a.vec_id + o.o)
              |SELECT CAST(floor(c * 10) AS BIGINT) AS bucket,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  round(min(c), 4) AS min_c, round(max(c), 4) AS max_c
+             |  round(min(c), 4) + 0.0 AS min_c,
+             |  round(max(c), 4) + 0.0 AS max_c
              |FROM pr GROUP BY 1""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
@@ -814,10 +815,14 @@ object VectorOps {
           .select(col("a"), col("va"), (col("a") + col("o")).as("b"))
           .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
           .select(cosine(col("va"), col("vb")).as("c"))
+        // + 0.0 normalizes IEEE -0.0 (a cosine in (-5e-5, 0) rounds to
+        // -0.0 in one engine and +0.0 in the other — bit-level hash;
+        // caught at sf0.001 by check.py's r6 uint64 comparator)
         pairs
           .groupBy(floor(col("c") * 10).cast("long").as("bucket"))
           .agg(count(lit(1)).cast("long").as("n"),
-            round(min("c"), 4).as("min_c"), round(max("c"), 4).as("max_c"))
+            (round(min("c"), 4) + lit(0.0)).as("min_c"),
+            (round(max("c"), 4) + lit(0.0)).as("max_c"))
       }),
 
     QueryDef(
@@ -1101,7 +1106,7 @@ object VectorOps {
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8)
              |SELECT a.cid AS cid_a, b.cid AS cid_b,
-             |  round(list_cosine_similarity(a.cv, b.cv), 4) AS cos
+             |  round(list_cosine_similarity(a.cv, b.cv), 4) + 0.0 AS cos
              |FROM c a JOIN c b ON a.cid < b.cid""".stripMargin),
       (s, d) => {
         val c = emb(s, d).filter(col("vec_id") < 8)
@@ -1109,7 +1114,7 @@ object VectorOps {
         val cb = c.select(col("cid").as("cid_b"), col("cv").as("cvb"))
         c.join(broadcast(cb), col("cid") < col("cid_b"))
           .select(col("cid").as("cid_a"), col("cid_b"),
-            round(cosine(col("cv"), col("cvb")), 4).as("cos"))
+            (round(cosine(col("cv"), col("cvb")), 4) + lit(0.0)).as("cos"))
       }),
 
     QueryDef(
