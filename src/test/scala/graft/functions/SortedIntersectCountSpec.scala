@@ -59,6 +59,29 @@ class SortedIntersectCountSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("null ELEMENT raises on both eval paths (r6: was silent garbage)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // interpreted path
+    val withNull = Literal.create(Seq[java.lang.Long](1L, null, 3L),
+      ArrayType(LongType, containsNull = true))
+    val other = Literal.create(Seq[java.lang.Long](1L, 2L),
+      ArrayType(LongType, containsNull = true))
+    val e = intercept[IllegalArgumentException] {
+      SortedIntersectCount(withNull, other).eval(null)
+    }
+    assert(e.getMessage.contains("null array element"))
+    // codegen path (through a real plan)
+    import spark.implicits._
+    val df = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(sic(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("null array element") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null array element")))
+  }
+
   test("SQL registration: sorted_intersect_count usable from expr()") {
     import spark.implicits._
     GraftFunctions.register(spark)
