@@ -91,4 +91,29 @@ class ScaleStressSpec extends AnyFunSuite {
     val distinctBig = times10(docs).distinct().count()
     assert(distinctBig == distinctBase)
   }
+
+  test("dd06 PPJoin at 10x corpus: pair count matches its closed form exactly") {
+    // The heaviest dedup kernel under a 10x scale-up, checked against a
+    // COMBINATORIAL closed form instead of a reference join: take 10
+    // id-shifted copies of the corpus. Copies of the same doc are J=1.0
+    // pairs (C(10,2) = 45 per doc with a nonempty shingle set), and
+    // every base pair with J >= 0.8 appears once per copy combination
+    // (10·10 = 100, all id-distinct). So
+    //   pairs(10x) = 100·pairs(1x) + 45·|eligible docs|
+    // — a prefix filter that loses recall under the 10x-hotter posting
+    // lists, a size gate off by one, or a dedup bug in candidate
+    // generation all break the equality. sf0.001 keeps the 10x corpus
+    // at dd06's sf0.01 bench scale.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val p1 = DedupOps.exactJaccardPairs(base).count()
+    val big = (0 until 10).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val p10 = DedupOps.exactJaccardPairs(big).count()
+    val eligible = base.filter(
+      size(graft.functions.GraftFunctions.word_shingles(col("text"), 3)) > 0).count()
+    assert(p10 == 100L * p1 + 45L * eligible,
+      s"p10=$p10 p1=$p1 eligible=$eligible")
+  }
 }
