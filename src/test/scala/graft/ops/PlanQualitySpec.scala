@@ -184,6 +184,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
 
+  test("column pruning holds engine-wide: no query scans a wide table full-width") {
+    // "A scan that reads all columns for a 2-column projection is
+    // wrong" — at 100 TB an unpruned lineitem scan reads 5x the bytes
+    // the query needs. Audit EVERY registered query's parquet scans of
+    // the >=5-column tables (incl. scans hidden under AQE wrappers and
+    // Pin's InMemory cache nodes) and require requiredSchema < full
+    // width. One allowlisted full-width scan exists in the whole
+    // engine: q15's scalar-function showcase genuinely computes over
+    // all 6 part columns.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val widths = Map("customer" -> 5, "part" -> 6, "orders" -> 6,
+      "lineitem" -> 11, "events" -> 6, "documents" -> 5)
+    val allowed = Set(("q15_scalar_funcs", "part"))
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] =
+      plan.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+        case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan
+        for {
+          f <- scans(p)
+          root <- f.relation.location.rootPaths.map(_.toString)
+          if root.contains("/root/testdata/")
+          table = root.split('/').last.stripSuffix(".parquet")
+          w <- widths.get(table)
+          if f.requiredSchema.size >= w && !allowed((name, table))
+        } yield s"$name scans $table full-width (${f.requiredSchema.size}/$w)"
+    }
+    assert(offenders.isEmpty, s"unpruned scans: $offenders")
+  }
+
   test("shuffle budgets: map-only ops plan ZERO exchanges; pipelines stay within budget") {
     def shuffles(name: String): Int = "Exchange".r.findAllIn(plan(name)).size
     // pure map-side ops — the shapes that must scan-and-go at 100 TB
