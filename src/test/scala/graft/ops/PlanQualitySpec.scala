@@ -160,62 +160,35 @@ class PlanQualitySpec extends AnyFunSuite {
       // post-agg ranks over fixed small domains (grouping-set/segment
       // counts, k-bounded lists):
       "q62_recursive_cte", "ev42_session_histogram")
-    // treeString renders `Window [exprs], [partition?], [order?]` with
-    // absent specs omitted: 3 groups = partitioned+ordered; 2 groups =
-    // partitioned-unordered (2nd group has no sort direction) OR
-    // unpartitioned-ordered (2nd group has ASC/DESC); 1 group = fully
-    // global (`... over ()`).
-    def unpartitionedWindow(p: String): Boolean =
-      p.linesIterator.exists { l =>
-        val i = l.indexOf("Window [")
-        i >= 0 && {
-          val groups = l.substring(i + "Window ".length).split("\\], \\[")
-          groups.length match {
-            case 1 => true
-            case 2 => groups(1).contains(" ASC ") || groups(1).contains(" DESC ") ||
-              groups(1).endsWith(" ASC") || groups(1).endsWith(" DESC")
-            case _ => false
-          }
-        }
-      }
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(allowed)
-      .filter(n => unpartitionedWindow(plan(n)))
+    // detection logic lives in the library itself (PlanAudit
+    // .unpartitionedWindows) so users can lint their own plans
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allowed(n) }
+      .filter { case (_, fn) =>
+        PlanAudit.unpartitionedWindows(fn(spark, sf)).nonEmpty }
+      .map(_._1)
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
 
   test("column pruning holds engine-wide: no query scans a wide table full-width") {
     // "A scan that reads all columns for a 2-column projection is
     // wrong" — at 100 TB an unpruned lineitem scan reads 5x the bytes
-    // the query needs. Audit EVERY registered query's parquet scans of
-    // the >=5-column tables (incl. scans hidden under AQE wrappers and
-    // Pin's InMemory cache nodes) and require requiredSchema < full
-    // width. One allowlisted full-width scan exists in the whole
-    // engine: q15's scalar-function showcase genuinely computes over
-    // all 6 part columns.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the query needs. Audit EVERY registered query via the library's
+    // own PlanAudit (which traverses scans hidden under AQE wrappers
+    // and Pin's InMemory cache nodes) and require requiredSchema <
+    // full width on every >=5-column table. One allowlisted full-width
+    // scan exists in the whole engine: q15's scalar-function showcase
+    // genuinely computes over all 6 part columns.
     val widths = Map("customer" -> 5, "part" -> 6, "orders" -> 6,
       "lineitem" -> 11, "events" -> 6, "documents" -> 5)
     val allowed = Set(("q15_scalar_funcs", "part"))
-    def scans(plan: SparkPlan): Seq[FileSourceScanExec] =
-      plan.collect {
-        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-        case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
-        case f: FileSourceScanExec => Seq(f)
-      }.flatten
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val p = fn(spark, sf).queryExecution.executedPlan
-        for {
-          f <- scans(p)
-          root <- f.relation.location.rootPaths.map(_.toString)
-          if root.contains("/root/testdata/")
-          table = root.split('/').last.stripSuffix(".parquet")
-          w <- widths.get(table)
-          if f.requiredSchema.size >= w && !allowed((name, table))
-        } yield s"$name scans $table full-width (${f.requiredSchema.size}/$w)"
+        PlanAudit.fullWidthScans(fn(spark, sf), widths)
+          .filter(_.contains("/root/testdata/"))
+          .filterNot(line => allowed.exists { case (q, t) =>
+            q == name && line.startsWith(s"$t ") })
+          .map(line => s"$name: $line")
     }
     assert(offenders.isEmpty, s"unpruned scans: $offenders")
   }
