@@ -23,9 +23,14 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_sum", "q03_segment_revenue", "q04_region_customers",
         "q15_scalar_funcs", "vs01_topk_bruteforce", "dd01_exact_dedup")
+    val widths = Map("customer" -> 5, "part" -> 6, "orders" -> 6,
+      "lineitem" -> 11, "events" -> 6, "documents" -> 5)
     names.foreach { n =>
       println(s"\n================ $n ================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      println("---- PlanAudit ----")
+      println(graft.ops.PlanAudit.report(df, widths))
     }
     spark.stop()
   }

@@ -49,14 +49,17 @@ object Pin {
   private val Keep = 6
   private val cached = new java.util.ArrayDeque[DataFrame]
 
-  /** Max pins observed between [[resetBudget]] calls — test-only
-    * observability for PinBudgetSpec's "no query exceeds Keep" pin. */
-  @volatile private[graft] var pinsSinceReset = 0
-  private[graft] def resetBudget(): Unit = pinsSinceReset = 0
+  /** Pins observed since the last [[resetBudget]] — test-only
+    * observability for PinBudgetSpec's "no query exceeds Keep" pin
+    * (atomic: queries are built single-threaded, but a counter that is
+    * only MOSTLY correct is worse than none). */
+  private val pinCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def pinsSinceReset: Int = pinCount.get()
+  private[graft] def resetBudget(): Unit = pinCount.set(0)
 
   /** Pin `df`'s rows across multiple consuming passes. */
   def once(df: DataFrame): DataFrame = {
-    pinsSinceReset += 1
+    pinCount.incrementAndGet()
     val nondet = df.queryExecution.analyzed.exists(
       _.expressions.exists(_.exists(!_.deterministic)))
     if (nondet) df.localCheckpoint(true)

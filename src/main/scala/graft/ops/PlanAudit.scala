@@ -52,9 +52,16 @@ object PlanAudit {
       if f.requiredSchema.size >= w
     } yield s"$table scanned full-width (${f.requiredSchema.size}/$w cols) at $root"
 
-  /** Number of Exchange (shuffle) operators in the plan. */
+  /** Number of SHUFFLE Exchange operators in the plan. Counted from
+    * the rendered tree (under AQE the wrapper's `inputPlan` predates
+    * exchange insertion, so node collection would undercount), with
+    * `BroadcastExchange` (a broadcast, deliberately cheap) and
+    * `ReusedExchange` (pays no second shuffle) excluded. */
   def exchanges(df: DataFrame): Int =
-    "Exchange".r.findAllIn(treeString(df)).size
+    treeString(df).linesIterator.count { l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange")
+    }
 
   /** True if the plan contains a CartesianProduct. */
   def hasCartesianProduct(df: DataFrame): Boolean =
