@@ -30,16 +30,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def bit_exact(s: pd.DataFrame, o: pd.DataFrame) -> bool:
     """Faithful proxy for the driver's bit-level hash: float columns are
-    compared as raw uint64/uint32 bit patterns, so -0.0 != +0.0 and NaN
-    payloads must match exactly (pandas .equals treats -0.0 == +0.0,
-    which hid the vs05 sign-bit mismatch for a round — r5 verdict)."""
+    compared as raw bit patterns AT THEIR OWN WIDTH (float64 via uint64
+    views, float32 via uint32 views), so -0.0 != +0.0 and NaN payloads
+    must match exactly (pandas .equals treats -0.0 == +0.0, which hid
+    the vs05 sign-bit mismatch for a round — r5 verdict). A float dtype
+    MISMATCH between the two frames fails outright: widening one side
+    to float64 first would let a float32-vs-float64 schema drift compare
+    equal here while the driver's raw-byte hash fails it (r6 ADVICE)."""
     import numpy as np
     for c in s.columns:
         a, b = s[c], o[c]
-        if a.dtype.kind == "f" and b.dtype.kind == "f":
-            av = a.to_numpy(dtype=np.float64).view(np.uint64)
-            bv = b.to_numpy(dtype=np.float64).view(np.uint64)
-            if not np.array_equal(av, bv):
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            if a.dtype != b.dtype:
+                print(f"    dtype mismatch on `{c}`: spark={a.dtype} oracle={b.dtype}")
+                return False
+            uview = np.uint32 if a.dtype == np.float32 else np.uint64
+            if not np.array_equal(a.to_numpy().view(uview), b.to_numpy().view(uview)):
                 return False
         elif not a.equals(b):
             return False

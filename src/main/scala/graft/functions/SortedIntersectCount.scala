@@ -23,13 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * sides), so inputs need not be duplicate-free, only sorted. Null
   * array → null. PRECONDITIONS (also stated at the SQL registration,
   * `CosineSimilarity.scala`): elements must be NON-NULL — a null slot
-  * now raises an error rather than silently reading garbage bytes
-  * (r5 ADVICE; one never-taken branch per element read, free under
-  * branch prediction) — and arrays must be ASCENDING-sorted, which is
-  * NOT checked (a full check would visit consecutive pairs the merge
-  * loop skips); unsorted input undercounts. All engine call sites
-  * build inputs via `sort_array` over `xxhash64` outputs, satisfying
-  * both by construction.
+  * ANYWHERE in either array raises an error rather than silently
+  * reading garbage bytes (r5 ADVICE): the merge loop checks each
+  * element it visits, and once one side is exhausted the unvisited
+  * tails are null-scanned too (r6 ADVICE — without the tail sweep
+  * the guarantee held only for visited elements; the sweep is a
+  * branch-predictable isNullAt pass over at most the input length,
+  * outside the per-pair hot loop). Arrays must be ASCENDING-sorted,
+  * which is NOT checked (a full check would visit consecutive pairs
+  * the merge loop skips); unsorted input undercounts. All engine call
+  * sites build inputs via `sort_array` over `xxhash64` outputs,
+  * satisfying both by construction.
   *
   * The sort the inputs need is paid ONCE per document at signature
   * build (`sort_array` over an ~n-element hash array, n = shingle
@@ -71,6 +75,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         while (j < ny && y.getLong(j) == yv) j += 1
       }
     }
+    // tail sweep: the loop above exits once one side is exhausted;
+    // nulls in the unvisited remainder must still raise (doc contract)
+    while (i < nx) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        "sorted_intersect_count: null array element (inputs must be non-null, ascending-sorted)")
+      i += 1
+    }
+    while (j < ny) {
+      if (y.isNullAt(j)) throw new IllegalArgumentException(
+        "sorted_intersect_count: null array element (inputs must be non-null, ascending-sorted)")
+      j += 1
+    }
     cnt
   }
 
@@ -101,6 +117,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
         |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
         |  }
+        |}
+        |while ($i < $nx) {
+        |  if ($a.isNullAt($i)) {
+        |    throw new IllegalArgumentException(
+        |      "sorted_intersect_count: null array element (inputs must be non-null, ascending-sorted)");
+        |  }
+        |  $i++;
+        |}
+        |while ($j < $ny) {
+        |  if ($b.isNullAt($j)) {
+        |    throw new IllegalArgumentException(
+        |      "sorted_intersect_count: null array element (inputs must be non-null, ascending-sorted)");
+        |  }
+        |  $j++;
         |}
         |${ev.value} = $cnt;
       """.stripMargin

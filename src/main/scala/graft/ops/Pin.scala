@@ -49,31 +49,40 @@ object Pin {
   private val Keep = 6
   private val cached = new java.util.ArrayDeque[DataFrame]
 
-  /** Pins observed since the last [[resetBudget]] — test-only
+  /** DEQUE pins observed since the last [[resetBudget]] — test-only
     * observability for PinBudgetSpec's "no query exceeds Keep" pin
     * (atomic: queries are built single-threaded, but a counter that is
-    * only MOSTLY correct is worse than none). */
+    * only MOSTLY correct is worse than none). Counts only the
+    * persist/deque branch: a nondeterministic-plan `localCheckpoint`
+    * never enters the deque, so it cannot evict a sibling and is
+    * outside the eviction-safety bound the budget protects (r6
+    * ADVICE — counting it would over-fail a safe query). */
   private val pinCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def pinsSinceReset: Int = pinCount.get()
   private[graft] def resetBudget(): Unit = pinCount.set(0)
 
   /** Pin `df`'s rows across multiple consuming passes. */
   def once(df: DataFrame): DataFrame = {
-    pinCount.incrementAndGet()
     val nondet = df.queryExecution.analyzed.exists(
       _.expressions.exists(_.exists(!_.deterministic)))
     if (nondet) df.localCheckpoint(true)
     else cached.synchronized {
+      pinCount.incrementAndGet()
       // Dataset.storageLevel consults the CacheManager by plan
-      // equivalence (sameResult), so it detects a cache entry created
-      // via a DIFFERENT Dataset instance with the same plan.
+      // equivalence over the NORMALIZED plan, so it detects a cache
+      // entry created via a DIFFERENT Dataset instance with the same
+      // plan. The deque dedup below must match with the SAME plan form
+      // the CacheManager keys on (queryExecution.normalized) — with
+      // `analyzed`, two plans the CacheManager dedups could fail the
+      // deque match, leaving a stale alias whose eviction unpersists
+      // an entry a newer pin still references (r6 ADVICE).
       val wasCached = df.storageLevel != StorageLevel.NONE
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       if (wasCached) {
         val it = cached.iterator()
         while (it.hasNext)
-          if (it.next().queryExecution.analyzed
-                .sameResult(p.queryExecution.analyzed)) it.remove()
+          if (it.next().queryExecution.normalized
+                .sameResult(p.queryExecution.normalized)) it.remove()
       }
       cached.addLast(p)
       while (cached.size > Keep) cached.removeFirst().unpersist(false)

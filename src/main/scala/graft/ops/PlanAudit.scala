@@ -4,6 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan linting for scale readiness — the checks PlanQualitySpec runs
   * against every registered query, exposed as a library API so a user
@@ -23,22 +26,43 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
   *  - the Exchange count is the number of cluster-wide shuffles the
   *    plan pays — the unit of cost that dominates everything else.
   *
-  * Traversal covers scans hidden under AQE wrappers and cached-plan
-  * (InMemoryTableScan) nodes, which plain `plan.collect` misses.
+  * Every check runs over ONE fixed plan form (see [[auditNodes]]): the
+  * typed node set of `executedPlan`, with each AdaptiveSparkPlanExec
+  * wrapper replaced by its `initialPlan` — the post-exchange-insertion
+  * plan AQE starts from, which never mutates — and each cached
+  * InMemoryTableScan expanded into its cached subplan. The r6 audit
+  * matched substrings of `executedPlan.treeString`, whose rendering
+  * changes once an AQE plan executes (ShuffleQueryStage/ReusedQueryStage
+  * wrappers appear) and which never descends into cached subplans — so
+  * the same DataFrame audited before vs after an action could disagree
+  * (r6 ADVICE). Typed traversal over the pre-execution form makes the
+  * audit action-independent and gives every check the same coverage.
+  * Caveat: the audit is therefore of the STATIC plan — AQE runtime
+  * re-planning (skew-join splits, shuffle reuse, empty-relation
+  * shortcuts) can only remove or cheapen work relative to what is
+  * reported here, never add a shuffle or cartesian the audit missed.
   */
 object PlanAudit {
+
+  /** The audited node set: every typed physical node reachable from
+    * `df`'s executed plan, descending into AQE wrappers via their
+    * immutable pre-execution `initialPlan` and into cached plans via
+    * `InMemoryTableScan.relation.cachedPlan` (the scan node itself is
+    * kept too — it is a real operator of the outer plan). */
+  private def auditNodes(plan: SparkPlan): Seq[SparkPlan] =
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => auditNodes(a.initialPlan)
+      case m: InMemoryTableScanExec => m +: auditNodes(m.relation.cachedPlan)
+      case p => Seq(p)
+    }.flatten
+
+  private def auditNodes(df: DataFrame): Seq[SparkPlan] =
+    auditNodes(df.queryExecution.executedPlan)
 
   /** All parquet/file scans in `df`'s physical plan, including those
     * under AdaptiveSparkPlan and InMemoryTableScan wrappers. */
   def scans(df: DataFrame): Seq[FileSourceScanExec] =
-    scansOf(df.queryExecution.executedPlan)
-
-  private def scansOf(plan: SparkPlan): Seq[FileSourceScanExec] =
-    plan.collect {
-      case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
-      case m: InMemoryTableScanExec => scansOf(m.relation.cachedPlan)
-      case f: FileSourceScanExec => Seq(f)
-    }.flatten
+    auditNodes(df).collect { case f: FileSourceScanExec => f }
 
   /** Scans of named tables that read the table FULL-width.
     * `tableWidths` maps table name (file stem) → its column count;
@@ -52,40 +76,28 @@ object PlanAudit {
       if f.requiredSchema.size >= w
     } yield s"$table scanned full-width (${f.requiredSchema.size}/$w cols) at $root"
 
-  /** Number of SHUFFLE Exchange operators in the plan. Counted from
-    * the rendered tree (under AQE the wrapper's `inputPlan` predates
-    * exchange insertion, so node collection would undercount), with
-    * `BroadcastExchange` (a broadcast, deliberately cheap) and
-    * `ReusedExchange` (pays no second shuffle) excluded. */
+  /** Number of SHUFFLE Exchange operators in the audited plan form.
+    * Typed count of [[ShuffleExchangeLike]] nodes: broadcasts
+    * (BroadcastExchange — deliberately cheap) are a different node
+    * family and ReusedExchange (pays no second shuffle) is a leaf
+    * whose referenced exchange is not re-collected, so both are
+    * excluded by construction. AQE's `inputPlan` would undercount
+    * (it predates exchange insertion); `initialPlan` is counted
+    * post-insertion. */
   def exchanges(df: DataFrame): Int =
-    treeString(df).linesIterator.count { l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
-        !l.contains("ReusedExchange")
-    }
+    auditNodes(df).count { case _: ShuffleExchangeLike => true; case _ => false }
 
   /** True if the plan contains a CartesianProduct. */
   def hasCartesianProduct(df: DataFrame): Boolean =
-    treeString(df).contains("CartesianProduct")
+    auditNodes(df).exists { case _: CartesianProductExec => true; case _ => false }
 
   /** Window operators whose partition spec is EMPTY — every input row
-    * of each flows through one task. Returns the offending plan lines.
-    * (treeString renders `Window [exprs], [partition?], [order?]` with
-    * absent specs omitted: 1 bracket group after "Window " = fully
-    * global; 2 groups where the 2nd is an ORDER spec (carries ASC/
-    * DESC) = unpartitioned-ordered.) */
+    * of each flows through one task. Returns one rendered line per
+    * offending operator. */
   def unpartitionedWindows(df: DataFrame): Seq[String] =
-    treeString(df).linesIterator.filter { l =>
-      val i = l.indexOf("Window [")
-      i >= 0 && {
-        val groups = l.substring(i + "Window ".length).split("\\], \\[")
-        groups.length match {
-          case 1 => true
-          case 2 => groups(1).contains(" ASC ") || groups(1).contains(" DESC ") ||
-            groups(1).endsWith(" ASC") || groups(1).endsWith(" DESC")
-          case _ => false
-        }
-      }
-    }.map(_.trim).toSeq
+    auditNodes(df).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w.simpleString(160)
+    }
 
   /** One-paragraph human summary of every check. */
   def report(df: DataFrame, tableWidths: Map[String, Int] = Map.empty): String = {
@@ -99,7 +111,4 @@ object PlanAudit {
       s"scans: ${scans(df).map(f => s"${f.requiredSchema.size} cols").mkString(", ")}"
     ).mkString("\n")
   }
-
-  private def treeString(df: DataFrame): String =
-    df.queryExecution.executedPlan.treeString
 }

@@ -82,6 +82,36 @@ class SortedIntersectCountSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("null array element")))
   }
 
+  test("null in the UNVISITED tail raises too (r6 ADVICE: tail sweep)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // left side [1] exhausts immediately; the null sits in the tail of
+    // the right side the merge loop never visits
+    val short = Literal.create(Seq[java.lang.Long](1L),
+      ArrayType(LongType, containsNull = true))
+    val tailNull = Literal.create(Seq[java.lang.Long](5L, 6L, null),
+      ArrayType(LongType, containsNull = true))
+    val e = intercept[IllegalArgumentException] {
+      SortedIntersectCount(short, tailNull).eval(null)
+    }
+    assert(e.getMessage.contains("null array element"))
+    // and on EMPTY vs all-null input (loop body never runs at all)
+    val empty = Literal.create(Seq.empty[java.lang.Long],
+      ArrayType(LongType, containsNull = true))
+    assert(intercept[IllegalArgumentException] {
+      SortedIntersectCount(empty, tailNull).eval(null)
+    }.getMessage.contains("null array element"))
+    // codegen path
+    import spark.implicits._
+    val df = Seq((Seq[java.lang.Long](1L), Seq[java.lang.Long](5L, 6L, null)))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(sic(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("null array element") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null array element")))
+  }
+
   test("SQL registration: sorted_intersect_count usable from expr()") {
     import spark.implicits._
     GraftFunctions.register(spark)

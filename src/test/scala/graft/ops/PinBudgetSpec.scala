@@ -26,4 +26,17 @@ class PinBudgetSpec extends AnyFunSuite {
     }
     assert(over.isEmpty, s"queries exceeding the Pin budget: $over")
   }
+
+  test("nondeterministic (localCheckpoint) pins do not count against the deque budget") {
+    // r6 ADVICE: a checkpoint pin never enters the Keep-bounded deque,
+    // so it cannot evict a sibling — counting it would fail a query
+    // that is in fact eviction-safe.
+    import org.apache.spark.sql.functions.rand
+    Pin.resetBudget()
+    Pin.once(spark.range(10).toDF("x").withColumn("r", rand()))
+    assert(Pin.pinsSinceReset == 0)
+    val p = Pin.once(spark.range(10).toDF("x"))
+    assert(Pin.pinsSinceReset == 1)
+    p.unpersist()
+  }
 }

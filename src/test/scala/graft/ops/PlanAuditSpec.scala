@@ -43,6 +43,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.unpartitionedWindows(wp).isEmpty)
   }
 
+  test("audit results are identical before and after the plan executes (AQE)") {
+    // r6 ADVICE: the treeString-based audit changed once AQE replaced
+    // stages with ShuffleQueryStage wrappers; the typed audit over
+    // initialPlan must not.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity")
+    val agg = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+      .join(spark.read.parquet(s"$sf/region.parquet").limit(1)
+        .select(col("r_regionkey").as("rk")), col("l_returnflag").isNotNull, "left")
+    val before = (PlanAudit.exchanges(agg), PlanAudit.hasCartesianProduct(agg),
+      PlanAudit.unpartitionedWindows(agg), PlanAudit.scans(agg).size)
+    agg.collect() // executes; AQE finalizes the plan
+    val after = (PlanAudit.exchanges(agg), PlanAudit.hasCartesianProduct(agg),
+      PlanAudit.unpartitionedWindows(agg), PlanAudit.scans(agg).size)
+    assert(before == after)
+  }
+
+  test("audit descends into cached (InMemoryTableScan) subplans") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity")
+    val cached = li.groupBy("l_returnflag").agg(sum("l_quantity").as("s")).cache()
+    try {
+      cached.collect() // populate the cache so the scan reads from memory
+      val over = cached.filter(col("s") > 0)
+      // the groupBy shuffle lives INSIDE the cached subplan; the
+      // treeString audit could not see it (r6 ADVICE)
+      assert(PlanAudit.exchanges(over) >= 1)
+      assert(PlanAudit.scans(over).nonEmpty)
+    } finally cached.unpersist()
+  }
+
   test("exchanges counts shuffles; report renders every section") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_returnflag", "l_quantity")
