@@ -158,6 +158,22 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
+  /** `md5_low60(s)`: portable 60-bit md5 hash (= first 15 hex chars of
+    * md5 as an integer) — reproducible in any engine with `md5`, the
+    * hash family behind the oracle-exact dd02/dd03/dd04 pipelines. */
+  def md5_low60(c: Column): Column =
+    Bridge.column(Md5Low60(Bridge.expression(c)))
+
+  /** `md5_minhash_sig(arr, k)`: classic per-seed MinHash signature
+    * (`h_i(s) = md5_low60("i:" ++ s)`, min per seed). */
+  def md5_minhash_sig(arr: Column, numHashes: Int): Column =
+    Bridge.column(Md5MinHashSig(Bridge.expression(arr), numHashes))
+
+  /** `md5_simhash_sig(tokens)`: portable 60-bit SimHash of a token
+    * bag over the `md5_low60` hashes. */
+  def md5_simhash_sig(c: Column): Column =
+    Bridge.column(Md5SimHashSig(Bridge.expression(c)))
+
   /** `pair_ids(array<long>)` generator: all i<j pairs as rows (a, b). */
   def pair_ids(c: Column): Column =
     Bridge.column(PairExpandIds(Bridge.expression(c)))
@@ -215,6 +231,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_low60", exprs => Md5Low60(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_minhash_sig", exprs => Md5MinHashSig(exprs(0),
+        intArg(exprs(1), "md5_minhash_sig")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_simhash_sig", exprs => Md5SimHashSig(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pair_ids", exprs => PairExpandIds(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -55,6 +55,24 @@ object DedupOps {
   private def shingleSets(u: DataFrame): DataFrame =
     u.select(col("doc_id"), shingles(col("text")).as("shs"))
 
+  /** PORTABLE 60-bit hash: the low 60 bits (first 15 hex chars) of
+    * md5, as a non-negative BIGINT. Every engine with `md5` derives
+    * the identical value — DuckDB spells it
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)` — which is what
+    * lets the dd02/dd03/dd04 sketch pipelines be oracle-checked
+    * bit-for-bit (r6 verdict tasks 1/8): signatures, bands, candidate
+    * sets, and verified pairs all coincide by construction. The
+    * engine computes the value with the native
+    * [[graft.functions.Md5Low60]] kernel (thread-local MessageDigest,
+    * no hex round-trip — the builtin `conv(substring(md5(...)))`
+    * composition is ~50× slower per hash; PortableMd5Spec pins their
+    * bit-parity). The xxhash64-based native expressions (`OphMinHash`,
+    * `BottomKByHash`, `SimHashSignature`) remain the fastest
+    * single-engine tier — this family is the CROSS-ENGINE-CHECKABLE
+    * tier of the same algorithms. */
+  private[ops] def portableHash60(c: Column): Column =
+    graft.functions.GraftFunctions.md5_low60(c)
+
   /** EXACT all-pairs shingle-Jaccard >= `threshold` over (doc_id, text)
     * via PPJoin-style PREFIX FILTERING (Chaudhuri/Bayardo/Xiao): under
     * ANY global shingle order, two sets with J >= t must both contain
@@ -133,13 +151,50 @@ object DedupOps {
           .drop("rn")
       }),
 
-    // MinHash+LSH candidate generation is not ANSI-SQL-expressible →
-    // rows-only check. With the injected duplicates the verified output
-    // contains exactly one jaccard=1.0 pair per original document.
+    // MinHash+LSH with the portable md5 hash family: the ENTIRE
+    // pipeline — per-seed signatures, band keys, bucket cap, candidate
+    // pairs, exact verify — is re-derived by the oracle, so the sketch
+    // is bit-checked end to end (r6 verdict task 1; the xxhash-native
+    // production path keeps its floors in SKETCH_QUALITY under
+    // dd02_native_oph). The sh CTE is dd06's proven word_shingles
+    // re-derivation.
     QueryDef(
       "dd02_minhash_lsh",
-      None,
-      (s, d) => minHashNearDups(dupDocs(s, d), numHashes = 64, bands = 16, threshold = 0.8)),
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |sig AS (
+             |  SELECT doc_id,
+             |    flatten(list_transform(range(0, 32), g -> [
+             |      list_min(list_transform(shs, s ->
+             |        CAST(concat('0x', substr(md5(concat(CAST(g AS VARCHAR), ':', s)), 1, 15)) AS BIGINT))),
+             |      list_min(list_transform(shs, s ->
+             |        CAST(concat('0x', substr(md5(concat(CAST(g AS VARCHAR), ':', s)), 16, 15)) AS BIGINT)))])) AS mh
+             |  FROM sh),
+             |bands AS (
+             |  SELECT doc_id, bd, array_to_string(list_slice(mh, 4*bd + 1, 4*bd + 4), ',') AS bk
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, bk FROM bands GROUP BY bd, bk HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, bk)
+             |  JOIN bands y ON y.bd = x.bd AND y.bk = x.bk AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8""".stripMargin),
+      (s, d) => minHashNearDupsPortable(dupDocs(s, d))),
 
     // SimHash as CANDIDATE GENERATOR + exact Jaccard verify — the same
     // two-stage discipline as dd02/dd04 (candidates may be loose, the
@@ -148,49 +203,99 @@ object DedupOps {
     // 0.95 (h<=2: p .972 / r .927; h<=3: p .917 / r .953), so the
     // Hamming gate is opened to <=5 for candidate recall (0.98) and
     // precision comes from the exact verify (1.0 by construction).
+    // Portable md5 fingerprints since r7, so the whole pipeline is
+    // oracle-checked (the xxhash native keeps its floors in
+    // SKETCH_QUALITY under dd03_native_simhash).
     QueryDef(
       "dd03_simhash",
-      None,
-      (s, d) => {
-        val u = dupDocs(s, d)
-        verifyJaccard(
-          simHashNearDups(u, maxHamming = 5).select("a", "b"),
-          shingleSets(u), threshold = 0.8)
-      }),
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hv AS (
+             |  SELECT doc_id, list_transform(toks, t ->
+             |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+             |  FROM tk WHERE len(toks) > 0),
+             |sm AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(0, 60), b ->
+             |      CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) > 0
+             |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+             |  FROM hv),
+             |bands AS (
+             |  SELECT doc_id, sim, k, (sim >> CAST(k*15 AS INTEGER)) & 32767 AS bv
+             |  FROM sm, range(0, 4) t(k)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y ON y.k = x.k AND y.bv = x.bv AND x.doc_id < y.doc_id
+             |  WHERE bit_count(xor(x.sim, y.sim)) <= 5),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8""".stripMargin),
+      (s, d) => simHashNearDupsPortable(dupDocs(s, d))),
 
+    // Exact n-gram Jaccard via an inverted-index candidate join, with
+    // the portable bottom-k sketch. Scale guards, in order: (1) each
+    // doc posts only its 12 smallest-by-hash shingles into the index
+    // (identical docs post identical keys, so exact-dup recall is
+    // total and high-Jaccard recall near-total, while posting-list
+    // joins shrink quadratically); (2) keys seen in >50 docs are
+    // dropped (a stopword shingle is a quadratic hot bucket); (3) a
+    // pair must share >= least(5, nka, nkb) keys before the exact
+    // verify — the gate adapts to tiny documents so exact-duplicate
+    // recall stays total. The oracle re-derives keys, posting lists,
+    // gates and verified pairs bit-for-bit (r6 verdict task 1; the
+    // bottomk_by_hash native keeps its floors in SKETCH_QUALITY under
+    // dd04_native_bottomk).
     QueryDef(
       "dd04_ngram_jaccard",
-      None,
-      (s, d) => {
-        // Exact n-gram Jaccard via an inverted-index candidate join.
-        // Scale guards, in order: (1) each doc posts only its 12
-        // smallest-by-hash shingles into the index (a bottom-k sketch —
-        // identical docs post identical keys, so exact-dup recall is
-        // total and high-Jaccard recall near-total, while posting-list
-        // joins shrink quadratically); (2) keys seen in >50 docs are
-        // dropped (a stopword shingle is a quadratic hot bucket);
-        // (3) a pair must share >=5 keys before the exact verify.
-        val u = dupDocs(s, d)
-        val sets = shingleSets(u)
-        val keyed = sets.select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.bottomk_by_hash(col("shs"), 12)).as("sh"))
-        // One shuffle builds the posting lists; pairs are generated
-        // inside each list with HOFs (i<j combinations) instead of a
-        // posting self-join — no second/third shuffle of the postings.
-        val posts = keyed.groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")).between(2, 50))
-        // the shared-key gate adapts to tiny documents (fewer than 5
-        // posting keys) so exact-duplicate recall stays total
-        val keyCounts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nk"))
-        val cand = posts
-          .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
-          .join(keyCounts.select(col("doc_id").as("a"), col("nk").as("nka")), "a")
-          .join(keyCounts.select(col("doc_id").as("b"), col("nk").as("nkb")), "b")
-          .filter(col("n_keys_common") >= least(lit(5), col("nka"), col("nkb")))
-          .select("a", "b")
-        verifyJaccard(cand, sets, threshold = 0.8)
-      }),
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |kd AS (
+             |  SELECT doc_id, shs,
+             |    list_slice(list_sort(list_transform(shs, s ->
+             |      CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))), 1, 12) AS ks
+             |  FROM sh),
+             |posts AS (SELECT doc_id, unnest(ks) AS k FROM kd),
+             |pc AS (SELECT k FROM posts GROUP BY k HAVING count(*) BETWEEN 2 AND 50),
+             |nk AS (SELECT doc_id, len(ks) AS nkeys FROM kd),
+             |cand AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ncommon
+             |  FROM posts x JOIN pc USING (k)
+             |  JOIN posts y ON y.k = x.k AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |gated AS (
+             |  SELECT a, b FROM cand
+             |  JOIN nk xa ON xa.doc_id = a JOIN nk xb ON xb.doc_id = b
+             |  WHERE ncommon >= least(5, xa.nkeys, xb.nkeys)),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM gated JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8""".stripMargin),
+      (s, d) => bottomKNearDupsPortable(dupDocs(s, d))),
 
     QueryDef(
       "dd05_dup_clusters",
@@ -931,6 +1036,126 @@ object DedupOps {
       .select("corpus_id", "batch_id").distinct()
   }
 
+  /** Classic MinHash+LSH near-dup pairs with the PORTABLE md5-derived
+    * hash family ([[portableHash60]]): 64 independent 60-bit hashes —
+    * two per seeded digest, `h_{2g}(s)` / `h_{2g+1}(s)` = hex chars
+    * 1–15 / 16–30 of `md5("g:" ++ s)` — per-doc minima, 16 bands × 4
+    * rows, in-bucket pair generation, exact-Jaccard verify. Same pipeline
+    * shape as [[minHashNearDups]] (the xxhash64/OPH production path)
+    * but every intermediate value is reproducible in ANY engine with
+    * md5 — the DuckDB oracle re-derives signatures, band keys,
+    * candidate sets and verified pairs bit-for-bit (r6 verdict task 1).
+    *
+    * Scale shape: signatures are per-ROW — one
+    * [[graft.functions.Md5MinHashSig]] call over the shingle array
+    * (no explode, no signature shuffle); band keys are a map-only
+    * projection, and the bucket stage is the same groupBy + in-bucket
+    * `pair_ids` as the native path (no posting self-join). Buckets
+    * >100 docs are degenerate collisions and are skipped — a
+    * documented recall knob, not a correctness one (the oracle
+    * applies the same cap). */
+  def minHashNearDupsPortable(corpus: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sets = shingleSets(corpus).filter(size(col("shs")) > 0)
+    // The signature stage is the CPU-dominant pass (numHashes md5s per
+    // shingle) and runs wherever the scan's input splits put it — on a
+    // small local corpus that is 1–2 partitions, serializing ~100 MHz
+    // of hashing onto one core. Spread it across the cluster when the
+    // plan has fewer partitions than cores (hash-partitioned on
+    // doc_id: deterministic, and per-row signatures are partitioning-
+    // invariant). At lake scale input splits >> cores, so this branch
+    // is a no-op and no shuffle is added.
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (sets.rdd.getNumPartitions < target) sets.repartition(target, col("doc_id"))
+      else sets
+    val sig = spread.select(col("doc_id"),
+      graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), numHashes).as("mh"))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("mh"), i + 1).cast("string")): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bk")
+    val buckets = banded.groupBy("band", "bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 100))
+    val cand = buckets
+      .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
+      .distinct()
+    verifyJaccard(cand, shingleSets(corpus), threshold)
+  }
+
+  /** dd04's bottom-k inverted-index near-dup with the PORTABLE hash
+    * ([[portableHash60]]) in place of the native `bottomk_by_hash`
+    * sketch: each doc posts its 12 smallest-by-md5 shingle hashes,
+    * posting lists of 2..50 docs generate candidates, a pair must
+    * share >= least(5, nka, nkb) keys, then the exact-Jaccard verify.
+    * Identical scale guards and shuffle count as the native dd04 body;
+    * the bottom-k here is `slice(sort_array(transform(...)), 1, k)` —
+    * an O(n log n) per-doc array sort on ~doc-length arrays, which the
+    * oracle reproduces with `list_slice(list_sort(list_transform))`. */
+  def bottomKNearDupsPortable(corpus: DataFrame, k: Int = 12,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(corpus)
+    val kd = sets.select(col("doc_id"),
+      slice(sort_array(transform(col("shs"), s => portableHash60(s))), 1, k).as("ks"))
+    val keyed = kd.select(col("doc_id"), explode(col("ks")).as("sh"))
+    val posts = keyed.groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+    val keyCounts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nk"))
+    val cand = posts
+      .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
+      .join(keyCounts.select(col("doc_id").as("a"), col("nk").as("nka")), "a")
+      .join(keyCounts.select(col("doc_id").as("b"), col("nk").as("nkb")), "b")
+      .filter(col("n_keys_common") >= least(lit(5), col("nka"), col("nkb")))
+      .select("a", "b")
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Native bottom-k inverted-index near-dup (the xxhash64
+    * `bottomk_by_hash` sketch): dd04's production path — identical
+    * pipeline to [[bottomKNearDupsPortable]] but with the one-pass
+    * native expression computing the per-doc key sketch. */
+  def bottomKNearDups(corpus: DataFrame, k: Int = 12,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(corpus)
+    val keyed = sets.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.bottomk_by_hash(col("shs"), k)).as("sh"))
+    // One shuffle builds the posting lists; pairs are generated
+    // inside each list with HOFs (i<j combinations) instead of a
+    // posting self-join — no second/third shuffle of the postings.
+    val posts = keyed.groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+    val keyCounts = keyed.groupBy("doc_id").agg(count(lit(1)).as("nk"))
+    val cand = posts
+      .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_keys_common"))
+      .join(keyCounts.select(col("doc_id").as("a"), col("nk").as("nka")), "a")
+      .join(keyCounts.select(col("doc_id").as("b"), col("nk").as("nkb")), "b")
+      .filter(col("n_keys_common") >= least(lit(5), col("nka"), col("nkb")))
+      .select("a", "b")
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** The three NATIVE (xxhash) sketch tiers on the same injected-dup
+    * corpus and exact verify as the registered md5-portable queries —
+    * production paths whose hashes no external engine can reproduce,
+    * so their quality lives in SKETCH_QUALITY floors instead of the
+    * oracle gate (r7: the registered dd02/dd03/dd04 moved to the
+    * portable family and became oracle-exact). */
+  def nativeSketchTiers(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val u = dupDocs(s, d)
+    val sets = shingleSets(u)
+    Seq(
+      "dd02_native_oph" -> minHashNearDups(u, numHashes = 64, bands = 16, threshold = 0.8),
+      "dd03_native_simhash" -> verifyJaccard(
+        simHashNearDups(u, maxHamming = 5).select("a", "b"), sets, threshold = 0.8),
+      "dd04_native_bottomk" -> bottomKNearDups(u))
+  }
+
   def minHashNearDups(corpus: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val banded = bandHashes(corpus, numHashes, bands)
     // Pairs generated inside each LSH bucket (one groupBy shuffle, no
@@ -976,6 +1201,47 @@ object DedupOps {
           .as("j"))
       .filter(col("j") >= threshold)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** PORTABLE SimHash candidate generator ([[portableHash60]] family):
+    * 60-bit fingerprints — sign bits of the 60 per-bit ±1 majority
+    * sums over the doc's token-bag md5 hashes — banded into 4×15 bits
+    * (pigeonhole: any pair within Hamming distance <= 3 shares a
+    * band), candidates gated at Hamming <= `maxHamming`. Same
+    * two-stage discipline as the native [[simHashNearDups]] (the
+    * r4-calibrated Hamming <= 5 gate + exact-Jaccard verify), but
+    * every fingerprint bit is reproducible in any engine with md5, so
+    * the DuckDB oracle re-derives signatures, bands, candidates and
+    * verified pairs bit-for-bit (r6 verdict task 8 — this leaves only
+    * the genuinely engine-internal sketches, q18 HLL and ev14 GK,
+    * outside the oracle gate).
+    *
+    * The signature stage is per-ROW — one
+    * [[graft.functions.Md5SimHashSig]] call over the token bag (one
+    * md5 per token, 60·|tokens| bit ops in a primitive loop), no
+    * explode and no shuffle; the only shuffles are the band-bucket
+    * join and the verify joins, exactly the native path's shape.
+    * Returns verified (a, b, jaccard). */
+  def simHashNearDupsPortable(corpus: DataFrame, maxHamming: Int = 5,
+      threshold: Double = 0.8): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val sim = corpus
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_simhash_sig(col("toks")).as("sim"))
+    val bandCols = (0 until 4).map(k =>
+      shiftrightunsigned(col("sim"), k * 15).bitwiseAND(lit(0x7FFFL)))
+    val banded = sim.select(col("doc_id"), col("sim"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "sim", "band", "bv")
+    val cand = banded
+      .select(col("doc_id").as("a"), col("sim").as("sima"), col("band"), col("bv"))
+      .join(banded.select(col("doc_id").as("b"), col("sim").as("simb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("a") < col("b") &&
+        bit_count(col("sima").bitwiseXOR(col("simb"))) <= maxHamming)
+      .select("a", "b").distinct()
+    verifyJaccard(cand, shingleSets(corpus), threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints from token-hash

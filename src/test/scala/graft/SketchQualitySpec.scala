@@ -3,9 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Enforces the quality floors the committed SKETCH_QUALITY.json
-  * artifact advertises for the 5 rows-only sketch queries — same
-  * computation ([[SketchQuality.metrics]]), so the artifact can't
-  * drift from what the suite guarantees. */
+  * artifact advertises — same computation
+  * ([[SketchQuality.metrics]]), so the artifact can't drift from what
+  * the suite guarantees. Since r7 the registered dd02/dd03/dd04 are
+  * md5-portable and oracle-exact; the floors here cover BOTH those
+  * (algorithmic recall of the candidate stages) and the xxhash native
+  * production tiers (dd0X_native_*), which no external oracle can
+  * reproduce. */
 class SketchQualitySpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -19,16 +23,35 @@ class SketchQualitySpec extends AnyFunSuite {
     // stage (dd03 since the r5 calibration — no pure Hamming threshold
     // cleared p>=0.97 at r>=0.95), so false pairs are structurally
     // impossible: precision must be EXACTLY 1.0, not approximately.
-    for (name <- Seq("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard")) {
+    for (name <- Seq("dd02_minhash_lsh", "dd03_simhash", "dd04_ngram_jaccard",
+        "dd02_native_oph", "dd03_native_simhash", "dd04_native_bottomk")) {
       val p = m(name)("precision_vs_dd06")
       val r = m(name)("recall_vs_dd06")
       assert(p == 1.0, s"$name precision $p (verify stage admitted a false pair)")
       assert(r >= 0.95, s"$name recall $r")
       assert(m(name)("n_pairs") > 0, name)
     }
-    // dd02/dd04 candidate generation is recall-total on this corpus
+    // dd02/dd04 candidate generation is recall-total on this corpus,
+    // in both the md5-portable registered and xxhash native tiers
     assert(m("dd02_minhash_lsh")("recall_vs_dd06") == 1.0)
     assert(m("dd04_ngram_jaccard")("recall_vs_dd06") == 1.0)
+    assert(m("dd02_native_oph")("recall_vs_dd06") == 1.0)
+    assert(m("dd04_native_bottomk")("recall_vs_dd06") == 1.0)
+  }
+
+  test("vs10 nprobe->recall curve: monotone non-decreasing, exact at full probe") {
+    val curve = Seq(1, 2, 4, 8).map(np => m("vs10_nprobe_recall_curve")(s"recall_nprobe_$np"))
+    assert(curve.zip(curve.tail).forall { case (lo, hi) => lo <= hi },
+      s"curve not monotone: $curve")
+    // probing all 8 cells makes the candidate set all pairs — the
+    // exact kernel — so full-probe recall is 1.0 BY CONSTRUCTION; a
+    // miss here means the celled plan drops pairs for some other
+    // reason than probe selection
+    assert(curve.last == 1.0, s"full-probe recall ${curve.last}")
+    // the REGISTERED operating point (nprobe = 2) sits on the curve —
+    // the artifact's headline vs10 recall is the curve's second point
+    assert(m("vs10_mutual_knn")("recall_vs_exact") == curve(1),
+      s"registered point ${m("vs10_mutual_knn")("recall_vs_exact")} vs curve ${curve(1)}")
   }
 
   test("ev14 GK quantiles: rank error within 1% (GK bound is 1/accuracy = 0.01%)") {

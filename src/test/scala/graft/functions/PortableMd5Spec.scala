@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the PORTABILITY contract of the md5-derived kernels: the
+  * native [[Md5Low60]] / [[Md5MinHashSig]] / [[Md5SimHashSig]]
+  * expressions must be bit-identical to the builtin composition
+  * `conv(substring(md5(x), 1, 15), 16, 10)` — the form any external
+  * engine (the DuckDB oracle included) derives. If these ever drift,
+  * the dd02/dd03/dd04 oracle checks stop being checks of the shipped
+  * kernels. */
+class PortableMd5Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def composed(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(encode(c, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+  test("md5_low60 equals the builtin conv(substring(md5)) composition") {
+    // known value: md5('abc') = 900150983cd24fb0..., first 15 hex
+    // chars as an integer
+    val known = Seq("abc").toDF("s")
+      .select(GraftFunctions.md5_low60(col("s"))).head().getLong(0)
+    assert(known == 648541476951500027L)
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val diff = corpus
+      .select(explode(GraftFunctions.word_shingles(col("text"), 3)).as("s"))
+      .filter(GraftFunctions.md5_low60(col("s")) =!= composed(col("s")))
+    assert(diff.count() == 0)
+    // unicode + empty + separator-heavy strings
+    val edge = Seq("", "héllo wörld", "a:b", "0:x", "é世界").toDF("s")
+      .filter(GraftFunctions.md5_low60(col("s")) =!= composed(col("s")))
+    assert(edge.count() == 0)
+  }
+
+  test("md5_minhash_sig equals the per-seed min over the composed hash") {
+    // two hashes per digest: h_{2g} = hex chars 1-15, h_{2g+1} = hex
+    // chars 16-30 of md5("g:" ++ s) — the exact substr-of-md5 forms
+    // the DuckDB oracle uses
+    def sub60(c: org.apache.spark.sql.Column, pos: Int) =
+      conv(substring(md5(encode(c, "UTF-8")), pos, 15), 16, 10).cast("long")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+      .select(col("doc_id"), GraftFunctions.word_shingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val slow = docs.select(col("doc_id"),
+      flatten(transform(sequence(lit(0), lit(7)), g => {
+        val seeded = (s: org.apache.spark.sql.Column) =>
+          concat(g.cast("string"), lit(":"), s)
+        array(
+          array_min(transform(col("shs"), s => sub60(seeded(s), 1))),
+          array_min(transform(col("shs"), s => sub60(seeded(s), 16))))
+      })).as("mh"))
+    val fast = docs.select(col("doc_id"),
+      GraftFunctions.md5_minhash_sig(col("shs"), 16).as("mh"))
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("md5_simhash_sig equals the nested-aggregate composition") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val slow = docs
+      .select(col("doc_id"), transform(col("toks"), t => composed(t)).as("hs"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), 0L, (acc, b) ->
+               |  acc + if(aggregate(hs, 0L,
+               |           (s, x) -> s + (shiftright(x, b) & 1L) * 2L - 1L) > 0L,
+               |         shiftleft(1L, b), 0L))""".stripMargin).as("sim"))
+    val fast = docs.select(col("doc_id"),
+      GraftFunctions.md5_simhash_sig(col("toks")).as("sim"))
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("interpreted eval agrees with codegen; null/empty semantics") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // interpreted paths (direct eval, no codegen)
+    val s = Literal.create(UTF8String.fromString("abc"), StringType)
+    assert(Md5Low60(s).eval(null) == 648541476951500027L)
+    assert(Md5Low60(Literal.create(null, StringType)).eval(null) == null)
+    val arr = Literal.create(
+      new GenericArrayData(Array[Any](UTF8String.fromString("x"), null)),
+      ArrayType(StringType, containsNull = true))
+    val sig = Md5MinHashSig(arr, 4).eval(null).asInstanceOf[ArrayData]
+    assert(sig.numElements() == 4)
+    // nulls skipped: same as single-element array
+    val one = Literal.create(
+      new GenericArrayData(Array[Any](UTF8String.fromString("x"))),
+      ArrayType(StringType, containsNull = true))
+    assert(Md5MinHashSig(one, 4).eval(null).asInstanceOf[ArrayData].toLongArray()
+      .sameElements(sig.toLongArray()))
+    // empty minhash input -> all MaxValue; empty simhash -> 0
+    val empty = Literal.create(new GenericArrayData(Array.empty[Any]),
+      ArrayType(StringType, containsNull = true))
+    assert(Md5MinHashSig(empty, 4).eval(null).asInstanceOf[ArrayData]
+      .toLongArray().forall(_ == Long.MaxValue))
+    assert(Md5SimHashSig(empty).eval(null) == 0L)
+    // codegen path through a real plan (registered SQL function)
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT md5_low60('abc'), md5_minhash_sig(array('abc'), 2), md5_simhash_sig(array('abc'))")
+      .head()
+    assert(got.getLong(0) == 648541476951500027L)
+    assert(got.getAs[scala.collection.Seq[Long]](1).nonEmpty)
+  }
+}
