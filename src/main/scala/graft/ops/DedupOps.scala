@@ -814,35 +814,7 @@ object DedupOps {
              |  CAST(sum(CASE WHEN 10 * i >= 9 * (na + nb - i) THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_ge_09
              |FROM inter""".stripMargin),
-      (s, d) => {
-        val sets = shingleSets(docs(s, d)).filter(size(col("shs")) > 0)
-        // hashed posting keys — see dd06
-        val post = sets.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
-          .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
-        // Pair enumeration as a posting SELF-JOIN, not collect_set +
-        // expand: the sweep's semantics are inherently all-co-occurring-
-        // pairs (tiers go down to 0.3 — no prefix filter applies), so a
-        // hot shingle's pairs are unavoidable work, but the join STREAMS
-        // them through the pair aggregation with O(posting-list) memory
-        // per task, where a collect_set buffer would materialize the
-        // whole hot bucket (and its D²/2 expansion) inside one
-        // aggregation row — the single-task shape this repo bans. At
-        // 100 TB this sweep runs on a sample regardless; the join shape
-        // keeps even the full-corpus run memory-safe.
-        val pairs = post
-          .select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
-          .join(post.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), "sh")
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b", "na", "nb")
-          .agg(count(lit(1)).as("i"))
-        def tier(t: Int) =
-          sum(when(lit(10) * col("i") >= lit(t) * (col("na") + col("nb") - col("i")), 1L)
-            .otherwise(0L)).cast("long")
-        pairs.agg(count(lit(1)).cast("long").as("n_candidate_pairs"),
-          tier(3).as("n_ge_03"), tier(5).as("n_ge_05"),
-          tier(7).as("n_ge_07"), tier(9).as("n_ge_09"))
-      }),
+      (s, d) => thresholdSweep(docs(s, d))),
 
     QueryDef(
       "dd16_cdc_chunks",
@@ -1113,6 +1085,46 @@ object DedupOps {
       .filter(col("n_keys_common") >= least(lit(5), col("nka"), col("nkb")))
       .select("a", "b")
     verifyJaccard(cand, sets, threshold)
+  }
+
+  /** dd15's kernel on an arbitrary (doc_id, text) corpus: the
+    * threshold-tuning sweep — candidate pairs (any shared shingle) and
+    * how many survive each INTEGRAL Jaccard tier gate
+    * (10·i ⋛ t·(union size) — no float boundaries), as one audit row.
+    *
+    * Pair enumeration is a posting SELF-JOIN, not collect_set +
+    * expand: the sweep's semantics are inherently all-co-occurring-
+    * pairs (tiers go down to 0.3 — no prefix filter applies), so a
+    * hot shingle's pairs are unavoidable work, but the join STREAMS
+    * them through the pair aggregation with O(posting-list) memory
+    * per task, where a collect_set buffer would materialize the
+    * whole hot bucket (and its D²/2 expansion) inside one
+    * aggregation row — the single-task shape this repo bans. At
+    * 100 TB this sweep runs on a sample regardless (take a
+    * hash-stable doc sample — e.g. `pmod(xxhash64(doc_id), k) = 0`,
+    * SampleOps' discipline — BEFORE shingling; the tier ratios are
+    * what the sweep estimates and survive sampling, the absolute
+    * counts scale by ~1/k²); the join shape keeps even the
+    * full-corpus run memory-safe. ScaleStressSpec proves the kernel
+    * exact under a 10× corpus via a combinatorial closed form. */
+  def thresholdSweep(corpus: DataFrame): DataFrame = {
+    val sets = shingleSets(corpus).filter(size(col("shs")) > 0)
+    // hashed posting keys — see dd06
+    val post = sets.select(col("doc_id"),
+      size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("sh"))
+    val pairs = post
+      .select(col("doc_id").as("a"), col("n").as("na"), col("sh"))
+      .join(post.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("i"))
+    def tier(t: Int) =
+      sum(when(lit(10) * col("i") >= lit(t) * (col("na") + col("nb") - col("i")), 1L)
+        .otherwise(0L)).cast("long")
+    pairs.agg(count(lit(1)).cast("long").as("n_candidate_pairs"),
+      tier(3).as("n_ge_03"), tier(5).as("n_ge_05"),
+      tier(7).as("n_ge_07"), tier(9).as("n_ge_09"))
   }
 
   /** Native bottom-k inverted-index near-dup (the xxhash64

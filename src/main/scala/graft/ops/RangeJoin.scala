@@ -167,44 +167,59 @@ object RangeJoin {
              |  CAST(max(o_end - o_start) AS BIGINT) AS max_overlap_us,
              |  CAST(count(DISTINCT ua) AS BIGINT) AS n_users_with_overlap
              |FROM pairs""".stripMargin),
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val H = 3600000000L
-        val e = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("us"))
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        val sess = e
-          .withColumn("new_sess",
-            when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
-              .otherwise(0L))
-          .withColumn("sess", sum("new_sess")
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "sess")
-          .agg(min("us").as("s_us"), max("us").as("e_us"))
-        val binned = sess.select(col("user_id"), col("sess"),
-          col("s_us"), col("e_us"),
-          explode(sequence(expr(s"s_us DIV $H"), expr(s"e_us DIV $H")))
-            .as("bin"))
-        val a = binned.select(col("bin"), col("user_id").as("ua"),
-          col("sess").as("sa"), col("s_us").as("as_us"), col("e_us").as("ae_us"))
-        val b = binned.select(col("bin"), col("user_id").as("ub"),
-          col("sess").as("sb"), col("s_us").as("bs_us"), col("e_us").as("be_us"))
-        a.join(b, Seq("bin"))
-          .filter(col("ua") < col("ub") &&
-            col("as_us") <= col("be_us") && col("bs_us") <= col("ae_us"))
-          .select(col("ua"), col("sa"), col("ub"), col("sb"),
-            greatest(col("as_us"), col("bs_us")).as("o_start"),
-            least(col("ae_us"), col("be_us")).as("o_end"))
-          .distinct()
-          .agg(count(lit(1)).cast("long").as("n_overlaps"),
-            sum(col("o_end") - col("o_start")).cast("long")
-              .as("total_overlap_us"),
-            max(col("o_end") - col("o_start")).cast("long")
-              .as("max_overlap_us"),
-            countDistinct("ua").cast("long").as("n_users_with_overlap"))
-      })
+      (s, d) => sessionOverlapStats(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))))
   )
+
+  /** 30-min-gap sessionization of (user_id, event_id, us) rows:
+    * (user_id, sess, s_us, e_us). rj03's first stage, exposed for the
+    * ScaleStressSpec closed form (session count / duration totals). */
+  def sessionizeUs(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+  }
+
+  /** rj03's kernel on arbitrary (user_id, event_id, us) events:
+    * sessionize, explode sessions to covered 1-hour bins (overlapping
+    * intervals must share a bin, so the pair search is an equi-join on
+    * bin), run the exact overlap predicate inside bins only, collapse
+    * multi-bin pairs with distinct, and roll up the concurrency audit
+    * row. Cost is Σ bin-density², bounded by concurrency, not corpus
+    * size; ScaleStressSpec proves the kernel exact under a 10×
+    * user-shifted corpus via a combinatorial closed form. */
+  def sessionOverlapStats(e: DataFrame): DataFrame = {
+    val H = 3600000000L
+    val sess = sessionizeUs(e)
+    val binned = sess.select(col("user_id"), col("sess"),
+      col("s_us"), col("e_us"),
+      explode(sequence(expr(s"s_us DIV $H"), expr(s"e_us DIV $H")))
+        .as("bin"))
+    val a = binned.select(col("bin"), col("user_id").as("ua"),
+      col("sess").as("sa"), col("s_us").as("as_us"), col("e_us").as("ae_us"))
+    val b = binned.select(col("bin"), col("user_id").as("ub"),
+      col("sess").as("sb"), col("s_us").as("bs_us"), col("e_us").as("be_us"))
+    a.join(b, Seq("bin"))
+      .filter(col("ua") < col("ub") &&
+        col("as_us") <= col("be_us") && col("bs_us") <= col("ae_us"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        greatest(col("as_us"), col("bs_us")).as("o_start"),
+        least(col("ae_us"), col("be_us")).as("o_end"))
+      .distinct()
+      .agg(count(lit(1)).cast("long").as("n_overlaps"),
+        sum(col("o_end") - col("o_start")).cast("long")
+          .as("total_overlap_us"),
+        max(col("o_end") - col("o_start")).cast("long")
+          .as("max_overlap_us"),
+        countDistinct("ua").cast("long").as("n_users_with_overlap"))
+  }
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 }

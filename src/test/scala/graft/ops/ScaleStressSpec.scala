@@ -116,4 +116,97 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(p10 == 100L * p1 + 45L * eligible,
       s"p10=$p10 p1=$p1 eligible=$eligible")
   }
+
+  test("tx14 containment at 10x corpus: pair count matches its closed form exactly") {
+    // Containment is DIRECTIONAL and tied to id order (the kernel
+    // reports cont(a in b) only for a < b), so the closed form needs
+    // both direction counts: p1 = pairs where the smaller-id doc is
+    // contained (the 1x answer), q1 = pairs where the LARGER-id doc is
+    // contained — obtained by running the kernel with ids negated
+    // (order flips, texts unchanged). Across 10 id-shifted copies a
+    // base pair (a, b) appears as (a_i, b_j) for i <= j (55 orderings,
+    // qualifying iff p-direction) and as (b_j, a_i) for j < i (45,
+    // qualifying iff q-direction); identical-copy pairs (cont = 1.0)
+    // add C(10,2) = 45 per eligible doc:
+    //   pairs(10x) = 55·p1 + 45·q1 + 45·eligible
+    // A prefix filter losing recall on the 10x-hotter postings, or the
+    // size-ratio gate off by one, breaks the equality.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val p1 = TextOps.containmentPairs(base).count()
+    val q1 = TextOps.containmentPairs(
+      base.select((lit(10000000L) - col("doc_id")).as("doc_id"), col("text"))).count()
+    val eligible = base.filter(
+      size(graft.functions.GraftFunctions.word_shingles(col("text"), 3)) > 0).count()
+    val big = (0 until 10).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val p10 = TextOps.containmentPairs(big).count()
+    assert(p10 == 55L * p1 + 45L * q1 + 45L * eligible,
+      s"p10=$p10 p1=$p1 q1=$q1 eligible=$eligible")
+  }
+
+  test("dd15 threshold sweep at 10x corpus: every tier count matches its closed form") {
+    // The sweep's predicates are SYMMETRIC in the pair (shared-shingle
+    // candidacy and the integral tier gates depend only on i, na, nb),
+    // so each base candidate pair multiplies by the full 10² = 100
+    // copy combinations, and the C(10,2) = 45 identical-copy pairs per
+    // eligible doc are candidates in EVERY tier (J = 1):
+    //   c(10x) = 100·c(1x) + 45·eligible   for all five audit columns.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val r1 = DedupOps.thresholdSweep(base).head()
+    val eligible = base.filter(
+      size(graft.functions.GraftFunctions.word_shingles(col("text"), 3)) > 0).count()
+    val big = (0 until 10).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val r10 = DedupOps.thresholdSweep(big).head()
+    for (c <- Seq("n_candidate_pairs", "n_ge_03", "n_ge_05", "n_ge_07", "n_ge_09"))
+      assert(r10.getAs[Long](c) == 100L * r1.getAs[Long](c) + 45L * eligible,
+        s"$c: 10x=${r10.getAs[Long](c)} 1x=${r1.getAs[Long](c)} eligible=$eligible")
+  }
+
+  test("rj03 interval overlap at 10x users: all four audit columns closed-form exact") {
+    // 10 user-shifted copies of the event log. Sessions of ONE user
+    // never overlap each other (30-min-gap construction), but every
+    // session overlaps ITSELF across two copies of its user, so the
+    // same-user cross-copy contribution is exactly C(10,2) = 45 × the
+    // session count (and each such overlap spans the full session).
+    // Cross-user contributions multiply by the 100 copy combinations
+    // (the overlap predicate and the emitted row are symmetric in the
+    // pair; Σ density² scaling is what this stresses). A user-copy in
+    // copies 0..8 always has an `ua` row (its own later copy), one in
+    // the last copy only if the base user did:
+    //   n_overlaps(10x)        = 100·n1 + 45·S
+    //   total_overlap_us(10x)  = 100·t1 + 45·D
+    //   max_overlap_us(10x)    = max(m1, maxDur)
+    //   n_users_with_overlap   = 9·U + u1
+    // with S/D/maxDur the session count / total / max duration and U
+    // the user count of the base log.
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val sess = RangeJoin.sessionizeUs(e)
+      .agg(count(lit(1)).as("s"), sum(col("e_us") - col("s_us")).as("d"),
+        max(col("e_us") - col("s_us")).as("m"),
+        countDistinct("user_id").as("u")).head()
+    val (nSess, durSum, durMax, nUsers) =
+      (sess.getLong(0), sess.getLong(1), sess.getLong(2), sess.getLong(3))
+    val r1 = RangeJoin.sessionOverlapStats(e).head()
+    val big = (0 until 10).map(i =>
+        e.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_id"), col("us")))
+      .reduce(_ unionByName _)
+    val r10 = RangeJoin.sessionOverlapStats(big).head()
+    assert(r10.getAs[Long]("n_overlaps") ==
+      100L * r1.getAs[Long]("n_overlaps") + 45L * nSess)
+    assert(r10.getAs[Long]("total_overlap_us") ==
+      100L * Option(r1.getAs[java.lang.Long]("total_overlap_us")).map(_.toLong).getOrElse(0L) +
+        45L * durSum)
+    assert(r10.getAs[Long]("max_overlap_us") ==
+      math.max(Option(r1.getAs[java.lang.Long]("max_overlap_us")).map(_.toLong).getOrElse(0L),
+        durMax))
+    assert(r10.getAs[Long]("n_users_with_overlap") ==
+      9L * nUsers + r1.getAs[Long]("n_users_with_overlap"))
+  }
 }
