@@ -158,6 +158,13 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
+  /** `kmv_min_hashes(h, k)` aggregate: the KMV distinct-count synopsis
+    * — k smallest DISTINCT hash values as an ascending array<bigint>,
+    * mergeable in O(k). Deterministic and (over `md5_low60` hashes)
+    * engine-portable; estimator (k-1)·2^60 / h_(k), exact below k. */
+  def kmv_min_hashes(h: Column, k: Int): Column =
+    Bridge.column(KmvMinHashes(Bridge.expression(h), k).toAggregateExpression())
+
   /** `md5_low60(s)`: portable 60-bit md5 hash (= first 15 hex chars of
     * md5 as an integer) — reproducible in any engine with `md5`, the
     * hash family behind the oracle-exact dd02/dd03/dd04 pipelines. */
@@ -231,6 +238,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_min_hashes", exprs => KmvMinHashes(exprs(0),
+        intArg(exprs(1), "kmv_min_hashes")).toAggregateExpression(), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_low60", exprs => Md5Low60(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -63,8 +63,13 @@ class SketchQualitySpec extends AnyFunSuite {
         m("ev14_approx_quantiles").toString)
   }
 
-  test("q18 HLL++ distinct counts: within 1% relative error of exact") {
+  test("q18 approx distinct: KMV and HLL++ tiers both within 1% of exact") {
+    // registered q18 is the portable KMV synopsis (r7) — EXACT below
+    // its k=1024 cap, which every audit SF's per-group cardinality is
+    // under or near; the builtin HLL++ keeps its accuracy-param floor
     assert(m("q18_approx_distinct")("max_rel_err") <= 0.01,
       m("q18_approx_distinct").toString)
+    assert(m("q18_native_hll")("max_rel_err") <= 0.01,
+      m("q18_native_hll").toString)
   }
 }
