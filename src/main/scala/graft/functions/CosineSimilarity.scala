@@ -165,6 +165,14 @@ object GraftFunctions {
   def kmv_min_hashes(h: Column, k: Int): Column =
     Bridge.column(KmvMinHashes(Bridge.expression(h), k).toAggregateExpression())
 
+  /** `bottomk_sample(h, v, k)` aggregate: the values carried by the k
+    * lexicographically-smallest (hash, value) pairs, ascending — a
+    * deterministic, mergeable O(k) uniform sample (exact below k); the
+    * portable quantile-sketch synopsis. */
+  def bottomk_sample(h: Column, v: Column, k: Int): Column =
+    Bridge.column(
+      BottomKSample(Bridge.expression(h), Bridge.expression(v), k).toAggregateExpression())
+
   /** `md5_low60(s)`: portable 60-bit md5 hash (= first 15 hex chars of
     * md5 as an integer) — reproducible in any engine with `md5`, the
     * hash family behind the oracle-exact dd02/dd03/dd04 pipelines. */
@@ -238,6 +246,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_sample", exprs => BottomKSample(exprs(0), exprs(1),
+        intArg(exprs(2), "bottomk_sample")).toAggregateExpression(), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_min_hashes", exprs => KmvMinHashes(exprs(0),
         intArg(exprs(1), "kmv_min_hashes")).toAggregateExpression(), "scala_udf")

@@ -508,24 +508,66 @@ object EventOps {
 
     // Mergeable approx-quantile sketch (Greenwald-Khanna via
     // percentile_approx) — the single-pass, bounded-memory tier above
-    // q21/ev10's exact percentiles: at 100 TB the sketch merges across
-    // partitions in O(accuracy) space instead of buffering per-group
-    // values. Sketch internals aren't ANSI-expressible → rows-only;
-    // OpsSpec bounds its error against the exact percentiles.
+    // Approximate quantiles via the portable bottom-k-by-hash sample
+    // (graft.functions.BottomKSample): a deterministic, mergeable O(k)
+    // uniform sample per group — EXACT when the group holds < k rows
+    // (every audit-SF floor), rank error ~sqrt(q(1-q)/k) (~0.5% at the
+    // median for k = 10⁴) above it, and — unlike GK/t-digest summaries,
+    // whose merge-order-dependent internals no external engine can
+    // replay — re-derivable by any engine with md5 plus a rank window,
+    // so the sketch is oracle-checked bit-for-bit (r7; the builtin
+    // percentile_approx GK tier keeps its rank-error floor in
+    // SKETCH_QUALITY under ev14_native_gk). The interpolation is the
+    // standard pos = q·(n-1) order-statistic form, written identically
+    // in both engines; sf0.1's 20k-row groups exercise the SAMPLED
+    // tier under the bit-parity gate, not just the exact one.
     QueryDef(
       "ev14_approx_quantiles",
-      None,
-      (s, d) =>
+      Some("""WITH h AS (
+             |  SELECT event_type, value,
+             |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv, value) AS rn
+             |  FROM h),
+             |s AS (
+             |  SELECT event_type, list_sort(list(value)) AS vs
+             |  FROM r WHERE rn <= 10000 GROUP BY 1),
+             |p AS (
+             |  SELECT event_type, vs,
+             |    0.5 * (len(vs) - 1) AS q50, 0.95 * (len(vs) - 1) AS q95
+             |  FROM s)
+             |SELECT event_type,
+             |  round(CASE WHEN q50 = floor(q50) THEN vs[CAST(floor(q50) AS INT) + 1]
+             |        ELSE vs[CAST(floor(q50) AS INT) + 1] + (q50 - floor(q50))
+             |             * (vs[CAST(floor(q50) AS INT) + 2] - vs[CAST(floor(q50) AS INT) + 1]) END, 4)
+             |    + 0.0 AS p50_approx,
+             |  round(CASE WHEN q95 = floor(q95) THEN vs[CAST(floor(q95) AS INT) + 1]
+             |        ELSE vs[CAST(floor(q95) AS INT) + 1] + (q95 - floor(q95))
+             |             * (vs[CAST(floor(q95) AS INT) + 2] - vs[CAST(floor(q95) AS INT) + 1]) END, 4)
+             |    + 0.0 AS p95_approx
+             |FROM p""".stripMargin),
+      (s, d) => {
+        def interp(q: Double) = {
+          val n = size(col("vs"))
+          val pos = lit(q) * (n - 1).cast("double")
+          val lo = floor(pos).cast("int")
+          val base = element_at(col("vs"), lo + 1)
+          round(
+            when(pos === floor(pos), base)
+              .otherwise(base +
+                (pos - floor(pos)) * (element_at(col("vs"), lo + 2) - base)),
+            4) + lit(0.0)
+        }
         ev(s, d)
           .groupBy("event_type")
-          // accuracy 10⁴: rank error <= n/10⁴ keeps the p95 within 1%
-          // relative even on the sf0.001 tail (SketchQualitySpec's
-          // floor); sketch memory stays O(accuracy·log n) per group
-          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000))
-            .as("qs"))
+          .agg(graft.functions.GraftFunctions.bottomk_sample(
+            graft.functions.GraftFunctions.md5_low60(col("event_id").cast("string")),
+            col("value"), 10000).as("vs"))
           .select(col("event_type"),
-            element_at(col("qs"), 1).as("p50_approx"),
-            element_at(col("qs"), 2).as("p95_approx"))),
+            interp(0.5).as("p50_approx"), interp(0.95).as("p95_approx"))
+      }),
 
     QueryDef(
       "ev19_interpolate",

@@ -54,13 +54,14 @@ class SketchQualitySpec extends AnyFunSuite {
       s"registered point ${m("vs10_mutual_knn")("recall_vs_exact")} vs curve ${curve(1)}")
   }
 
-  test("ev14 GK quantiles: rank error within 1% (GK bound is 1/accuracy = 0.01%)") {
-    // rank error is the GK contract; value distance to the INTERPOLATED
-    // exact percentile includes irreducible order-statistic gaps and is
-    // recorded in the artifact informationally only
-    for (k <- Seq("p50", "p95"))
-      assert(m("ev14_approx_quantiles")(s"max_rank_err_$k") <= 0.01,
-        m("ev14_approx_quantiles").toString)
+  test("ev14 quantiles: sample and GK tiers both within 1% rank error") {
+    // rank error is the contract metric for both tiers; value distance
+    // to the INTERPOLATED exact percentile includes irreducible
+    // order-statistic gaps and is recorded informationally only. The
+    // registered bottom-k sample tier is EXACT below its k=10^4 cap
+    // (all audit-SF groups), so its rank error here is zero.
+    for (name <- Seq("ev14_approx_quantiles", "ev14_native_gk"); k <- Seq("p50", "p95"))
+      assert(m(name)(s"max_rank_err_$k") <= 0.01, m(name).toString)
   }
 
   test("q18 approx distinct: KMV and HLL++ tiers both within 1% of exact") {
