@@ -56,6 +56,24 @@ class BottomKSampleSpec extends AnyFunSuite {
     assert(math.abs(sampleMedian - n / 2.0) <= 0.025 * n, s"median=$sampleMedian")
   }
 
+  test("property: sample equals the reference (values of k smallest (h,v) pairs) on random data") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 25) {
+      val k = 1 + rnd.nextInt(12)
+      // deliberately includes duplicate hashes with distinct values —
+      // the lexicographic (h, v) order must arbitrate exactly like the
+      // oracle's ORDER BY hv, value rank window
+      val pairs = Seq.fill(rnd.nextInt(150))(
+        (rnd.nextInt(20).toLong, rnd.nextInt(9).toDouble))
+      val want = pairs.distinct.sorted.take(k).map(_._2).sorted
+      val got = (if (pairs.isEmpty) spark.emptyDataset[(Long, Double)].toDF("h", "v")
+                 else pairs.toDF("h", "v"))
+        .repartition(1 + rnd.nextInt(6))
+        .agg(bks(col("h"), col("v"), k)).head().getAs[scala.collection.Seq[Double]](0)
+      assert(got == want, s"trial=$trial k=$k")
+    }
+  }
+
   test("nulls skipped; SQL registration") {
     GraftFunctions.register(spark)
     val got = Seq[(java.lang.Long, java.lang.Double)]((1L, 5.0), (null, 1.0), (2L, null))

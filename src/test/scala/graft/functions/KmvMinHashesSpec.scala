@@ -61,6 +61,20 @@ class KmvMinHashesSpec extends AnyFunSuite {
       s"est=$est n=$n")
   }
 
+  test("property: synopsis equals the reference (k smallest distinct) on random multisets") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 25) {
+      val k = 1 + rnd.nextInt(12) + 1 // in (1, 14]
+      val vals = Seq.fill(rnd.nextInt(200))(rnd.nextInt(50).toLong)
+      val want = vals.distinct.sorted.take(k)
+      val got = (if (vals.isEmpty) spark.emptyDataset[Long].toDF("h")
+                 else vals.toDF("h"))
+        .repartition(1 + rnd.nextInt(6))
+        .agg(kmv(col("h"), k)).head().getAs[scala.collection.Seq[Long]](0)
+      assert(got == want, s"trial=$trial k=$k")
+    }
+  }
+
   test("nulls skipped; SQL registration") {
     GraftFunctions.register(spark)
     val got = Seq[(java.lang.Long, Int)]((1L, 0), (null, 0), (2L, 0)).toDF("h", "g")

@@ -77,6 +77,47 @@ class PortableMd5Spec extends AnyFunSuite {
     assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
   }
 
+  test("property: MinHash signature is a union-homomorphism (sig(A∪B) = min(sig(A), sig(B)))") {
+    // the algebraic fact LSH banding and any distributed merge rest
+    // on: per-seed minima over a union are the elementwise minima of
+    // the parts' signatures — randomized over 40 corpus splits
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    def sig(elems: Seq[String]): Seq[Long] = {
+      val lit = Literal.create(
+        new GenericArrayData(elems.map(UTF8String.fromString).toArray[Any]),
+        ArrayType(StringType, containsNull = false))
+      Md5MinHashSig(lit, 16).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    }
+    for (_ <- 1 to 40) {
+      val all = Seq.fill(2 + rnd.nextInt(30))(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+      val cut = rnd.nextInt(all.size)
+      val (a, b) = all.splitAt(cut)
+      val fused = sig(all)
+      val merged =
+        if (a.isEmpty) sig(b) else if (b.isEmpty) sig(a)
+        else sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      assert(fused == merged, s"a=$a b=$b")
+    }
+  }
+
+  test("property: md5_low60 matches the builtin composition on random unicode strings") {
+    val rnd = new scala.util.Random(23)
+    // whole code points only — a lone surrogate half would hit
+    // engine-specific invalid-UTF8 replacement, which is not the
+    // contract under test
+    val alphabet = Seq("a", "b", "c", " ", "α", "β", "世", "界", "🚀",
+      ",", ":", ";", "\t", "0", "1", "é")
+    val strs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+    val df = strs.toDF("s")
+      .filter(GraftFunctions.md5_low60(col("s")) =!= composed(col("s")))
+    assert(df.count() == 0)
+  }
+
   test("interpreted eval agrees with codegen; null/empty semantics") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
