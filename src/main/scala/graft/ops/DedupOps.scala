@@ -181,13 +181,16 @@ object DedupOps {
              |        CAST(concat('0x', substr(md5(concat(CAST(g AS VARCHAR), ':', s)), 16, 15)) AS BIGINT)))])) AS mh
              |  FROM sh),
              |bands AS (
-             |  SELECT doc_id, bd, array_to_string(list_slice(mh, 4*bd + 1, 4*bd + 4), ',') AS bk
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
              |  FROM sig, range(0, 16) t(bd)),
-             |bc AS (SELECT bd, bk FROM bands GROUP BY bd, bk HAVING count(*) BETWEEN 2 AND 100),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
              |cand AS (
              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM bands x JOIN bc USING (bd, bk)
-             |  JOIN bands y ON y.bd = x.bd AND y.bk = x.bk AND x.doc_id < y.doc_id),
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
              |v AS (
              |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
              |    len(sa.shs) AS na, len(sb.shs) AS nb
@@ -1044,9 +1047,15 @@ object DedupOps {
       else sets
     val sig = spread.select(col("doc_id"),
       graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), numHashes).as("mh"))
+    // Band key = the band's raw minima as a STRUCT of longs (the
+    // portable analog of the native path's xxhash64 band hash, which
+    // the oracle could not reproduce): 8·rowsPerBand-byte fixed-width
+    // shuffle keys instead of the ~80-char decimal concat string a
+    // first cut used — and the oracle groups on the same values as
+    // four plain columns.
     val bandCols = (0 until bands).map { b =>
-      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => element_at(col("mh"), i + 1).cast("string")): _*)
+      struct((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("mh"), i + 1)): _*)
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bk")
