@@ -29,6 +29,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(DedupOps.exactJaccardPairs(emptyDocs).count() == 0)
   }
 
+  test("portable near-dup pipelines (r7) on an empty corpus return zero pairs") {
+    assert(DedupOps.minHashNearDupsPortable(emptyDocs).count() == 0)
+    assert(DedupOps.simHashNearDupsPortable(emptyDocs).count() == 0)
+    assert(DedupOps.bottomKNearDupsPortable(emptyDocs).count() == 0)
+  }
+
+  test("thresholdSweep on an empty corpus returns its single audit row with zero candidates") {
+    val row = DedupOps.thresholdSweep(emptyDocs).head()
+    assert(row.getAs[Long]("n_candidate_pairs") == 0L)
+  }
+
   test("PrefixSum.byLongKey on zero rows returns zero rows") {
     val df = spark.range(0).toDF("k").withColumn("v", col("k"))
     assert(PrefixSum.byLongKey(df, "k", Nil, col("v"), "cum",
