@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(text, n) - all char n-grams, one code-point pass"),
+      (es: Seq[Expression]) => CharNgrams(es(0), intArg(es(1), "char_ngrams"))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(arr, k) - k-hash MinHash signature"),
       (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_sig"))))
@@ -66,6 +72,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_by_score(id, score, k) - mergeable top-k selection by (score DESC, id)"),
       (es: Seq[Expression]) =>
         TopKByScore(es(0), es(1), intArg(es(2), "topk_by_score")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A∩B| of two ascending array<bigint> (non-null elements)"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("md5_low60"),
+      info("md5_low60", "md5_low60(s) - portable 60-bit md5 hash (first 15 hex chars)"),
+      (es: Seq[Expression]) => Md5Low60(es(0))))
+    ext.injectFunction((FunctionIdentifier("md5_minhash_sig"),
+      info("md5_minhash_sig",
+        "md5_minhash_sig(arr, k) - classic per-seed MinHash over the portable md5 family"),
+      (es: Seq[Expression]) => Md5MinHashSig(es(0), intArg(es(1), "md5_minhash_sig"))))
+    ext.injectFunction((FunctionIdentifier("md5_simhash_sig"),
+      info("md5_simhash_sig", "md5_simhash_sig(tokens) - portable 60-bit SimHash"),
+      (es: Seq[Expression]) => Md5SimHashSig(es(0))))
+    ext.injectFunction((FunctionIdentifier("kmv_min_hashes"),
+      info("kmv_min_hashes",
+        "kmv_min_hashes(h, k) - KMV distinct synopsis: k smallest distinct hashes, ascending"),
+      (es: Seq[Expression]) =>
+        KmvMinHashes(es(0), intArg(es(1), "kmv_min_hashes")).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("bottomk_sample"),
+      info("bottomk_sample",
+        "bottomk_sample(h, v, k) - values of the k smallest (hash, value) pairs, ascending"),
+      (es: Seq[Expression]) =>
+        BottomKSample(es(0), es(1), intArg(es(2), "bottomk_sample")).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("pair_ids"),
       info("pair_ids", "pair_ids(array<long>) - generator: all i<j pairs as (a, b)"),
       (es: Seq[Expression]) => PairExpandIds(es(0))))

@@ -158,8 +158,7 @@ object SketchQuality {
     // what each extra probe buys on the adversarial near-uniform
     // corpus. IvfIndexSpec asserts the curve's shape (monotone, exact
     // at full probe).
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cents = graft.ops.VectorOps.seedCells(emb) // the registered vs10's cells
     val vs10Curve = ("vs10_nprobe_recall_curve", Seq(1, 2, 4, 8).map { np =>
       // bounded by the audit corpus' mutual-kNN edge set (<= 3 edges
       // per vector at the audit SFs) — QA tooling, see header note

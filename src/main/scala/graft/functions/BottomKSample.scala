@@ -100,7 +100,10 @@ case class BottomKSample(
   override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Long, Double)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.TreeSet.empty[(Long, Double)]
+    // PairOrd explicitly — the implicit tuple ordering happens to be
+    // TotalOrdering today, but a drift would change NaN/-0.0 handling
+    // for DESERIALIZED buffers only (r7 review)
+    val buf = mutable.TreeSet.empty[(Long, Double)](BottomKSample.PairOrd)
     var i = 0
     while (i < n) { buf += ((in.readLong(), in.readDouble())); i += 1 }
     buf

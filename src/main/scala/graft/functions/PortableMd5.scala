@@ -78,7 +78,8 @@ object PortableMd5 {
     * elements; empty / all-null input yields all-Long.MaxValue (the
     * [[MinHashSignature]] convention). Called from codegen. */
   def minHashSig(arr: ArrayData, numHashes: Int): Array[Long] = {
-    require(numHashes % 2 == 0, "numHashes must be even (two hashes per digest)")
+    // evenness is enforced at CONSTRUCTION by Md5MinHashSig (per-row
+    // validation in the hot loop would fail mid-query; r7 review)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = digests.get()
     val out = outBuf.get()
@@ -159,6 +160,8 @@ case class Md5MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(numHashes > 0 && numHashes <= 512, "numHashes must be in (0, 512]")
+  require(numHashes % 2 == 0,
+    "numHashes must be even (each md5 digest yields two 60-bit hashes)")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

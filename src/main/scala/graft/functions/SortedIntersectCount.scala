@@ -70,9 +70,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else if (xv > yv) j += 1
       else {
         cnt += 1
-        // count the VALUE once: skip equal runs on both sides
-        while (i < nx && x.getLong(i) == xv) i += 1
-        while (j < ny && y.getLong(j) == yv) j += 1
+        // count the VALUE once: skip equal runs on both sides — each
+        // slot null-checked BEFORE its getLong (an unchecked read of a
+        // null slot returns the raw 0 bytes, which could silently
+        // extend a 0-run past a null; r7 review)
+        while (i < nx && !x.isNullAt(i) && x.getLong(i) == xv) i += 1
+        while (j < ny && !y.isNullAt(j) && y.getLong(j) == yv) j += 1
       }
     }
     // tail sweep: the loop above exits once one side is exhausted;
@@ -114,8 +117,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         |  else if ($xv > $yv) { $j++; }
         |  else {
         |    $cnt++;
-        |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
-        |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
+        |    while ($i < $nx && !$a.isNullAt($i) && $a.getLong($i) == $xv) { $i++; }
+        |    while ($j < $ny && !$b.isNullAt($j) && $b.getLong($j) == $yv) { $j++; }
         |  }
         |}
         |while ($i < $nx) {

@@ -536,8 +536,12 @@ object EventOps {
              |  FROM r WHERE rn <= 10000 GROUP BY 1),
              |p AS (
              |  SELECT event_type, vs,
-             |    0.5 * (len(vs) - 1) AS q50, 0.95 * (len(vs) - 1) AS q95
+             |    0.5e0 * (len(vs) - 1) AS q50, 0.95e0 * (len(vs) - 1) AS q95
              |  FROM s)
+             |-- e0 literals force DOUBLE position arithmetic: a plain
+             |-- 0.95 is DECIMAL in DuckDB, whose exact fraction can
+             |-- differ from Spark's double product by ~1 ulp right at a
+             |-- round-4 boundary (r7 review)
              |SELECT event_type,
              |  round(CASE WHEN q50 = floor(q50) THEN vs[CAST(floor(q50) AS INT) + 1]
              |        ELSE vs[CAST(floor(q50) AS INT) + 1] + (q50 - floor(q50))

@@ -187,6 +187,17 @@ object VectorOps {
     * per vector (same left-to-right accumulation, sqrt, product,
     * divide as the fused native expression — scores stay bit-identical
     * to the DuckDB oracle). */
+  /** The deterministic 8-cell centroid seed (first 8 vectors by id as
+    * (cid, cv)) that the IVF-celled queries build their cells from —
+    * the ONE definition vs10's registered plan and SketchQuality's
+    * nprobe→recall curve must share, or the curve silently measures a
+    * different index than the query it annotates (r7 review). The
+    * count is mirrored by the literal `vec_id < 8` in the DuckDB
+    * oracles — change both together. */
+  def seedCells(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
   def mutualKnnCelled(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val ranked = rankCellsL2Exact(e, cents)
     val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
@@ -704,8 +715,7 @@ object VectorOps {
              |WHERE x.src < x.nb""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val cents = seedCells(e)
         mutualKnnCelled(e, cents, nprobe = 2)
       }),
 
@@ -771,8 +781,7 @@ object VectorOps {
              |FROM asg GROUP BY cid""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val cents = seedCells(e)
         assignClusters(e, cents)
           .groupBy("cid")
           .agg(count(lit(1)).as("n_vecs"),
@@ -884,8 +893,7 @@ object VectorOps {
              |QUALIFY rnk <= 3""".stripMargin),
       (s, d) => {
         val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val cents = seedCells(e)
         val asg = assignClusters(e, cents)
           .select(col("vec_id"), col("cid").as("cell"))
         val blocks = e.select(col("vec_id"), col("v"),

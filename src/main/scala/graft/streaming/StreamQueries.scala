@@ -114,8 +114,12 @@ object StreamQueries {
       // once the stream terminates
       java.nio.file.Files.deleteIfExists(dir.resolve(file.getFileName))
       java.nio.file.Files.deleteIfExists(dir)
-      java.nio.file.Files.walk(ck).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds open DirectoryStreams — close it or every
+      // stream run leaks descriptors (r7 review)
+      val walk = java.nio.file.Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     s.table(name)
   }

@@ -8,13 +8,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * themselves is covered by their own suites). */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private val expected = Seq("cosine_sim", "minhash_sig", "bottomk_by_hash",
-    "word_shingles", "simhash_sig", "oph_minhash_sig", "heavy_hitters",
+  // the FULL per-session surface — the extensions path must never
+  // drift from GraftFunctions.register (r7 review: the five portable
+  // kernels plus sorted_intersect_count/dot_product/char_ngrams were
+  // register-only, so a cluster configured with the extension could
+  // not resolve functions five registered queries depend on)
+  private val expected = Seq("cosine_sim", "dot_product", "minhash_sig",
+    "bottomk_by_hash", "word_shingles", "char_ngrams", "simhash_sig",
+    "oph_minhash_sig", "heavy_hitters", "topk_freq", "topk_by_score",
+    "sorted_intersect_count", "md5_low60", "md5_minhash_sig",
+    "md5_simhash_sig", "kmv_min_hashes", "bottomk_sample",
     "pair_ids", "pair_sized")
 
-  test("injectFunction wires all nine native expressions into a registry") {
+  test("injectFunction wires the full native-function surface into a registry") {
     val got = Bridge.extensionFunctionNames(new GraftExtensions, expected)
-    assert(got == expected)
+    assert(got == expected,
+      s"missing from GraftExtensions: ${expected.diff(got).mkString(", ")}")
   }
 
   test("extension-built expressions evaluate (cosine_sim via builder)") {

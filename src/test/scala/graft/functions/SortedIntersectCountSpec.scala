@@ -95,6 +95,16 @@ class SortedIntersectCountSpec extends AnyFunSuite {
       SortedIntersectCount(short, tailNull).eval(null)
     }
     assert(e.getMessage.contains("null array element"))
+    // null INSIDE an equal run (r7 review: the run-skip loops used to
+    // getLong unchecked slots, so a null after a matched 0 could be
+    // consumed as a raw-bytes 0 and extend the run silently)
+    val runNull = Literal.create(Seq[java.lang.Long](0L, null, 7L),
+      ArrayType(LongType, containsNull = true))
+    val other0 = Literal.create(Seq[java.lang.Long](0L, 7L),
+      ArrayType(LongType, containsNull = true))
+    assert(intercept[IllegalArgumentException] {
+      SortedIntersectCount(runNull, other0).eval(null)
+    }.getMessage.contains("null array element"))
     // and on EMPTY vs all-null input (loop body never runs at all)
     val empty = Literal.create(Seq.empty[java.lang.Long],
       ArrayType(LongType, containsNull = true))
