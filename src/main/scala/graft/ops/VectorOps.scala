@@ -248,6 +248,22 @@ object VectorOps {
       }
       .reduce((x, y) => x.bitwiseOR(y))
 
+  /** vs03's kernel on an arbitrary (vec_id, v) corpus: sign-LSH
+    * near-duplicate pairs — bucket by the 16-bit hyperplane signature,
+    * exact cosine only within buckets, keep pairs above `threshold`.
+    * Zero-norm vectors never pair (cosine is null by contract).
+    * ScaleStressSpec proves the kernel exact under a 10× id-shifted
+    * corpus via a combinatorial closed form. */
+  def signNearDups(vectors: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val u = vectors.withColumn("sig", signSignature(col("v")))
+    u.select(col("vec_id").as("a"), col("v").as("va"), col("sig"))
+      .join(u.select(col("vec_id").as("b"), col("v").as("vb"), col("sig")), "sig")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") > threshold)
+      .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+  }
+
   /** Join-based IVF probe: no driver collect — Spark's dynamic
     * partition pruning restricts the index scan to the probed cells at
     * runtime (verified: `dynamicpruningexpression` lands in the scan's
@@ -350,14 +366,8 @@ object VectorOps {
         // final filter and true near-dups (injected exact copies) always
         // share a signature.
         val e = emb(s, d)
-        val u = e.unionByName(e.withColumn("vec_id", col("vec_id") + lit(Shift)))
-          .withColumn("sig", signSignature(col("v")))
-        u.select(col("vec_id").as("a"), col("v").as("va"), col("sig"))
-          .join(u.select(col("vec_id").as("b"), col("v").as("vb"), col("sig")), "sig")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("c"))
-          .filter(col("c") > 0.99)
-          .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+        signNearDups(e.unionByName(
+          e.withColumn("vec_id", col("vec_id") + lit(Shift))))
       }),
 
     QueryDef(

@@ -167,6 +167,30 @@ class ScaleStressSpec extends AnyFunSuite {
         s"$c: 10x=${r10.getAs[Long](c)} 1x=${r1.getAs[Long](c)} eligible=$eligible")
   }
 
+  test("vs03 sign-LSH near-dup at 10x corpus: pair count matches its closed form exactly") {
+    // The vector-family instance of the pattern: signatures are a pure
+    // function of the vector, so 10 id-shifted copies replicate every
+    // bucket; the pair predicate (shared signature + cosine > 0.99) is
+    // symmetric, so each base pair appears for all 10² copy
+    // combinations, and the C(10,2) identical-copy pairs per
+    // NONZERO-norm vector (zero vectors yield null cosine and never
+    // pair) are all above any threshold < 1:
+    //   pairs(10x) = 100·p1 + 45·|nonzero vectors|
+    // A bucketing bug under 100x-hotter buckets or a cosine-null
+    // regression breaks the equality.
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p1 = VectorOps.signNearDups(base).count()
+    val nonzero = base.filter(
+      graft.functions.GraftFunctions.dot_product(col("v"), col("v")) > 0).count()
+    val big = (0 until 10).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
+      .reduce(_ unionByName _)
+    val p10 = VectorOps.signNearDups(big).count()
+    assert(p10 == 100L * p1 + 45L * nonzero,
+      s"p10=$p10 p1=$p1 nonzero=$nonzero")
+  }
+
   test("rj03 interval overlap at 10x users: all four audit columns closed-form exact") {
     // 10 user-shifted copies of the event log. Sessions of ONE user
     // never overlap each other (30-min-gap construction), but every
