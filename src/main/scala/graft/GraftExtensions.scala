@@ -81,7 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Md5Low60(es(0))))
     ext.injectFunction((FunctionIdentifier("md5_minhash_sig"),
       info("md5_minhash_sig",
-        "md5_minhash_sig(arr, k) - classic per-seed MinHash over the portable md5 family"),
+        "md5_minhash_sig(arr, k) - MinHash over the portable KM double-hashing md5 family"),
       (es: Seq[Expression]) => Md5MinHashSig(es(0), intArg(es(1), "md5_minhash_sig"))))
     ext.injectFunction((FunctionIdentifier("md5_simhash_sig"),
       info("md5_simhash_sig", "md5_simhash_sig(tokens) - portable 60-bit SimHash"),

@@ -179,8 +179,9 @@ object GraftFunctions {
   def md5_low60(c: Column): Column =
     Bridge.column(Md5Low60(Bridge.expression(c)))
 
-  /** `md5_minhash_sig(arr, k)`: classic per-seed MinHash signature
-    * (`h_i(s) = md5_low60("i:" ++ s)`, min per seed). */
+  /** `md5_minhash_sig(arr, k)`: MinHash signature over the portable
+    * KM double-hashing family (one digest per element;
+    * `h_i(s) = (h1 + i·h2) mod P`, min per i — [[PortableMd5]]). */
   def md5_minhash_sig(arr: Column, numHashes: Int): Column =
     Bridge.column(Md5MinHashSig(Bridge.expression(arr), numHashes))
 

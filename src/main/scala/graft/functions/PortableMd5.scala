@@ -16,19 +16,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * shifted right by one nibble — exactly what any engine with `md5`
   * derives: Spark `conv(substring(md5(x), 1, 15), 16, 10)`, DuckDB
   * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Non-negative,
-  * fits a BIGINT. The seeded MinHash family takes TWO independent
-  * 60-bit hashes per digest (hex chars 1–15 and 16–30 of
-  * `md5("g:" ++ s)`, `g` rendered in decimal), halving digest count.
+  * fits a BIGINT.
+  *
+  * The MinHash family is Kirsch–Mitzenmacher double hashing (the
+  * technique proven for Bloom filters in "Less Hashing, Same
+  * Performance", K&M 2006, and standard in MinHash/LSH practice):
+  * ONE digest per element, `m = md5("0:" ++ s)`, yields
+  * `h1` = hex chars 1–15 and `h2` = hex chars 16–30 of `m`, and the
+  * k-th hash is `h_k(s) = (h1 mod P + (k · (h2 mod P)) mod P) mod P`
+  * with [[PortableMd5.P]] the largest prime below 2^57. The prime
+  * bound is chosen for ENGINE portability, not convenience: with
+  * `k ≤ 63` every intermediate (`k·(h2 mod P) ≤ 63·(P−1) < 2^63`,
+  * sums `< 2^58`) stays inside exact BIGINT arithmetic, so DuckDB
+  * (which ERRORS on int64 overflow) and ANSI-mode Spark replay the
+  * family with plain `%` / `*` / `+` on positive operands — no
+  * 128-bit types, no wrapping semantics to reconcile. A first cut
+  * used 32 digests per element (two 60-bit hashes from each of 32
+  * seeded md5s); the KM family computes the same-quality signature
+  * from ONE digest — ~30× less hashing on the signature pass, which
+  * is the CPU-dominant stage of a corpus-scale MinHash run, and the
+  * measured dd02 precision/recall vs the exact tier is unchanged
+  * (SketchQualitySpec).
   *
   * Why native expressions instead of composing the builtins: Spark's
   * `md5` goes through commons-codec, which looks up a fresh
   * MessageDigest per CALL, then hex-encodes to a string that `conv`
-  * re-parses — measured ~1–2 µs per hash. The classic-MinHash
-  * signature needs 64 hashes per shingle, and the HOF formulation
+  * re-parses — measured ~1–2 µs per hash. The HOF formulation
   * additionally interprets its lambdas per element: the composed dd02
   * ran 16.7 s and the nested-aggregate dd03 68 s at sf0.1. These
   * kernels reuse a thread-local MessageDigest, digest the raw UTF-8
-  * bytes once per (seed, element), and run as tight primitive loops
+  * bytes once per element, and run as tight primitive loops
   * callable from whole-stage codegen — same values, ~50× cheaper.
   * Values are identical to the composed form by construction
   * (PortableMd5Spec pins bit-parity against the builtin composition).
@@ -39,11 +56,14 @@ object PortableMd5 {
     () => MessageDigest.getInstance("MD5"))
   private val outBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
 
-  /** Decimal "i:" prefixes for the seeded family, precomputed for the
-    * seed range any registered pipeline uses. */
-  private val MaxSeeds = 512
-  private val prefixes: Array[Array[Byte]] =
-    Array.tabulate(MaxSeeds)(i => s"$i:".getBytes("UTF-8"))
+  /** Largest prime below 2^57 — the modulus of the KM double-hashing
+    * family. See the object Scaladoc for why 57 bits: it is the
+    * largest range for which `63·(P−1)` still fits a signed 64-bit
+    * integer, keeping the oracle's replay in exact BIGINT ops. */
+  val P: Long = 144115188075855859L
+
+  /** UTF-8 bytes of the fixed digest prefix of the MinHash family. */
+  private val SigPrefix: Array[Byte] = "0:".getBytes("UTF-8")
 
   private def be64(out: Array[Byte], off: Int): Long =
     ((out(off) & 0xFFL) << 56) | ((out(off + 1) & 0xFFL) << 48) |
@@ -69,17 +89,17 @@ object PortableMd5 {
     hi60(out)
   }
 
-  /** Classic per-seed MinHash signature with TWO independent 60-bit
-    * hashes per digest: for seed pair g, `m = md5("g:" ++ s)` yields
-    * `h_{2g}(s)` = hex chars 1–15 of m and `h_{2g+1}(s)` = hex chars
-    * 16–30 — both plain `substr`-of-`md5` derivations any engine
-    * reproduces, at half the digest count of one-seed-per-hash. The
-    * signature is the per-seed minimum over the array's non-null
-    * elements; empty / all-null input yields all-Long.MaxValue (the
-    * [[MinHashSignature]] convention). Called from codegen. */
+  /** KM double-hashing MinHash signature: ONE digest per element,
+    * `m = md5("0:" ++ s)`, `h1` = hex chars 1–15 and `h2` = hex chars
+    * 16–30 of m, and hash k is `(h1 mod P + (k·(h2 mod P)) mod P)
+    * mod P` — every term a plain `substr`-of-`md5` / BIGINT-arithmetic
+    * derivation any engine reproduces (the `k·h2` term is accumulated
+    * additively here, which is exactly `(k·(h2 mod P)) mod P` without
+    * the multiply). The signature is the per-k minimum over the
+    * array's non-null elements; empty / all-null input yields
+    * all-Long.MaxValue (the [[MinHashSignature]] convention). Called
+    * from codegen. */
   def minHashSig(arr: ArrayData, numHashes: Int): Array[Long] = {
-    // evenness is enforced at CONSTRUCTION by Md5MinHashSig (per-row
-    // validation in the hot loop would fail mid-query; r7 review)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = digests.get()
     val out = outBuf.get()
@@ -88,16 +108,19 @@ object PortableMd5 {
     while (k < n) {
       if (!arr.isNullAt(k)) {
         val bytes = arr.getUTF8String(k).getBytes
+        md.reset()
+        md.update(SigPrefix)
+        md.update(bytes)
+        md.digest(out, 0, 16)
+        val h1 = hi60(out) % P
+        val h2 = mid60(out) % P
+        var t = 0L
         var g = 0
-        while (g < numHashes / 2) {
-          md.reset()
-          md.update(prefixes(g))
-          md.update(bytes)
-          md.digest(out, 0, 16)
-          val h1 = hi60(out)
-          val h2 = mid60(out)
-          if (h1 < mins(2 * g)) mins(2 * g) = h1
-          if (h2 < mins(2 * g + 1)) mins(2 * g + 1) = h2
+        while (g < numHashes) {
+          val h = (h1 + t) % P
+          if (h < mins(g)) mins(g) = h
+          t += h2
+          if (t >= P) t -= P
           g += 1
         }
       }
@@ -154,14 +177,15 @@ case class Md5Low60(child: Expression)
     copy(child = newChild)
 }
 
-/** `md5_minhash_sig(arr, k)`: classic per-seed MinHash signature over
-  * the portable seeded md5 family. */
+/** `md5_minhash_sig(arr, k)`: MinHash signature over the portable
+  * KM double-hashing md5 family. */
 case class Md5MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
-  require(numHashes > 0 && numHashes <= 512, "numHashes must be in (0, 512]")
-  require(numHashes % 2 == 0,
-    "numHashes must be even (each md5 digest yields two 60-bit hashes)")
+  // 64 is the replay bound, not a kernel limit: an external engine
+  // computes hash k via k·(h2 mod P), and 63·(P−1) is the largest
+  // such product that cannot overflow exact BIGINT arithmetic.
+  require(numHashes > 0 && numHashes <= 64, "numHashes must be in (0, 64]")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -38,23 +38,27 @@ class PortableMd5Spec extends AnyFunSuite {
     assert(edge.count() == 0)
   }
 
-  test("md5_minhash_sig equals the per-seed min over the composed hash") {
-    // two hashes per digest: h_{2g} = hex chars 1-15, h_{2g+1} = hex
-    // chars 16-30 of md5("g:" ++ s) — the exact substr-of-md5 forms
-    // the DuckDB oracle uses
+  test("md5_minhash_sig equals the composed KM double-hashing derivation") {
+    // ONE digest per element: h1 = hex chars 1-15, h2 = hex chars
+    // 16-30 of md5("0:" ++ s); hash k = (h1%P + (k*(h2%P))%P) % P —
+    // the exact substr-of-md5 + BIGINT-arithmetic forms the DuckDB
+    // oracle uses (every intermediate < 2^63, so ANSI Spark and
+    // overflow-erroring DuckDB agree)
     def sub60(c: org.apache.spark.sql.Column, pos: Int) =
       conv(substring(md5(encode(c, "UTF-8")), pos, 15), 16, 10).cast("long")
+    val P = lit(PortableMd5.P)
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
       .select(col("doc_id"), GraftFunctions.word_shingles(col("text"), 3).as("shs"))
       .filter(size(col("shs")) > 0)
-    val slow = docs.select(col("doc_id"),
-      flatten(transform(sequence(lit(0), lit(7)), g => {
-        val seeded = (s: org.apache.spark.sql.Column) =>
-          concat(g.cast("string"), lit(":"), s)
-        array(
-          array_min(transform(col("shs"), s => sub60(seeded(s), 1))),
-          array_min(transform(col("shs"), s => sub60(seeded(s), 16))))
-      })).as("mh"))
+    val slow = docs
+      .select(col("doc_id"), transform(col("shs"), s => {
+        val seeded = concat(lit("0:"), s)
+        struct((sub60(seeded, 1) % P).as("h1"), (sub60(seeded, 16) % P).as("h2"))
+      }).as("hp"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(15)), g =>
+          array_min(transform(col("hp"), t =>
+            (t("h1") + (g.cast("long") * t("h2")) % P) % P))).as("mh"))
     val fast = docs.select(col("doc_id"),
       GraftFunctions.md5_minhash_sig(col("shs"), 16).as("mh"))
     assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
@@ -79,7 +83,7 @@ class PortableMd5Spec extends AnyFunSuite {
 
   test("property: MinHash signature is a union-homomorphism (sig(A∪B) = min(sig(A), sig(B)))") {
     // the algebraic fact LSH banding and any distributed merge rest
-    // on: per-seed minima over a union are the elementwise minima of
+    // on: per-hash minima over a union are the elementwise minima of
     // the parts' signatures — randomized over 40 corpus splits
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
