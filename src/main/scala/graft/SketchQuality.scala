@@ -197,7 +197,7 @@ object SketchQuality {
     def f(v: Double): String = if (v == v.floor && v.abs < 1e15) v.toLong.toString
       else f"$v%.6f"
     val notes =
-      "All 228 registered queries are oracle-exact since r7; the *_native_* rows " +
+      "All registered queries are oracle-exact since r7; the *_native_* rows " +
         "carry the accuracy floors for the engine-internal production tiers. " +
         "ev14 (registered) is the portable bottom-k-by-hash sample quantile: " +
         "EXACT below its k=10^4 cap (every audit SF's groups; rank error 0 here), " +

@@ -882,7 +882,78 @@ object DedupOps {
             count(lit(1)).cast("long").as("n_distinct_chunks"),
             sum(col("df") - 1).cast("long").as("n_dup_instances"),
             sum((col("df") - 1) * col("len")).cast("long").as("chars_saved"),
-            sum(col("df") * col("len")).cast("long").as("total_chunk_chars")))
+            sum(col("df") * col("len")).cast("long").as("total_chunk_chars"))),
+
+    QueryDef(
+      "dd17_incremental_lsh",
+      // Incremental NEAR-dedup — the daily-ingest counterpart of dd02,
+      // extending dd08's incremental-exact contract to the sketch
+      // tier: the lake's LSH band keys are materialized ONCE as a
+      // bucketed posting-list index ([[writePortableLshIndex]]); each arriving
+      // batch derives its own band keys (batch-sized signature pass)
+      // and probes the index for every pair it introduces — against
+      // the lake and within itself. The combined per-bucket cap makes
+      // the result EXACTLY the one-shot dd02 kernel over lake ∪ batch
+      // restricted to batch-involving pairs (IncrementalLshSpec pins
+      // the set identity; this oracle replays that definition, so the
+      // incremental path is held to the full-recompute's answer).
+      // Scale: probe cost is O(batch signatures + touched buckets) —
+      // the lake is read only through the index (150 B/doc vs KB of
+      // text) and the candidates' verify lookups; the bucketed layout
+      // means the index side never exchanges, whatever the batch size.
+      // Here the batch is every 10th document arriving as a new id —
+      // each an exact copy of a lake doc, so every batch doc must find
+      // its source (plus any natural near-dups that cross the split).
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val lake = docs(s, d).select("doc_id", "text")
+        val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_idx_").toString
+        writePortableLshIndex(lake, "dd17_lsh_index", s"$tmp/index")
+        lshIndexProbe(batch, s.table("dd17_lsh_index"),
+          shingleSets(lake.unionByName(batch)))
+      })
   )
 
   /** Content-defined chunking (dd16's kernel, exposed for reuse and
@@ -1014,26 +1085,18 @@ object DedupOps {
       .select("corpus_id", "batch_id").distinct()
   }
 
-  /** Classic MinHash+LSH near-dup pairs with the PORTABLE md5-derived
-    * hash family ([[portableHash60]]): 64 independent 60-bit hashes —
-    * two per seeded digest, `h_{2g}(s)` / `h_{2g+1}(s)` = hex chars
-    * 1–15 / 16–30 of `md5("g:" ++ s)` — per-doc minima, 16 bands × 4
-    * rows, in-bucket pair generation, exact-Jaccard verify. Same pipeline
-    * shape as [[minHashNearDups]] (the xxhash64/OPH production path)
-    * but every intermediate value is reproducible in ANY engine with
-    * md5 — the DuckDB oracle re-derives signatures, band keys,
-    * candidate sets and verified pairs bit-for-bit (r6 verdict task 1).
-    *
-    * Scale shape: signatures are per-ROW — one
-    * [[graft.functions.Md5MinHashSig]] call over the shingle array
-    * (no explode, no signature shuffle); band keys are a map-only
-    * projection, and the bucket stage is the same groupBy + in-bucket
-    * `pair_ids` as the native path (no posting self-join). Buckets
-    * >100 docs are degenerate collisions and are skipped — a
-    * documented recall knob, not a correctness one (the oracle
-    * applies the same cap). */
-  def minHashNearDupsPortable(corpus: DataFrame, bands: Int = 16,
-      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+  /** Per-doc LSH band keys over the PORTABLE KM double-hashing
+    * MinHash family: one row per (doc, band), `bk` = the band's
+    * `rowsPerBand` raw signature minima as a struct of longs (fields
+    * `k1..kN` — the portable analog of the native path's xxhash64
+    * band hash, which the oracle could not reproduce; fixed-width
+    * 8·rowsPerBand-byte shuffle keys instead of the ~80-char decimal
+    * concat string a first cut used, and the oracle groups on the
+    * same values as plain columns). Shared by the one-shot
+    * [[minHashNearDupsPortable]] and the [[lshBandIndex]] /
+    * [[lshIndexProbe]] incremental pair. */
+  private def portableBandKeys(corpus: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sets = shingleSets(corpus).filter(size(col("shs")) > 0)
     // The signature stage is the CPU-dominant pass (one md5 digest +
@@ -1053,18 +1116,35 @@ object DedupOps {
       else sets
     val sig = spread.select(col("doc_id"),
       graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), numHashes).as("mh"))
-    // Band key = the band's raw minima as a STRUCT of longs (the
-    // portable analog of the native path's xxhash64 band hash, which
-    // the oracle could not reproduce): 8·rowsPerBand-byte fixed-width
-    // shuffle keys instead of the ~80-char decimal concat string a
-    // first cut used — and the oracle groups on the same values as
-    // four plain columns.
     val bandCols = (0 until bands).map { b =>
-      struct((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => element_at(col("mh"), i + 1)): _*)
+      struct((0 until rowsPerBand)
+        .map(r => element_at(col("mh"), b * rowsPerBand + r + 1).as(s"k${r + 1}")): _*)
     }
-    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bk")
+  }
+
+  /** Classic MinHash+LSH near-dup pairs with the PORTABLE md5-derived
+    * hash family: 64 KM double-hashing 57-bit hashes (one digest per
+    * shingle — [[graft.functions.PortableMd5]]), per-doc minima, 16
+    * bands × 4 rows, in-bucket pair generation, exact-Jaccard verify.
+    * Same pipeline shape as [[minHashNearDups]] (the xxhash64/OPH
+    * production path) but every intermediate value is reproducible in
+    * ANY engine with md5 — the DuckDB oracle re-derives signatures,
+    * band keys, candidate sets and verified pairs bit-for-bit (r6
+    * verdict task 1).
+    *
+    * Scale shape: signatures are per-ROW — one
+    * [[graft.functions.Md5MinHashSig]] call over the shingle array
+    * (no explode, no signature shuffle); band keys are a map-only
+    * projection, and the bucket stage is the same groupBy + in-bucket
+    * `pair_ids` as the native path (no posting self-join). Buckets
+    * >100 docs are degenerate collisions and are skipped — a
+    * documented recall knob, not a correctness one (the oracle
+    * applies the same cap). */
+  def minHashNearDupsPortable(corpus: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val banded = portableBandKeys(corpus, bands, rowsPerBand)
     val buckets = banded.groupBy("band", "bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 100))
@@ -1072,6 +1152,87 @@ object DedupOps {
       .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
       .distinct()
     verifyJaccard(cand, shingleSets(corpus), threshold)
+  }
+
+  /** The LSH band-key index of a corpus in POSTING-LIST form: one row
+    * per (band, k1..k4) key with the sorted doc-id posting list and
+    * its size — the persistent artifact that turns near-dedup from a
+    * lake-cost into a batch-cost job (the near-dup analog of dd08's
+    * fingerprint index). Keys are [[portableBandKeys]] minima
+    * flattened to plain long columns so the table can be BUCKETED on
+    * them. */
+  def lshBandIndex(lake: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    portableBandKeys(lake, bands, rowsPerBand)
+      .groupBy("band", "bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(Seq(col("band")) ++
+        (1 to rowsPerBand).map(r => col(s"bk.k$r").as(s"k$r")) ++
+        Seq(col("ids"), size(col("ids")).cast("long").as("sz")): _*)
+
+  /** Materialize [[lshBandIndex]] bucketed + sorted on the band key.
+    * The layout is why the index NEVER shuffles on a probe: a small
+    * batch broadcasts against it, and a large batch sort-merge-joins
+    * with only the batch side exchanging (the bucketed scan already
+    * satisfies the join's clustering — IncrementalLshSpec pins the
+    * zero-index-Exchange plan). Rebuild cadence is the same as any
+    * LSH index: append-heavy lakes re-bucket when bucket skew drifts.
+    *
+    * Relation to the native [[writeLshIndex]]/[[probeLshIndex]] pair:
+    * that one is the cheapest candidate SCREEN (xxhash band hashes,
+    * (band, bg)-pruned directory layout, candidates only); this one is
+    * the full incremental dd02 — portable hashes, per-bucket posting
+    * lists with the combined cap, and the exact-Jaccard verify — whose
+    * end result the DuckDB oracle replays. */
+  def writePortableLshIndex(lake: DataFrame, table: String, path: String,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit =
+    lshBandIndex(lake, bands, rowsPerBand)
+      .write
+      .bucketBy(8, "band", (1 to rowsPerBand).map(r => s"k$r"): _*)
+      .sortBy("band", (1 to rowsPerBand).map(r => s"k$r"): _*)
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** Incremental near-dedup: find every near-dup pair the `batch`
+    * introduces against an indexed lake — and within itself — WITHOUT
+    * re-running LSH over the lake. Batch docs derive their band keys
+    * (batch-sized signature pass), group to per-bucket id lists, and
+    * LEFT-join the posting-list index: only buckets the batch touches
+    * matter, lake-only buckets never produce a row. The combined
+    * bucket `sz + |bids|` is capped exactly like the one-shot path,
+    * so the result is EXACTLY
+    * `minHashNearDupsPortable(lake ∪ batch)` restricted to pairs that
+    * involve a batch doc (IncrementalLshSpec asserts the set identity;
+    * the dd17 oracle replays it in SQL). Pair generation keeps only
+    * pairs with a batch member; the exact-Jaccard verify then reads
+    * shingle sets of candidate docs only — at lake scale that lookup
+    * rides a runtime bloom filter on the candidates' ids rather than
+    * a full lake text scan.
+    *
+    * Contract: batch doc_ids must be disjoint from lake doc_ids (new
+    * arrivals), mirroring dd08's incremental contract. */
+  def lshIndexProbe(batch: DataFrame, index: DataFrame, sets: DataFrame,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 100): DataFrame = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    val bb = portableBandKeys(batch, bands, rowsPerBand)
+      .groupBy("band", "bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("bids"))
+      .select(Seq(col("band")) ++
+        (1 to rowsPerBand).map(r => col(s"bk.k$r").as(s"k$r")) ++
+        Seq(col("bids")): _*)
+    val merged = bb.join(index, keyCols, "left")
+      .select(
+        sort_array(concat(coalesce(col("ids"),
+          array().cast("array<long>")), col("bids"))).as("all_ids"),
+        col("bids"),
+        (coalesce(col("sz"), lit(0L)) + size(col("bids"))).as("csz"))
+      .filter(col("csz").between(2, maxBucket))
+    val cand = merged
+      .select(col("bids"), graft.functions.GraftFunctions.pair_ids(col("all_ids")))
+      .filter(array_contains(col("bids"), col("a")) ||
+        array_contains(col("bids"), col("b")))
+      .select("a", "b").distinct()
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** dd04's bottom-k inverted-index near-dup with the PORTABLE hash
