@@ -52,7 +52,7 @@ object DedupOps {
 
   /** (doc_id, shingles array) — compact per-doc set, used for exact
     * verification without re-exploding per candidate pair. */
-  private def shingleSets(u: DataFrame): DataFrame =
+  def shingleSets(u: DataFrame): DataFrame =
     u.select(col("doc_id"), shingles(col("text")).as("shs"))
 
   /** PORTABLE 60-bit hash: the low 60 bits (first 15 hex chars) of
@@ -952,7 +952,7 @@ object DedupOps {
         val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_idx_").toString
         writePortableLshIndex(lake, "dd17_lsh_index", s"$tmp/index")
         lshIndexProbe(batch, s.table("dd17_lsh_index"),
-          shingleSets(lake.unionByName(batch)))
+          lake.unionByName(batch))
       })
   )
 
@@ -1186,11 +1186,37 @@ object DedupOps {
     * end result the DuckDB oracle replays. */
   def writePortableLshIndex(lake: DataFrame, table: String, path: String,
       bands: Int = 16, rowsPerBand: Int = 4): Unit =
-    lshBandIndex(lake, bands, rowsPerBand)
-      .write
+    writeBucketedIndex(lshBandIndex(lake, bands, rowsPerBand), table, path,
+      rowsPerBand)
+
+  private def writeBucketedIndex(index: DataFrame, table: String,
+      path: String, rowsPerBand: Int): Unit =
+    index.write
       .bucketBy(8, "band", (1 to rowsPerBand).map(r => s"k$r"): _*)
       .sortBy("band", (1 to rowsPerBand).map(r => s"k$r"): _*)
       .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** Compact an ingest's append-only shard store
+    * ([[graft.streaming.DedupStream]] writes one shard per
+    * micro-batch) back into the bucketed [[writePortableLshIndex]]
+    * layout, restoring the zero-Exchange probe plan. Because every
+    * shard's ids are disjoint (each doc indexed exactly once),
+    * consolidation is a pure regrouping — sort-flatten rebuilds each
+    * key's posting list exactly, so compaction can never change a
+    * probe's answer (ShardedProbeSpec pins the equivalence). This is
+    * the index's analog of the merge service's file compaction:
+    * run it when shard count makes probe-side listing/joining
+    * noticeable, at O(index) cost amortized over the batches since
+    * the last compaction. */
+  def compactLshIndex(spark: SparkSession, indexDir: String, table: String,
+      path: String, rowsPerBand: Int = 4): Unit = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    val consolidated = spark.read.parquet(indexDir)
+      .groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(sort_array(flatten(collect_list(col("ids")))).as("ids"),
+        sum(col("sz")).as("sz"))
+    writeBucketedIndex(consolidated, table, path, rowsPerBand)
+  }
 
   /** Incremental near-dedup: find every near-dup pair the `batch`
     * introduces against an indexed lake — and within itself — WITHOUT
@@ -1203,14 +1229,15 @@ object DedupOps {
     * `minHashNearDupsPortable(lake ∪ batch)` restricted to pairs that
     * involve a batch doc (IncrementalLshSpec asserts the set identity;
     * the dd17 oracle replays it in SQL). Pair generation keeps only
-    * pairs with a batch member; the exact-Jaccard verify then reads
-    * shingle sets of candidate docs only — at lake scale that lookup
-    * rides a runtime bloom filter on the candidates' ids rather than
-    * a full lake text scan.
+    * pairs with a batch member; the exact-Jaccard verify then shingles
+    * CANDIDATE docs only — `texts` (the doc_id+text store; at lake
+    * scale, the lake's text table) is semi-join-pruned to candidate
+    * ids BEFORE the shingle pass, so per-probe verify CPU is
+    * O(candidates), never O(store).
     *
     * Contract: batch doc_ids must be disjoint from lake doc_ids (new
     * arrivals), mirroring dd08's incremental contract. */
-  def lshIndexProbe(batch: DataFrame, index: DataFrame, sets: DataFrame,
+  def lshIndexProbe(batch: DataFrame, index: DataFrame, texts: DataFrame,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxBucket: Int = 100): DataFrame = {
     val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
@@ -1226,13 +1253,81 @@ object DedupOps {
           array().cast("array<long>")), col("bids"))).as("all_ids"),
         col("bids"),
         (coalesce(col("sz"), lit(0L)) + size(col("bids"))).as("csz"))
-      .filter(col("csz").between(2, maxBucket))
+    probePairs(merged, texts, threshold, maxBucket)
+  }
+
+  /** Shared tail of the index probes: cap on the COMBINED bucket size,
+    * in-bucket pair generation restricted to batch-involving pairs,
+    * exact-Jaccard verify over candidate docs only. `merged` cols:
+    * (all_ids: sorted ids of the whole combined bucket, bids: the
+    * batch's ids in it, csz: combined size); `texts` = the doc_id+text
+    * store the verify stage reads. */
+  private def probePairs(merged: DataFrame, texts: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
     val cand = merged
+      .filter(col("csz").between(2, maxBucket))
       .select(col("bids"), graft.functions.GraftFunctions.pair_ids(col("all_ids")))
       .filter(array_contains(col("bids"), col("a")) ||
         array_contains(col("bids"), col("b")))
       .select("a", "b").distinct()
+    // Shingle CANDIDATE docs only: prune the text store to candidate
+    // ids BEFORE the shingle pass, keeping per-probe verify CPU
+    // O(candidates), never O(store) — the probe's whole point. (A
+    // semi-join ABOVE an already-shingled relation would not help:
+    // the projection below the join still shingles every store row.)
+    // cand appears in two subtrees; its shuffles are ReusedExchange.
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val sets = shingleSets(texts.join(candIds, Seq("doc_id"), "left_semi"))
     verifyJaccard(cand, sets, threshold)
+  }
+
+  /** [[lshIndexProbe]] against a SHARDED posting index: the append-only
+    * form a continuous ingest maintains ([[graft.streaming.DedupStream]]
+    * writes one shard per micro-batch), where a band key may hold one
+    * posting-list ROW PER SHARD instead of one consolidated list.
+    * Consolidation happens AFTER the key join, so it touches only the
+    * buckets the batch probes — per-probe cost stays
+    * O(batch + touched postings), never O(index) — and since every
+    * shard holds ids disjoint from every other (the new-arrivals
+    * contract: a doc is indexed exactly once), flattening the matched
+    * lists rebuilds exactly the consolidated posting list.
+    * ShardedProbeSpec pins identity with [[lshIndexProbe]] over the
+    * consolidated index; periodic compaction back to the bucketed
+    * [[writePortableLshIndex]] layout restores the zero-Exchange probe
+    * plan without changing any answer. */
+  def lshShardedProbe(batch: DataFrame, shards: DataFrame, texts: DataFrame,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshShardedProbeKeys(lshBandIndex(batch, bands, rowsPerBand), shards, texts,
+      rowsPerBand, threshold, maxBucket)
+
+  /** [[lshShardedProbe]] from PRECOMPUTED batch postings (`batchKeys`
+    * in [[lshBandIndex]] layout) — the entry point for an ingest that
+    * has already written the batch's shard and probes off it, so the
+    * signature pass (the CPU-dominant stage) runs exactly once per
+    * batch ([[graft.streaming.DedupStream]] reads the shard it just
+    * committed back as 8-byte key columns instead of re-hashing the
+    * text). */
+  def lshShardedProbeKeys(batchKeys: DataFrame, shards: DataFrame,
+      texts: DataFrame, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    val bb = batchKeys.select(
+      keyCols.map(col) :+ col("ids").as("bids"): _*)
+    val merged = bb.join(shards, keyCols, "left")
+      // consolidate the touched keys only: collect_list skips the
+      // left-join nulls of untouched-index keys, so an unmatched
+      // bucket reduces to the batch's own ids
+      .groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(first(col("bids")).as("bids"),
+        flatten(collect_list(col("ids"))).as("lake_ids"),
+        sum(coalesce(col("sz"), lit(0L))).as("lsz"))
+      .select(
+        sort_array(concat(col("lake_ids"), col("bids"))).as("all_ids"),
+        col("bids"),
+        (col("lsz") + size(col("bids"))).as("csz"))
+    probePairs(merged, texts, threshold, maxBucket)
   }
 
   /** dd04's bottom-k inverted-index near-dup with the PORTABLE hash

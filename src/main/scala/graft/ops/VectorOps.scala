@@ -1381,6 +1381,58 @@ object VectorOps {
           .filter(col("rnk") <= 10)
           .select(col("probe_id"), col("neighbor_id"), col("rnk"),
             round(col("c"), 4).as("cos"))
+      }),
+
+    QueryDef(
+      "vs23_ivf_append",
+      // Incremental index MAINTENANCE under the oracle gate: build the
+      // on-disk IVF layout from 90% of the corpus (writeIvfIndex —
+      // vectors physically partitioned by cell), append the remaining
+      // 10% as an arriving batch (appendIvfIndex — assigned against
+      // the SAME frozen codebook, written into its cells, untouched
+      // cells' files physically untouched per IvfIndexSpec), then
+      // answer vs02's probes from the index. The oracle is vs02's SQL
+      // verbatim: a one-shot assignment of the WHOLE corpus — so the
+      // gate proves build + append + partition-pruned probe converge
+      // to exactly the single-pass answer, the invariant that lets a
+      // 100 TB vector lake take daily appends (batch-sized cost) and
+      // only rebuild when vs12's balance audit says the codebook
+      // drifted. Completes the incremental family: dd08 (exact
+      // fingerprints), dd17/st12 (LSH postings), vs23 (IVF cells).
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
+             |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_append_").resolve("idx").toString
+        writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0), centroids, path)
+        appendIvfIndex(e.filter(col("vec_id") % 10 === 0), centroids, path)
+        val probes = assignClusters(
+          e.filter(col("vec_id").between(100, 104)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        probeIvfIndex(s, path, probes, k = 3)
       })
   )
 }

@@ -35,8 +35,7 @@ class IncrementalLshSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ilsh_").toString
     DedupOps.writePortableLshIndex(lake, "ilsh_spec_index", s"$tmp/index")
     val probed = DedupOps.lshIndexProbe(batch, spark.table("ilsh_spec_index"),
-      lake.unionByName(batch)
-        .select(col("doc_id"), graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs")))
+      lake.unionByName(batch))
     // batch ids are all > lake ids, so "involves a batch doc" is
     // exactly "the greater id is a batch id"
     val oneShot = DedupOps.minHashNearDupsPortable(lake.unionByName(batch))
@@ -59,8 +58,7 @@ class IncrementalLshSpec extends AnyFunSuite {
     val plan =
       try {
         val probed = DedupOps.lshIndexProbe(batch, spark.table("ilsh_plan_index"),
-          lake.unionByName(batch)
-            .select(col("doc_id"), graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs")))
+          lake.unionByName(batch))
         probed.queryExecution.executedPlan
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // typed walk: the SMJ child whose subtree scans the bucketed index
@@ -99,7 +97,7 @@ class IncrementalLshSpec extends AnyFunSuite {
     DedupOps.writePortableLshIndex(lake, "ilsh_empty_index", s"$tmp/index")
     val none = batch.filter(col("doc_id") < 0)
     val probed = DedupOps.lshIndexProbe(none, spark.table("ilsh_empty_index"),
-      lake.select(col("doc_id"), graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs")))
+      lake)
     assert(probed.count() == 0)
   }
 }
