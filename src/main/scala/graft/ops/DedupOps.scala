@@ -953,6 +953,82 @@ object DedupOps {
         writePortableLshIndex(lake, "dd17_lsh_index", s"$tmp/index")
         lshIndexProbe(batch, s.table("dd17_lsh_index"),
           lake.unionByName(batch))
+      }),
+
+    QueryDef(
+      "dd18_band_blocklist",
+      // dd17's indexed probe under a HOT-BUCKET BLOCKLIST — the
+      // production knob for degenerate buckets (boilerplate shingle
+      // sets) in a continuous ingest. [[hotBandKeys]] derives the
+      // blocked keys from the LAKE index's posting sizes (> 2 here — a
+      // real block set on this corpus), a deterministic function of
+      // the corpus rather than of arrival order: unlike a combined-
+      // size cap, the same keys are blocked wherever the micro-batch
+      // boundaries fall, so DedupStream's slicing invariance survives
+      // (BlocklistSpec). A blocked key generates no candidates, but a
+      // pair it would have surfaced can still arrive through its 15
+      // other bands — LSH's redundancy is the point, and the oracle
+      // replays exactly that semantics: lake band keys with posting
+      // count > 2 are excluded from candidate generation, everything
+      // else is dd17 verbatim.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |blocked AS (
+             |  SELECT bd, k1, k2, k3, k4 FROM bands WHERE doc_id < 100000
+             |  GROUP BY bd, k1, k2, k3, k4 HAVING count(*) > 2),
+             |bc AS (
+             |  SELECT bd, k1, k2, k3, k4 FROM bands
+             |  GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |bc2 AS (
+             |  SELECT * FROM bc WHERE NOT EXISTS (
+             |    SELECT 1 FROM blocked bl WHERE bl.bd = bc.bd AND bl.k1 = bc.k1
+             |      AND bl.k2 = bc.k2 AND bl.k3 = bc.k3 AND bl.k4 = bc.k4)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc2 USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val lake = docs(s, d).select("doc_id", "text")
+        val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_blk_").toString
+        writePortableLshIndex(lake, "dd18_lsh_index", s"$tmp/index")
+        val idx = s.table("dd18_lsh_index")
+        lshIndexProbe(batch, idx, lake.unionByName(batch),
+          blockKeys = Some(hotBandKeys(idx, maxPosting = 2)))
       })
   )
 
@@ -1218,6 +1294,36 @@ object DedupOps {
     writeBucketedIndex(consolidated, table, path, rowsPerBand)
   }
 
+  /** The band keys whose posting lists exceed `maxPosting` — the
+    * degenerate hot buckets (boilerplate shingle sets, near-constant
+    * documents) whose in-bucket pair expansion would dominate a probe.
+    * Computed from the INDEX's posting sizes, i.e. a deterministic
+    * function of the corpus — which is exactly why it is the right
+    * hot-bucket knob for a continuous ingest: a combined-size CAP ties
+    * a pair's fate to how large its bucket happened to be when its
+    * later member arrived (arrival-order-dependent), while a blocklist
+    * fixed for the run blocks the same keys wherever the micro-batch
+    * boundaries fall, preserving [[graft.streaming.DedupStream]]'s
+    * slicing invariance (BlocklistSpec re-slices to prove it). Accepts
+    * the consolidated or the sharded index layout (shards sum). */
+  def hotBandKeys(index: DataFrame, maxPosting: Long,
+      rowsPerBand: Int = 4): DataFrame = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    index.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(sum(col("sz")).as("tsz"))
+      .filter(col("tsz") > maxPosting)
+      .select(keyCols.head, keyCols.tail: _*)
+  }
+
+  /** Anti-join the batch's per-bucket rows against an optional
+    * band-key blocklist: a blocked key generates NO candidates (its
+    * pairs can still surface through the other bands — LSH's
+    * redundancy is the point; BlocklistSpec pins that exact-duplicate
+    * pairs survive single-key blocks). */
+  private def applyBlocklist(bb: DataFrame, blockKeys: Option[DataFrame],
+      keyCols: Seq[String]): DataFrame =
+    blockKeys.fold(bb)(b => bb.join(b, keyCols, "left_anti"))
+
   /** Incremental near-dedup: find every near-dup pair the `batch`
     * introduces against an indexed lake — and within itself — WITHOUT
     * re-running LSH over the lake. Batch docs derive their band keys
@@ -1239,14 +1345,16 @@ object DedupOps {
     * arrivals), mirroring dd08's incremental contract. */
   def lshIndexProbe(batch: DataFrame, index: DataFrame, texts: DataFrame,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, blockKeys: Option[DataFrame] = None): DataFrame = {
     val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
-    val bb = portableBandKeys(batch, bands, rowsPerBand)
-      .groupBy("band", "bk")
-      .agg(sort_array(collect_set(col("doc_id"))).as("bids"))
-      .select(Seq(col("band")) ++
-        (1 to rowsPerBand).map(r => col(s"bk.k$r").as(s"k$r")) ++
-        Seq(col("bids")): _*)
+    val bb = applyBlocklist(
+      portableBandKeys(batch, bands, rowsPerBand)
+        .groupBy("band", "bk")
+        .agg(sort_array(collect_set(col("doc_id"))).as("bids"))
+        .select(Seq(col("band")) ++
+          (1 to rowsPerBand).map(r => col(s"bk.k$r").as(s"k$r")) ++
+          Seq(col("bids")): _*),
+      blockKeys, keyCols)
     val merged = bb.join(index, keyCols, "left")
       .select(
         sort_array(concat(coalesce(col("ids"),
@@ -1298,9 +1406,10 @@ object DedupOps {
     * plan without changing any answer. */
   def lshShardedProbe(batch: DataFrame, shards: DataFrame, texts: DataFrame,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue): DataFrame =
+      maxBucket: Int = Int.MaxValue,
+      blockKeys: Option[DataFrame] = None): DataFrame =
     lshShardedProbeKeys(lshBandIndex(batch, bands, rowsPerBand), shards, texts,
-      rowsPerBand, threshold, maxBucket)
+      rowsPerBand, threshold, maxBucket, blockKeys)
 
   /** [[lshShardedProbe]] from PRECOMPUTED batch postings (`batchKeys`
     * in [[lshBandIndex]] layout) — the entry point for an ingest that
@@ -1311,10 +1420,12 @@ object DedupOps {
     * text). */
   def lshShardedProbeKeys(batchKeys: DataFrame, shards: DataFrame,
       texts: DataFrame, rowsPerBand: Int = 4, threshold: Double = 0.8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      blockKeys: Option[DataFrame] = None): DataFrame = {
     val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
-    val bb = batchKeys.select(
-      keyCols.map(col) :+ col("ids").as("bids"): _*)
+    val bb = applyBlocklist(
+      batchKeys.select(keyCols.map(col) :+ col("ids").as("bids"): _*),
+      blockKeys, keyCols)
     val merged = bb.join(shards, keyCols, "left")
       // consolidate the touched keys only: collect_list skips the
       // left-join nulls of untouched-index keys, so an unmatched

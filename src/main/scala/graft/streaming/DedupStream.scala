@@ -32,9 +32,12 @@ import graft.ops.DedupOps
   *   to be at the probing batch's point in time, i.e. on where the
   *   micro-batch boundaries fell. LshIngestStreamSpec asserts the
   *   invariance by re-running the same corpus under different file
-  *   slicings. (The production knob for degenerate hot buckets is a
-  *   band-key blocklist computed from the index's posting sizes — a
-  *   deterministic function of the corpus, not of its arrival order.)
+  *   slicings. (The production knob for degenerate hot buckets is the
+  *   `blockKeys` band-key blocklist — [[DedupOps.hotBandKeys]] derives
+  *   it from the index's posting sizes, a deterministic function of
+  *   the corpus, not of its arrival order, so a blocklist FIXED for
+  *   the run preserves the invariance; BlocklistSpec re-slices under a
+  *   block to prove it.)
   * - **Exactly-once per micro-batch.** All three writes land under
   *   `batch=<id>` subdirectories in OVERWRITE mode, so a replayed
   *   batch (foreachBatch re-executes after failures) overwrites its
@@ -89,7 +92,8 @@ object DedupStream {
       checkpointDir: String,
       threshold: Double = 0.8,
       filesPerTrigger: Int = 1,
-      processAll: Boolean = true): StreamingQuery = {
+      processAll: Boolean = true,
+      blockKeys: Option[DataFrame] = None): StreamingQuery = {
     val trigger =
       if (processAll) Trigger.AvailableNow() else Trigger.ProcessingTime("10 seconds")
     spark.readStream
@@ -117,7 +121,7 @@ object DedupStream {
         val pairs = DedupOps.lshShardedProbeKeys(
           store.filter(col("batch") === id).drop("batch"),
           store.filter(col("batch") =!= id).drop("batch"),
-          texts, threshold = threshold)
+          texts, threshold = threshold, blockKeys = blockKeys)
         pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$id")
         ()
       }
