@@ -233,4 +233,43 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(r10.getAs[Long]("n_users_with_overlap") ==
       9L * nUsers + r1.getAs[Long]("n_users_with_overlap"))
   }
+
+  test("dd17 indexed probe against a 10x lake: batch pair count closed-form exact, both index layouts") {
+    // The incremental probe under a lake 10× hotter than its bench
+    // scale, checked combinatorially: the lake is k = 10 id-shifted
+    // copies of the corpus, the batch one more copy, probe UNCAPPED.
+    // Copies share identical texts, hence identical band keys, so
+    // every bucket carries k+1 copies of each member — exactly the
+    // hot-posting regime an ingest's index drifts into. Each eligible
+    // base doc contributes k same-text lake pairs to its batch copy,
+    // and each capless one-shot base pair (x, y) contributes its two
+    // batch members × k lake copies of the other, plus the in-batch
+    // pair itself:
+    //   probe(k) = (2k+1)·pairs(1x) + k·|eligible docs|
+    // A consolidation bug in the sharded path, recall loss on the
+    // 11×-hot posting lists, or a candidate dedup error cannot satisfy
+    // the equality; both the consolidated-index and the one-shard-per-
+    // copy layouts must hit the same number.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val k = 10
+    val copies = (0 until k).map(i => base.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+    val lake = copies.reduce(_ unionByName _)
+    val batch = base.select(
+      (col("doc_id") + lit(k * 1000000L)).as("doc_id"), col("text"))
+    val texts = lake.unionByName(batch)
+    val emptyIdx = DedupOps.lshBandIndex(base.filter(col("doc_id") < 0))
+    val p1 = DedupOps.lshShardedProbe(base, emptyIdx, base).count()
+    val eligible = base.filter(
+      size(graft.functions.GraftFunctions.word_shingles(col("text"), 3)) > 0).count()
+    val expected = (2L * k + 1L) * p1 + k.toLong * eligible
+    val viaIndex = DedupOps.lshIndexProbe(batch, DedupOps.lshBandIndex(lake),
+      texts, maxBucket = Int.MaxValue).count()
+    assert(viaIndex == expected,
+      s"viaIndex=$viaIndex expected=$expected p1=$p1 eligible=$eligible")
+    val shards = copies.map(c => DedupOps.lshBandIndex(c)).reduce(_ unionByName _)
+    val viaShards = DedupOps.lshShardedProbe(batch, shards, texts).count()
+    assert(viaShards == expected, s"viaShards=$viaShards expected=$expected")
+  }
 }
