@@ -127,6 +127,18 @@ object VectorOps {
     assignClusters(newVectors, centroids)
       .write.partitionBy("cid").mode("append").parquet(path)
 
+  /** Fold a streaming ingest's `batch=<id>/cid=<cell>/` shard store
+    * ([[graft.streaming.VectorStream.ivfIngest]]) back into the
+    * canonical flat `cid=` layout of [[writeIvfIndex]]. Pure layout
+    * move: every row keeps its (vec_id, v, cid), so a probe reads the
+    * same rows before and after (IvfIngestStreamSpec pins the
+    * equivalence) — run it when per-probe directory listing across
+    * many shards becomes noticeable, the same economics as
+    * [[graft.ops.DedupOps.compactLshIndex]]. */
+  def compactIvfIndex(spark: SparkSession, shardedDir: String, path: String): Unit =
+    spark.read.parquet(shardedDir).drop("batch")
+      .write.partitionBy("cid").mode("overwrite").parquet(path)
+
   /** Top-k cosine neighbors of each probe within the probe's cell.
     * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
     * the scan to the probed partitions. Probe sets are small by design

@@ -582,6 +582,85 @@ object StreamQueries {
           finally walk.close()
         }
         out
+      }),
+
+    QueryDef(
+      "st13_stream_ivf_ingest",
+      // Continuous IVF index maintenance (VectorStream.ivfIngest):
+      // vectors arrive as files, every micro-batch is assigned against
+      // the FROZEN codebook and written into its cells as an
+      // idempotent batch=<id> shard — vs23's append as a running
+      // service, batch-sized cost, the index never read on the write
+      // path. Because assignment is a pure function of (vector,
+      // codebook), the accumulated store is EXACTLY the one-shot
+      // whole-corpus assignment wherever the micro-batch boundaries
+      // fall (IvfIngestStreamSpec re-slices to prove it), and
+      // probeIvfIndex reads the sharded layout unchanged — so this
+      // oracle is vs23's one-shot SQL verbatim, holding the streaming
+      // pipeline to the batch kernel's answer exactly as st12 does for
+      // the LSH ingest.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
+             |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = graft.Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val raw = graft.Tables(s, d, "embeddings").select("vec_id", "embedding")
+        val inDir = landingCache.computeIfAbsent(s"$d/embeddings.parquet", _ => {
+          val staged = java.nio.file.Files
+            .createTempDirectory("graft_ivf_landing_")
+          raw.repartition(4, col("vec_id"))
+            .write.mode("overwrite").parquet(s"$staged/in")
+          s"$staged/in"
+        })
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_ingest_")
+        val ckBase = java.nio.file.Paths.get("/dev/shm")
+        val ck = java.nio.file.Files.createTempDirectory(
+          if (java.nio.file.Files.isWritable(ckBase)) ckBase
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+          "graft_ivf_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = VectorStream.ivfIngest(s, inDir, raw.schema, centroids,
+            s"$base/index", ck.toString, filesPerTrigger = 2)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        // the checkpoint is disposable; the index is NOT — the probe
+        // below reads it lazily through the driver's write of the
+        // result, so only ck is removed here
+        val walk = java.nio.file.Files.walk(ck)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+        val probes = graft.ops.VectorOps.assignClusters(
+          e.filter(col("vec_id").between(100, 104)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        graft.ops.VectorOps.probeIvfIndex(s, s"$base/index", probes, k = 3)
       })
   )
 }
