@@ -1029,8 +1029,109 @@ object DedupOps {
         val idx = s.table("dd18_lsh_index")
         lshIndexProbe(batch, idx, lake.unionByName(batch),
           blockKeys = Some(hotBandKeys(idx, maxPosting = 2)))
+      }),
+
+    QueryDef(
+      "dd19_authority_rank",
+      // AUTHORITY-RANKED canonical selection: weighted PageRank over
+      // the exact near-dup similarity graph (dd06's J >= 0.8 pairs,
+      // edge weight = jaccard on the 1e-4 grid). In a dup cluster the
+      // highest-authority doc is the one most strongly similar to the
+      // most others — the centrality complement of dd11's
+      // quality-argmax pick, and the iterative-graph sibling of dd05's
+      // connected components. Determinism across engines comes from
+      // the INTEGER GRID: rank mass lives on a 1e12 scale as BIGINTs,
+      // every division is integral (Spark `DIV` ≡ DuckDB `//` on
+      // non-negatives), so 3 power-method iterations are bit-exact on
+      // both sides — the oracle simply unrolls them as CTEs. Scale:
+      // edge generation is dd06's PPJoin (never all-pairs); each
+      // iteration is one equi-join + one map-combinable sum over the
+      // edge set — the standard distributed PageRank shape, with the
+      // pinned edge list reused across iterations.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+             |pw AS (
+             |  SELECT a, b,
+             |    CAST(round(round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) * 10000) AS BIGINT) AS w
+             |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |sym AS (SELECT a AS src, b AS dst, w FROM pw
+             |        UNION ALL SELECT b, a, w FROM pw),
+             |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM sym GROUP BY src),
+             |e AS (SELECT s.src, s.dst, s.w, o.ow FROM sym s JOIN ow o ON o.src = s.src),
+             |nn AS (SELECT count(*) AS nn FROM u),
+             |p0 AS (SELECT doc_id, 1000000000000 // nn AS pr FROM u CROSS JOIN nn),
+             |c1 AS (SELECT e.dst, CAST(sum((85 * p.pr * e.w) // (100 * e.ow)) AS BIGINT) AS c
+             |       FROM e JOIN p0 p ON p.doc_id = e.src GROUP BY e.dst),
+             |p1 AS (SELECT u.doc_id, (150000000000 // nn) + coalesce(c.c, 0) AS pr
+             |       FROM u CROSS JOIN nn LEFT JOIN c1 c ON c.dst = u.doc_id),
+             |c2 AS (SELECT e.dst, CAST(sum((85 * p.pr * e.w) // (100 * e.ow)) AS BIGINT) AS c
+             |       FROM e JOIN p1 p ON p.doc_id = e.src GROUP BY e.dst),
+             |p2 AS (SELECT u.doc_id, (150000000000 // nn) + coalesce(c.c, 0) AS pr
+             |       FROM u CROSS JOIN nn LEFT JOIN c2 c ON c.dst = u.doc_id),
+             |c3 AS (SELECT e.dst, CAST(sum((85 * p.pr * e.w) // (100 * e.ow)) AS BIGINT) AS c
+             |       FROM e JOIN p2 p ON p.doc_id = e.src GROUP BY e.dst),
+             |p3 AS (SELECT u.doc_id, (150000000000 // nn) + coalesce(c.c, 0) AS pr
+             |       FROM u CROSS JOIN nn LEFT JOIN c3 c ON c.dst = u.doc_id)
+             |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM p3
+             |ORDER BY pr DESC, doc_id LIMIT 100""".stripMargin),
+      (s, d) => {
+        val pairs = exactJaccardPairs(dupDocs(s, d))
+          .select(col("a"), col("b"),
+            round(col("jaccard") * 10000).cast("long").as("w"))
+        authorityRank(dupDocs(s, d).select("doc_id"), pairs)
+          .orderBy(col("pr").desc, col("doc_id")).limit(100)
       })
   )
+
+  /** Integer-grid weighted PageRank (damping 0.85, 1e12 mass scale):
+    * `nodes` = (doc_id), `pairs` = undirected weighted edges
+    * (a, b, w > 0). Returns (doc_id, pr) with pr a BIGINT on the 1e12
+    * grid — bit-deterministic across engines, partitionings and retry
+    * schedules because every step is integer arithmetic (truncating
+    * division on non-negatives ≡ floor) and every sum is a
+    * commutative integer sum. Per iteration: one equi-join of the pinned
+    * edge list against the current ranks + one map-combinable sum —
+    * no all-pairs work, no driver round-trips; mass Σpr ≤ 1e12 by
+    * construction (floor losses only shrink it). */
+  def authorityRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = Pin.once(
+      pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    val edges = Pin.once(
+      sym.join(sym.groupBy("src").agg(sum("w").cast("long").as("ow")), "src"))
+    val nRow = nodes.agg(count(lit(1)).as("nn"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), expr("1000000000000 DIV nn").as("pr"), col("nn"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+        .groupBy("dst")
+        .agg(sum(expr("(85 * pr * w) DIV (100 * ow)")).as("c"))
+      pr = pr.select(col("doc_id"), col("nn"))
+        .join(contrib.select(col("dst").as("doc_id"), col("c")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (expr("150000000000 DIV nn") + coalesce(col("c"), lit(0L))).as("pr"),
+          col("nn"))
+    }
+    pr.select(col("doc_id"), col("pr"))
+  }
 
   /** Content-defined chunking (dd16's kernel, exposed for reuse and
     * spec-level invariants): splits each doc's token stream into chunks

@@ -88,7 +88,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "sp17_systematic_resample", "ev42_session_histogram",
       // vs21: vs01's broadcast-probe corpus stream on packed signatures;
       // vs22: the same signature screen (stage 2 re-ranks via equi-join)
-      "vs21_hamming_topk", "vs22_hamming_rerank")
+      "vs21_hamming_topk", "vs22_hamming_rerank",
+      // dd19: 1-row broadcast node count N seeding the PageRank grid
+      "dd19_authority_rank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
