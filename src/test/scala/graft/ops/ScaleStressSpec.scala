@@ -272,4 +272,48 @@ class ScaleStressSpec extends AnyFunSuite {
     val viaShards = DedupOps.lshShardedProbe(batch, shards, texts).count()
     assert(viaShards == expected, s"viaShards=$viaShards expected=$expected")
   }
+
+  test("dd19 authorityRank at 10x graph: every copy bit-equals the padded single-copy closed form") {
+    // PageRank is component-LOCAL except for the node count nn in the
+    // teleport term. So on 10 id-shifted copies of the similarity
+    // graph, copy i's rank vector must BIT-equal the rank vector of
+    // ONE copy padded with 9N isolated nodes (identical components,
+    // identical nn = 10N ⇒ identical integer arithmetic, floor for
+    // floor). A partition-order-sensitive sum, an overflowing mass
+    // grid, or contribution rows lost between 10x-hotter shuffle
+    // partitions cannot produce 10 identical copies of the reference
+    // vector; the padding nodes must also sit exactly on the teleport
+    // floor (isolated-node fixpoint).
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pairs = DedupOps.exactJaccardPairs(base)
+      .select(col("a"), col("b"), round(col("jaccard") * 10000).cast("long").as("w"))
+    val nodes = base.select("doc_id")
+    val k = 10
+    val n = nodes.count()
+    val bigNodes = (0 until k).map(i => nodes.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id")))
+      .reduce(_ unionByName _)
+    val bigPairs = (0 until k).map(i => pairs.select(
+        (col("a") + lit(i * 1000000L)).as("a"),
+        (col("b") + lit(i * 1000000L)).as("b"), col("w")))
+      .reduce(_ unionByName _)
+    val big = DedupOps.authorityRank(bigNodes, bigPairs)
+    val padded = nodes.unionByName(
+      spark.range((k - 1) * n).select((col("id") + lit(500000000L)).as("doc_id")))
+    val ref = DedupOps.authorityRank(padded, pairs)
+    val refBase = ref.join(nodes, "doc_id")
+      .select(col("doc_id").as("base_id"), col("pr").as("pr_ref"))
+    val mapped = big.select(
+      pmod(col("doc_id"), lit(1000000L)).as("base_id"), col("pr"))
+    assert(big.count() == k * n)
+    val joined = mapped.join(refBase, "base_id")
+    assert(joined.count() == k * n, "every 10x node must map onto a reference node")
+    assert(joined.filter(col("pr") =!= col("pr_ref")).count() == 0,
+      "some copy diverged from the padded single-copy reference vector")
+    val floor = (1000000000000L * 15 / 100) / (k * n)
+    assert(ref.filter(col("doc_id") >= 500000000L)
+      .filter(col("pr") =!= floor).count() == 0,
+      "padding nodes must sit exactly on the teleport floor")
+  }
 }
