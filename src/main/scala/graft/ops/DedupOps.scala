@@ -1097,6 +1097,78 @@ object DedupOps {
             round(col("jaccard") * 10000).cast("long").as("w"))
         authorityRank(dupDocs(s, d).select("doc_id"), pairs)
           .orderBy(col("pr").desc, col("doc_id")).limit(100)
+      }),
+
+    QueryDef(
+      "dd20_index_delete",
+      // TAKEDOWN in the incremental near-dedup cycle: every 7th lake
+      // doc is deleted from the persisted LSH index
+      // ([[lshIndexDelete]] — band keys are a pure function of
+      // content, so re-hashing the removed docs names exactly the
+      // buckets holding them, and the targeted posting-list rewrite
+      // provably equals a full rebuild over the survivors), the pruned
+      // index is persisted back in the bucketed layout, and dd17's
+      // batch (every 10th doc re-arriving under a new id) probes it.
+      // Docs with id % 70 == 0 are in BOTH sets — their exact-copy
+      // source is gone, so the probe must NOT report those pairs:
+      // deletion has to actually change answers, not just shrink
+      // postings. The oracle is dd17's with the lake leg filtered to
+      // survivors — the delete path is held to the full-recompute
+      // answer over lake ∖ removed.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val all = docs(s, d).select("doc_id", "text")
+        val removed = all.filter(col("doc_id") % 7 === 0)
+        val survivors = all.filter(col("doc_id") % 7 =!= 0)
+        val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_del_").toString
+        writePortableLshIndex(all, "dd20_lsh_index", s"$tmp/index")
+        writeLshIndexRows(
+          lshIndexDelete(s.table("dd20_lsh_index"), lshBandIndex(removed)),
+          "dd20_lsh_index_v2", s"$tmp/index_v2")
+        lshIndexProbe(batch, s.table("dd20_lsh_index_v2"),
+          survivors.unionByName(batch))
       })
   )
 
@@ -1366,12 +1438,23 @@ object DedupOps {
     writeBucketedIndex(lshBandIndex(lake, bands, rowsPerBand), table, path,
       rowsPerBand)
 
-  private def writeBucketedIndex(index: DataFrame, table: String,
-      path: String, rowsPerBand: Int): Unit =
+  /** Persist index rows already in [[lshBandIndex]] layout with the
+    * bucketed-on-band-key physical layout the zero-Exchange probe plan
+    * needs — the write half shared by [[writePortableLshIndex]] (fresh
+    * build), [[compactLshIndex]] (shard consolidation) and a
+    * [[lshIndexDelete]] write-back (takedown). Always write to a NEW
+    * path/table version: Spark cannot overwrite a table from a plan
+    * that reads it. */
+  def writeLshIndexRows(index: DataFrame, table: String,
+      path: String, rowsPerBand: Int = 4): Unit =
     index.write
       .bucketBy(8, "band", (1 to rowsPerBand).map(r => s"k$r"): _*)
       .sortBy("band", (1 to rowsPerBand).map(r => s"k$r"): _*)
       .option("path", path).mode("overwrite").saveAsTable(table)
+
+  private def writeBucketedIndex(index: DataFrame, table: String,
+      path: String, rowsPerBand: Int): Unit =
+    writeLshIndexRows(index, table, path, rowsPerBand)
 
   /** Compact an ingest's append-only shard store
     * ([[graft.streaming.DedupStream]] writes one shard per
@@ -1393,6 +1476,36 @@ object DedupOps {
       .agg(sort_array(flatten(collect_list(col("ids")))).as("ids"),
         sum(col("sz")).as("sz"))
     writeBucketedIndex(consolidated, table, path, rowsPerBand)
+  }
+
+  /** Targeted DELETE from the LSH posting index (takedowns, retention
+    * expiry): remove `removedKeys`' doc ids from their posting lists
+    * and drop emptied buckets. `removedKeys` is the removed docs' own
+    * [[lshBandIndex]] — derived from their TEXT, which is the whole
+    * trick: band keys are a pure function of content, so a doc can
+    * only ever sit in the buckets its own keys name, and touching
+    * exactly those buckets provably equals a full rebuild over the
+    * survivors (LshDeleteSpec pins `lshIndexDelete(idx, keys(R)) ≡
+    * lshBandIndex(lake ∖ R)` row-for-row, on the consolidated AND the
+    * sharded layout — shards hold disjoint ids, so the same per-row
+    * subtraction applies). Scale: one equi-join on the band key — the
+    * bucketed index side joins without an Exchange, the removed side
+    * is batch-sized, untouched buckets pass through unchanged; cost is
+    * O(index rows + removed keys), with only the touched lists
+    * rewritten. Persist the result via [[writeLshIndexRows]] (to a new
+    * version path) to restore the zero-Exchange probe plan; `sz` is
+    * recomputed, so downstream caps and [[hotBandKeys]] blocklists see
+    * the post-delete posting sizes. */
+  def lshIndexDelete(index: DataFrame, removedKeys: DataFrame,
+      rowsPerBand: Int = 4): DataFrame = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    val r = removedKeys.select(keyCols.map(col) :+ col("ids").as("rids"): _*)
+    index.join(r, keyCols, "left")
+      .select(keyCols.map(col) :+ array_except(col("ids"),
+        coalesce(col("rids"), array().cast("array<long>"))).as("ids"): _*)
+      .filter(size(col("ids")) > 0)
+      .select(keyCols.map(col) :+ col("ids") :+
+        size(col("ids")).cast("long").as("sz"): _*)
   }
 
   /** The band keys whose posting lists exceed `maxPosting` — the
