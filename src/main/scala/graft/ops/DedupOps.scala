@@ -1169,6 +1169,83 @@ object DedupOps {
           "dd20_lsh_index_v2", s"$tmp/index_v2")
         lshIndexProbe(batch, s.table("dd20_lsh_index_v2"),
           survivors.unionByName(batch))
+      }),
+
+    QueryDef(
+      "dd21_index_update",
+      // RE-VERSION in the incremental near-dedup cycle — the UPDATE
+      // verb ([[lshIndexUpsert]]): every 9th lake doc is edited (a
+      // "v2 " token prepended — shingles change, the doc stays
+      // near-dup-similar to its old neighborhood), the persisted index
+      // is updated in place at batch cost (delete the OLD text's keys,
+      // merge the NEW text's keys — both content-addressed), and
+      // dd17's batch (every 10th doc re-arriving under a new id with
+      // its ORIGINAL text) probes the updated index. Docs with id %
+      // 90 == 0 are edited AND re-arrive: the batch copy carries the
+      // old text while the lake now holds v2, so those pairs' Jaccard
+      // genuinely moves — the update must change answers, not just
+      // rewrite postings. The oracle recomputes dd17's one-shot kernel
+      // over the EDITED lake ∪ batch: the in-place update is held to
+      // the full-rebuild answer.
+      Some("""WITH u AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+             |    THEN concat('v2 ', text) ELSE text END AS text
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val all = docs(s, d).select("doc_id", "text")
+        val oldU = all.filter(col("doc_id") % 9 === 0)
+        val newU = oldU.select(col("doc_id"),
+          concat(lit("v2 "), col("text")).as("text"))
+        val lakeV2 = all.filter(col("doc_id") % 9 =!= 0).unionByName(newU)
+        val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_upd_").toString
+        writePortableLshIndex(all, "dd21_lsh_index", s"$tmp/index")
+        writeLshIndexRows(
+          lshIndexUpsert(s.table("dd21_lsh_index"),
+            lshBandIndex(oldU), lshBandIndex(newU)),
+          "dd21_lsh_index_v2", s"$tmp/index_v2")
+        lshIndexProbe(batch, s.table("dd21_lsh_index_v2"),
+          lakeV2.unionByName(batch))
       })
   )
 
@@ -1504,6 +1581,40 @@ object DedupOps {
       .select(keyCols.map(col) :+ array_except(col("ids"),
         coalesce(col("rids"), array().cast("array<long>"))).as("ids"): _*)
       .filter(size(col("ids")) > 0)
+      .select(keyCols.map(col) :+ col("ids") :+
+        size(col("ids")).cast("long").as("sz"): _*)
+  }
+
+  /** Targeted UPDATE of the LSH posting index — a doc RE-VERSION
+    * (same doc_id, new text): [[lshIndexDelete]] the old versions'
+    * keys, then merge the new versions' [[lshBandIndex]] into the
+    * pruned postings, in ONE plan. Both legs are content-addressed:
+    * `removedKeys` derives from the OLD text (names exactly the
+    * buckets the old version occupies), `addedKeys` from the NEW text.
+    * The merge is a full-outer join on the band key — the bucketed
+    * index side satisfies the join's clustering without an Exchange
+    * and the delete's left-join output stays clustered for it, so the
+    * only shuffle is the batch-sized edited set; a bucket can hold a
+    * doc_id at most once (its old occurrence was just deleted), so
+    * concat + sort_array rebuilds each posting list exactly.
+    * LshUpsertSpec pins `lshIndexUpsert(idx, keys(old U),
+    * keys(new U)) ≡ lshBandIndex((lake ∖ U) ∪ U')` row-for-row, plus
+    * the pure-insert / pure-delete degenerations. Persist via
+    * [[writeLshIndexRows]] to a NEW version path; `sz` is recomputed
+    * for downstream caps and [[hotBandKeys]] blocklists. Completes the
+    * index lifecycle verbs: build, append (st12), compact, delete
+    * (dd20), update (dd21), probe (dd17). */
+  def lshIndexUpsert(index: DataFrame, removedKeys: DataFrame,
+      addedKeys: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    val noIds = array().cast("array<long>")
+    val pruned = lshIndexDelete(index, removedKeys, rowsPerBand)
+      .select(keyCols.map(col) :+ col("ids").as("kept"): _*)
+    pruned.join(
+        addedKeys.select(keyCols.map(col) :+ col("ids").as("nids"): _*),
+        keyCols, "full_outer")
+      .select(keyCols.map(col) :+ sort_array(concat(
+        coalesce(col("kept"), noIds), coalesce(col("nids"), noIds))).as("ids"): _*)
       .select(keyCols.map(col) :+ col("ids") :+
         size(col("ids")).cast("long").as("sz"): _*)
   }

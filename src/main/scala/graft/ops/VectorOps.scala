@@ -139,6 +139,76 @@ object VectorOps {
     spark.read.parquet(shardedDir).drop("batch")
       .write.partitionBy("cid").mode("overwrite").parquet(path)
 
+  private def tombstoneDir(path: String) = s"$path/_deletes"
+
+  private def hadoopPath(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp, hp.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** Targeted DELETE from the IVF index (takedowns, retention expiry) —
+    * the MERGE-ON-READ complement of [[graft.ops.DedupOps.lshIndexDelete]]'s
+    * copy-on-write posting rewrite. Same content-addressed trick: the
+    * removed vectors are assigned against the FROZEN codebook, so their
+    * (vec_id, cid) rows name exactly the cells holding them. But instead
+    * of rewriting those cells, the rows append into a `_deletes/`
+    * tombstone sidecar under the index root — an underscore-prefixed
+    * path, hidden from the cell scans' file listing — and every probe
+    * subtracts them ([[minusTombstones]]). Delete cost is O(batch) with
+    * ZERO index files touched; probe cost grows by one broadcast
+    * anti-join until [[vacuumIvfIndex]] folds the tombstones into a
+    * physical rewrite of only the touched cells. This is the
+    * Delta/Iceberg deletion-vector economics: takedowns are cheap and
+    * immediate, compaction is amortized and targeted. */
+  def tombstoneIvfDelete(removed: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignClusters(removed, centroids).select("vec_id", "cid")
+      .write.mode("append").parquet(tombstoneDir(path))
+
+  /** Merge-on-read subtraction: drop tombstoned rows from a cell scan.
+    * The sidecar is takedown-batch-sized by contract (bounded —
+    * [[vacuumIvfIndex]] clears it), so it broadcasts; the anti-join key
+    * includes `cid`, so a pruned probe only ever consults tombstones of
+    * its own cells. Casts mirror the scan's schema: `cid` is a
+    * partition-inferred column on the read side. */
+  private def minusTombstones(spark: SparkSession, path: String,
+      cells: DataFrame): DataFrame = {
+    val (td, fs) = hadoopPath(spark, tombstoneDir(path))
+    if (!fs.exists(td)) cells
+    else {
+      val tombs = spark.read.parquet(td.toString).select(
+        col("vec_id").cast(cells.schema("vec_id").dataType).as("vec_id"),
+        col("cid").cast(cells.schema("cid").dataType).as("cid"))
+      cells.join(broadcast(tombs), Seq("vec_id", "cid"), "left_anti")
+    }
+  }
+
+  /** Fold the tombstone sidecar into the physical layout: rewrite ONLY
+    * the cells named by `_deletes/` (survivors staged to a scratch dir
+    * first — Spark cannot overwrite a path a live plan reads), drop the
+    * sidecar, leave every untouched cell's files byte-identical
+    * (IvfDeleteSpec pins all three). Probe answers are identical before
+    * and after — vacuum is pure layout economics: it restores
+    * anti-join-free probes and re-bounds the sidecar so
+    * [[minusTombstones]]' broadcast stays batch-sized. No-op when no
+    * tombstones exist. */
+  def vacuumIvfIndex(spark: SparkSession, path: String): Unit = {
+    val (td, fs) = hadoopPath(spark, tombstoneDir(path))
+    if (!fs.exists(td)) return
+    val index = spark.read.parquet(path)
+    // bounded: at most one row per index cell
+    val touched = spark.read.parquet(td.toString)
+      .select(col("cid").cast(index.schema("cid").dataType).as("cid"))
+      .distinct().collect().map(_.get(0))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_vacuum_").toString + "/staged"
+    minusTombstones(spark, path, index.filter(col("cid").isin(touched: _*)))
+      .write.parquet(tmp) // flat: cid stays a data column while staged
+    touched.foreach(c =>
+      fs.delete(hadoopPath(spark, s"$path/cid=$c")._1, true))
+    fs.delete(td, true)
+    spark.read.parquet(tmp).write.partitionBy("cid").mode("append").parquet(path)
+  }
+
   /** Top-k cosine neighbors of each probe within the probe's cell.
     * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
     * the scan to the probed partitions. Probe sets are small by design
@@ -152,7 +222,8 @@ object VectorOps {
     val cids = rows.map(_.get(cidIdx)).distinct.toIndexedSeq
     val localProbes = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), probes.schema)
-    val cells = spark.read.parquet(path).filter(col("cid").isin(cids: _*))
+    val cells = minusTombstones(spark, path,
+      spark.read.parquet(path).filter(col("cid").isin(cids: _*)))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
     cells.join(broadcast(localProbes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -283,7 +354,7 @@ object VectorOps {
     * distributed relation; [[probeIvfIndex]] (collect + static isin)
     * fits small interactive probe sets. */
   def probeIvfIndexDpp(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame = {
-    val cells = spark.read.parquet(path)
+    val cells = minusTombstones(spark, path, spark.read.parquet(path))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
     cells.join(probes.hint("broadcast"),
         col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
@@ -1440,6 +1511,61 @@ object VectorOps {
           .createTempDirectory("graft_ivf_append_").resolve("idx").toString
         writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0), centroids, path)
         appendIvfIndex(e.filter(col("vec_id") % 10 === 0), centroids, path)
+        val probes = assignClusters(
+          e.filter(col("vec_id").between(100, 104)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        probeIvfIndex(s, path, probes, k = 3)
+      }),
+
+    QueryDef(
+      "vs24_ivf_delete",
+      // TAKEDOWN in the IVF lifecycle — the vector-lake counterpart of
+      // dd20: build the on-disk index from the WHOLE corpus, delete
+      // every 7th vector via the merge-on-read tombstone sidecar
+      // ([[tombstoneIvfDelete]] — O(batch) cost, zero index files
+      // touched; the frozen codebook names the removed vectors' cells,
+      // and every probe subtracts the sidecar with one broadcast
+      // anti-join pruned to its own cells), then answer vs02's probes.
+      // Note the codebook wrinkle: seed vectors 0 and 7 are themselves
+      // deleted from the LAKE, yet stay centroids — the codebook is
+      // derived data, frozen at build time, exactly how a production
+      // index outlives churn in its training sample. The oracle is
+      // vs02's SQL with the index leg restricted to survivors — the
+      // delete path is held to the full-recompute answer, and removed
+      // ids (e.g. 7, 98, 105) must vanish from top-3s, so deletion has
+      // to actually change answers, not just hide files. IvfDeleteSpec
+      // additionally pins probe-after-vacuum ≡ this plan's answer.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1 AND vec_id % 7 <> 0),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, a2.cid AS pcid
+             |      FROM e JOIN (SELECT vec_id, cid FROM a WHERE arn = 1) a2
+             |        ON e.vec_id = a2.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_delete_").resolve("idx").toString
+        writeIvfIndex(e, centroids, path)
+        tombstoneIvfDelete(e.filter(col("vec_id") % 7 === 0), centroids, path)
         val probes = assignClusters(
           e.filter(col("vec_id").between(100, 104)), centroids)
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
