@@ -159,7 +159,14 @@ object VectorOps {
     * anti-join until [[vacuumIvfIndex]] folds the tombstones into a
     * physical rewrite of only the touched cells. This is the
     * Delta/Iceberg deletion-vector economics: takedowns are cheap and
-    * immediate, compaction is amortized and targeted. */
+    * immediate, compaction is amortized and targeted.
+    *
+    * Re-version contract: a tombstone kills by (vec_id, cid), so
+    * re-inserting a tombstoned vec_id into the SAME cell is shadowed
+    * until the sidecar is folded away — a vector re-version is
+    * tombstone → [[vacuumIvfIndex]] → [[appendIvfIndex]], in that
+    * order (IvfDeleteSpec pins both the safe composition and the
+    * shadowing it avoids). */
   def tombstoneIvfDelete(removed: DataFrame, centroids: DataFrame, path: String): Unit =
     assignClusters(removed, centroids).select("vec_id", "cid")
       .write.mode("append").parquet(tombstoneDir(path))

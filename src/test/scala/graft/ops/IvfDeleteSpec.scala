@@ -117,6 +117,35 @@ class IvfDeleteSpec extends AnyFunSuite {
     assert(dirs == null || !dirs.exists(_.getName.startsWith("cid=")))
   }
 
+  test("vector re-version: tombstone -> vacuum -> append equals a rebuilt index") {
+    // the safe composition for a changed embedding under the SAME id —
+    // vacuum MUST come before the re-append, because a tombstone kills
+    // by (vec_id, cid) and would shadow a new version landing in the
+    // same cell
+    val path = newIndex("graft_ivfdel_rev_")
+    val newV = removed.select(col("vec_id"), reverse(col("v")).as("v"))
+    VectorOps.tombstoneIvfDelete(removed, centroids, path)
+    VectorOps.vacuumIvfIndex(spark, path)
+    VectorOps.appendIvfIndex(newV, centroids, path)
+
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivfdel_rev_ref_").toString + "/idx"
+    VectorOps.writeIvfIndex(survivors.unionByName(newV), centroids, rebuilt)
+    assert(rows(VectorOps.probeIvfIndex(spark, path, probes, k = 3)) ==
+      rows(VectorOps.probeIvfIndex(spark, rebuilt, probes, k = 3)))
+
+    // and the contract edge the ordering exists for: WITHOUT the
+    // vacuum, a same-cell re-insert is shadowed by its own tombstone
+    val shadowed = newIndex("graft_ivfdel_shadow_")
+    VectorOps.tombstoneIvfDelete(removed, centroids, shadowed)
+    VectorOps.appendIvfIndex(removed, centroids, shadowed) // same text, same cells
+    val idsSeen = VectorOps.probeIvfIndex(spark, shadowed, probes, k = 1000)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(removed.select("vec_id").collect().map(_.getLong(0))
+      .forall(id => !idsSeen.contains(id)),
+      "a same-cell re-insert must be shadowed until vacuum (documented contract)")
+  }
+
   test("DPP probe subtracts tombstones too") {
     val path = newIndex("graft_ivfdel_dpp_")
     VectorOps.tombstoneIvfDelete(removed, centroids, path)

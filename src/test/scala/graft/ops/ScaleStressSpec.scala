@@ -273,6 +273,49 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(viaShards == expected, s"viaShards=$viaShards expected=$expected")
   }
 
+  test("dd20 delete-then-probe against a 10x lake: rebuild identity and batch closed form") {
+    // The takedown verb under hot postings: the lake is k = 10
+    // id-shifted copies, and the takedown removes every copy of the
+    // base docs with doc_id % 7 == 0 — a shift-invariant removal, so
+    // the survivor lake is exactly k copies of the base survivors.
+    // Two checks: (1) the targeted delete must equal a full rebuild
+    // over the 10x survivors ROW-FOR-ROW — on 11x-hot posting lists a
+    // stale id, an emptied-bucket leak, or an sz drift cannot hide;
+    // (2) an uncapped probe of one more survivor copy against the
+    // pruned index must hit dd17's closed form computed on the
+    // SURVIVOR corpus: probe(k) = (2k+1)·pairs_surv(1x) +
+    // k·|eligible survivors| — a deletion bug re-surfacing removed
+    // sources breaks the equality upward, over-deletion downward.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val survBase = base.filter(col("doc_id") % 7 =!= 0)
+    val remBase = base.filter(col("doc_id") % 7 === 0)
+    val k = 10
+    def copies(df: org.apache.spark.sql.DataFrame) = (0 until k).map(i =>
+      df.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+    val lake = copies(base).reduce(_ unionByName _)
+    val removed = copies(remBase).reduce(_ unionByName _)
+    val survivors = copies(survBase).reduce(_ unionByName _)
+
+    val pruned = DedupOps.lshIndexDelete(
+      DedupOps.lshBandIndex(lake), DedupOps.lshBandIndex(removed))
+    val rebuilt = DedupOps.lshBandIndex(survivors)
+    assert(pruned.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(pruned).isEmpty,
+      "10x targeted delete diverged from the survivor rebuild")
+
+    val batch = survBase.select(
+      (col("doc_id") + lit(k * 1000000L)).as("doc_id"), col("text"))
+    val emptyIdx = DedupOps.lshBandIndex(base.filter(col("doc_id") < 0))
+    val p1 = DedupOps.lshShardedProbe(survBase, emptyIdx, survBase).count()
+    val eligible = survBase.filter(
+      size(graft.functions.GraftFunctions.word_shingles(col("text"), 3)) > 0).count()
+    val expected = (2L * k + 1L) * p1 + k.toLong * eligible
+    val viaPruned = DedupOps.lshIndexProbe(batch, pruned,
+      survivors.unionByName(batch), maxBucket = Int.MaxValue).count()
+    assert(viaPruned == expected,
+      s"viaPruned=$viaPruned expected=$expected p1=$p1 eligible=$eligible")
+  }
+
   test("dd19 authorityRank at 10x graph: every copy bit-equals the padded single-copy closed form") {
     // PageRank is component-LOCAL except for the node count nn in the
     // teleport term. So on 10 id-shifted copies of the similarity
