@@ -1240,6 +1240,86 @@ object DedupOps {
           "dd21_lsh_index_v2", s"$tmp/index_v2")
         lshIndexProbe(batch, s.table("dd21_lsh_index_v2"),
           lakeV2.unionByName(batch))
+      }),
+
+    QueryDef(
+      "dd22_retention_expiry",
+      // RETENTION EXPIRY — the third deletion economics
+      // ([[expireLshShards]]): the lake's postings are sharded by
+      // ingest day (`day=N/` dirs, disjoint ids — the layout a
+      // streaming ingest writes naturally; here day = doc_id mod 3),
+      // and expiring everything before the cutoff is DROPPING whole
+      // shard directories: O(1) metadata per shard, no read, no
+      // rewrite, no tombstone debt — make the partition key the
+      // retention key and deletes cost nothing. dd17's batch then
+      // probes the surviving shards; day-0 sources are expired, so
+      // their re-arrivals must NOT find them (answers change, files
+      // merely vanishing isn't enough). The oracle recomputes the
+      // one-shot kernel over the surviving days' docs ∪ batch — the
+      // directory drop is held to the full-recompute answer.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val all = docs(s, d).select("doc_id", "text")
+        // the day-sharded store is an input fixture (what the ingest
+        // wrote over three days), cached per sf dir like baseLshIndex;
+        // re-running the expiry against it is an idempotent no-op
+        // (RetentionSpec pins that), so every execution measures the
+        // verb: O(1) dir drops + the sharded probe
+        val store = shardStoreCache.computeIfAbsent(d, _ => {
+          val st = java.nio.file.Files
+            .createTempDirectory("graft_lsh_ret_").toString + "/shards"
+          (0 until 3).foreach { day =>
+            lshBandIndex(all.filter(pmod(col("doc_id"), lit(3)) === day))
+              .write.parquet(s"$st/day=$day")
+          }
+          st
+        })
+        expireLshShards(s, store, cutoffDay = 1)
+        val surviving = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+        lshShardedProbe(batch, s.read.parquet(store).drop("day"),
+          surviving.unionByName(batch), maxBucket = 100)
       })
   )
 
@@ -1522,6 +1602,11 @@ object DedupOps {
   private val baseIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** dd22's day-sharded posting store per sf dir — same input-fixture
+    * rationale as [[baseLshIndex]]. Bounded: one entry per sf dir. */
+  private val shardStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   private def baseLshIndex(s: SparkSession, d: String): String =
     baseIndexCache.computeIfAbsent(d, _ => {
       val table = s"lsh_base_${d.hashCode & 0x7fffffff}"
@@ -1634,6 +1719,32 @@ object DedupOps {
         coalesce(col("kept"), noIds), coalesce(col("nids"), noIds))).as("ids"): _*)
       .select(keyCols.map(col) :+ col("ids") :+
         size(col("ids")).cast("long").as("sz"): _*)
+  }
+
+  /** Retention expiry on a DAY-SHARDED posting store — the THIRD
+    * deletion economics, after [[lshIndexDelete]] (copy-on-write
+    * targeted rewrite) and [[graft.ops.VectorOps.tombstoneIvfDelete]]
+    * (merge-on-read sidecar): when the index is sharded by ingest day
+    * (`dir/day=N/`, the layout a [[graft.streaming.DedupStream]]-style
+    * ingest writes naturally — each day's docs indexed into their own
+    * shard, ids disjoint across shards), expiring data older than
+    * `cutoffDay` is DROPPING whole shard directories — O(1) metadata
+    * per shard, no read, no rewrite, no tombstone debt. Probes read
+    * the surviving shards unchanged (the sharded probe path of
+    * ShardedProbeSpec), and because shards hold disjoint ids the
+    * result provably equals a rebuild over the surviving days' docs
+    * (RetentionSpec pins it). This is the deletion mode a 100 TB
+    * lake with a retention policy should default to: make the
+    * partition key the retention key and deletes cost nothing. */
+  def expireLshShards(spark: SparkSession, dir: String,
+      cutoffDay: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("day=") && n.drop(4).toLong < cutoffDay)
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** The band keys whose posting lists exceed `maxPosting` — the

@@ -316,6 +316,31 @@ class ScaleStressSpec extends AnyFunSuite {
       s"viaPruned=$viaPruned expected=$expected p1=$p1 eligible=$eligible")
   }
 
+  test("dd21 upsert at 10x lake: row-for-row rebuild identity on hot postings") {
+    // The re-version verb under the same 10x construction: a
+    // shift-invariant edit set (every base doc with doc_id % 4 == 0,
+    // "rev " prepended, in every copy) is upserted into the 10x lake's
+    // index — the result must ROW-FOR-ROW equal a rebuild over the 10x
+    // EDITED lake. On 11x-hot posting lists this exercises the
+    // delete's array_except and the merge's concat+sort across every
+    // bucket shape: a doc left in its old bucket, lost from its new
+    // one, or double-counted where old and new collide cannot hide.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val k = 10
+    def copies(df: org.apache.spark.sql.DataFrame) = (0 until k).map(i =>
+      df.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val oldU = copies(base.filter(col("doc_id") % 4 === 0))
+    val newU = oldU.select(col("doc_id"), concat(lit("rev "), col("text")).as("text"))
+    val edited = copies(base.filter(col("doc_id") % 4 =!= 0)).unionByName(newU)
+    val updated = DedupOps.lshIndexUpsert(DedupOps.lshBandIndex(copies(base)),
+      DedupOps.lshBandIndex(oldU), DedupOps.lshBandIndex(newU))
+    val rebuilt = DedupOps.lshBandIndex(edited)
+    assert(updated.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(updated).isEmpty,
+      "10x upsert diverged from the edited-lake rebuild")
+  }
+
   test("dd19 authorityRank at 10x graph: every copy bit-equals the padded single-copy closed form") {
     // PageRank is component-LOCAL except for the node count nn in the
     // teleport term. So on 10 id-shifted copies of the similarity
