@@ -1737,12 +1737,25 @@ object DedupOps {
     * lake with a retention policy should default to: make the
     * partition key the retention key and deletes cost nothing. */
   def expireLshShards(spark: SparkSession, dir: String,
-      cutoffDay: Long): Unit = {
+      cutoffDay: Long): Unit =
+    expireShards(spark, dir, "day", cutoffDay)
+
+  /** The generic partition-drop expiry both index stores share:
+    * delete every top-level `<partitionCol>=N` shard dir with
+    * N < cutoff. Works on any shard store whose partition value is
+    * the retention key and whose shards hold disjoint rows — the LSH
+    * day shards (dd22) and a streaming IVF ingest's `batch=` shards
+    * ([[graft.streaming.VectorStream.ivfIngest]]; IvfDeleteSpec pins
+    * probe parity with a rebuild over the surviving batches).
+    * Idempotent; ignores non-shard entries. */
+  def expireShards(spark: SparkSession, dir: String,
+      partitionCol: String, cutoff: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("day=") && n.drop(4).toLong < cutoffDay)
+      if (n.startsWith(prefix) && n.drop(prefix.length).toLong < cutoff)
         fs.delete(st.getPath, true)
     }
   }

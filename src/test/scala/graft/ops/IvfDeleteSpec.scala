@@ -146,6 +146,28 @@ class IvfDeleteSpec extends AnyFunSuite {
       "a same-cell re-insert must be shadowed until vacuum (documented contract)")
   }
 
+  test("IVF shard-store retention: dropping old batch= dirs equals a rebuild over surviving batches") {
+    // the partition-drop economics (dd22's expireShards) on the
+    // STREAMING ingest's batch=<id>/cid=<cell>/ layout: batches hold
+    // disjoint vec_ids, so expiring old batch dirs is O(1) metadata
+    // and the two-level probe over the survivors must equal a rebuilt
+    // survivor index
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_ret_").toString + "/idx"
+    (0 until 3).foreach(i =>
+      VectorOps.assignClusters(
+          vectors.filter(pmod(col("vec_id"), lit(3)) === i), centroids)
+        .write.partitionBy("cid").parquet(s"$store/batch=$i"))
+    DedupOps.expireShards(spark, store, "batch", cutoff = 1)
+
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivf_ret_ref_").toString + "/idx"
+    VectorOps.writeIvfIndex(
+      vectors.filter(pmod(col("vec_id"), lit(3)) =!= 0), centroids, rebuilt)
+    assert(rows(VectorOps.probeIvfIndex(spark, store, probes, k = 3)) ==
+      rows(VectorOps.probeIvfIndex(spark, rebuilt, probes, k = 3)))
+  }
+
   test("DPP probe subtracts tombstones too") {
     val path = newIndex("graft_ivfdel_dpp_")
     VectorOps.tombstoneIvfDelete(removed, centroids, path)
