@@ -1320,6 +1320,75 @@ object DedupOps {
           .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
         lshShardedProbe(batch, s.read.parquet(store).drop("day"),
           surviving.unionByName(batch), maxBucket = 100)
+      }),
+
+    QueryDef(
+      "dd23_leakfree_split",
+      // LEAKAGE-FREE train/test split — the split discipline a
+      // training pipeline actually needs: a plain per-doc hash split
+      // puts near-duplicates of a training doc into the test set
+      // (evaluation leakage). Here the split key is the near-dup
+      // CLUSTER: dd06's exact J >= 0.8 pairs are the edges, dd05's
+      // min-label connected components give every doc its canonical
+      // cluster id, and the portable md5 hash of THAT id (sp-family
+      // retry-stable discipline) assigns the whole cluster to
+      // train (80%) or test — no cluster can straddle, by
+      // construction (LeakFreeSplitSpec also proves the per-doc hash
+      // WOULD straddle on this corpus, so the property has teeth).
+      // Scale: edges via the never-all-pairs PPJoin, CC via the
+      // min-propagation loop (one equi-join + map-combinable min per
+      // round, O(diameter) rounds — near-dup clusters are shallow),
+      // split assignment map-only.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+             |edges AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sz sa ON sa.doc_id = a
+             |  JOIN sz sb ON sb.doc_id = b
+             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |sym AS (SELECT a AS src, b AS dst FROM edges
+             |        UNION ALL SELECT b, a FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM u
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, lbl FROM r),
+             |cc AS (SELECT node AS doc_id, min(lbl) AS canonical
+             |       FROM reach GROUP BY node)
+             |SELECT doc_id, CAST(canonical AS BIGINT) AS canonical,
+             |  CASE WHEN CAST(concat('0x',
+             |      substr(md5(CAST(canonical AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 10 < 8
+             |    THEN 'train' ELSE 'test' END AS split
+             |FROM cc""".stripMargin),
+      (s, d) => {
+        val u = dupDocs(s, d)
+        val edges = exactJaccardPairs(u).select("a", "b")
+        val cc = connectedComponents(u.select(col("doc_id").as("id")), edges)
+        cc.select(col("id").as("doc_id"),
+          col("label").cast("long").as("canonical"),
+          when(pmod(portableHash60(col("label").cast("string")), lit(10)) < 8,
+            lit("train")).otherwise(lit("test")).as("split"))
       })
   )
 
