@@ -1066,6 +1066,81 @@ object TextOps {
           .select(posexplode(col("tk")))
           .select(col("col.tok").as("pair"), col("col.n").as("n"),
             (col("pos") + 1).cast("long").as("rnk")))
+  ,
+
+    QueryDef(
+      "tx30_bm25_topk",
+      // BM25 ranked retrieval — the LEXICAL complement of vs01's
+      // vector top-k: given a query (here: the distinct tokens of doc
+      // 42, a "more-like-this" probe both engines derive identically),
+      // score every matching doc by Okapi BM25 (k1=1.2, b=0.75) and
+      // return the top 10. Determinism discipline: every per-(doc,
+      // term) contribution is a pure IEEE expression of EXACT counts
+      // (tf, df, N, dl, avgdl = exact-int sum/count), quantized to the
+      // 1e-6 integer grid BEFORE the per-doc sum — so the sum is
+      // 64-bit integer arithmetic, immune to summation order across
+      // partitions AND engines (the dd19/vs05 grid discipline; tx13's
+      // "rounding absorbs it" would be unsafe here because ranking
+      // compares sums). Scale: posting join is pruned to the query's
+      // terms FIRST (candidate postings only), stats broadcast as a
+      // single-row aggregate, one groupBy on doc_id; the global top-10
+      // is a single bounded window over per-doc scores.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (SELECT DISTINCT unnest(toks) AS term FROM tk2 WHERE doc_id = 42),
+             |posts AS (SELECT doc_id, unnest(toks) AS term FROM tk2),
+             |qposts AS (SELECT doc_id, term FROM posts JOIN terms USING (term)),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT doc_id, sum(q) AS iscore FROM sc GROUP BY doc_id),
+             |r AS (SELECT doc_id, iscore,
+             |        row_number() OVER (ORDER BY iscore DESC, doc_id) AS rn
+             |      FROM agg)
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        val tk2 = docs(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), x => x =!= "").as("toks"))
+          .filter(size(col("toks")) > 0)
+        val terms = tk2.filter(col("doc_id") === 42)
+          .select(explode(array_distinct(col("toks"))).as("term"))
+        val posts = tk2.select(col("doc_id"), explode(col("toks")).as("term"))
+        val qposts = posts.join(broadcast(terms), "term")
+        val tf = qposts.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tk2.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        // single-row corpus stats: broadcast via crossJoin (bounded)
+        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        val dfq = qposts.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val contrib = log((col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        // global top-10 via distributed sort+limit (TakeOrderedAndProject
+        // — per-partition local top-10, bounded merge on the driver);
+        // the rank window then runs over <= 10 rows (onePart marker)
+        val w = Window.partitionBy(graft.ops.PrefixSum.onePart(col("doc_id")))
+          .orderBy(col("iscore").desc, col("doc_id"))
+        tf.join(dfq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            floor(contrib * lit(1000000) + lit(0.5)).cast("long").as("q"))
+          .groupBy("doc_id").agg(sum(col("q")).as("iscore"))
+          .orderBy(col("iscore").desc, col("doc_id")).limit(10)
+          .withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("rn").cast("long").as("rnk"),
+            round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+      })
   )
 
   /** EXACT all-pairs containment C(A,B) = |A∩B|/|A| >= 0.9 over word-3-

@@ -90,7 +90,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // vs22: the same signature screen (stage 2 re-ranks via equi-join)
       "vs21_hamming_topk", "vs22_hamming_rerank",
       // dd19: 1-row broadcast node count N seeding the PageRank grid
-      "dd19_authority_rank")
+      "dd19_authority_rank",
+      // tx30: 1-row broadcast corpus stats (N, avgdl) into BM25 scoring
+      "tx30_bm25_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
