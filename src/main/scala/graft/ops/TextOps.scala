@@ -1110,38 +1110,52 @@ object TextOps {
              |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
              |FROM r WHERE rn <= 10""".stripMargin),
       (s, d) => {
-        val tk2 = docs(s, d)
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), x => x =!= "").as("toks"))
-          .filter(size(col("toks")) > 0)
-        val terms = tk2.filter(col("doc_id") === 42)
-          .select(explode(array_distinct(col("toks"))).as("term"))
-        val posts = tk2.select(col("doc_id"), explode(col("toks")).as("term"))
-        val qposts = posts.join(broadcast(terms), "term")
-        val tf = qposts.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = tk2.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-        // single-row corpus stats: broadcast via crossJoin (bounded)
-        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-        val dfq = qposts.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-        val contrib = log((col("n") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
         // global top-10 via distributed sort+limit (TakeOrderedAndProject
         // — per-partition local top-10, bounded merge on the driver);
         // the rank window then runs over <= 10 rows (onePart marker)
         val w = Window.partitionBy(graft.ops.PrefixSum.onePart(col("doc_id")))
           .orderBy(col("iscore").desc, col("doc_id"))
-        tf.join(dfq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            floor(contrib * lit(1000000) + lit(0.5)).cast("long").as("q"))
-          .groupBy("doc_id").agg(sum(col("q")).as("iscore"))
+        bm25Scores(docs(s, d), queryDocId = 42)
           .orderBy(col("iscore").desc, col("doc_id")).limit(10)
           .withColumn("rn", row_number().over(w))
           .select(col("doc_id"), col("rn").cast("long").as("rnk"),
             round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
       })
   )
+
+  /** tx30's scoring kernel, reusable by the hybrid fusion (vs25):
+    * integer-grid Okapi BM25 (k1=1.2, b=0.75) of every corpus doc
+    * against the distinct tokens of `queryDocId`'s text. Returns
+    * (doc_id, iscore) where iscore = Σ_terms floor(contrib·1e6 + 0.5)
+    * as BIGINT — each per-(doc, term) contribution is a pure IEEE
+    * expression of exact counts, so the integer sum (and any ranking
+    * on it) is independent of summation order, partitioning, and
+    * engine. Postings are pruned to the query's terms before any
+    * aggregation; corpus stats (N, avgdl) broadcast as one row. */
+  def bm25Scores(corpus: org.apache.spark.sql.DataFrame,
+      queryDocId: Long): org.apache.spark.sql.DataFrame = {
+    val tk2 = corpus
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val terms = tk2.filter(col("doc_id") === queryDocId)
+      .select(explode(array_distinct(col("toks"))).as("term"))
+    val posts = tk2.select(col("doc_id"), explode(col("toks")).as("term"))
+    val qposts = posts.join(broadcast(terms), "term")
+    val tf = qposts.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tk2.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // single-row corpus stats: broadcast via crossJoin (bounded)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val dfq = qposts.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = log((col("n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(dfq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(contrib * lit(1000000) + lit(0.5)).cast("long").as("q"))
+      .groupBy("doc_id").agg(sum(col("q")).as("iscore"))
+  }
 
   /** EXACT all-pairs containment C(A,B) = |A∩B|/|A| >= 0.9 over word-3-
     * shingle sets, emitted as (a, b, cont_a_in_b) for a < b — tx14's

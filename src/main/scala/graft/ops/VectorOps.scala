@@ -1578,6 +1578,95 @@ object VectorOps {
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
             col("cid").as("pcid"))
         probeIvfIndex(s, path, probes, k = 3)
+      }),
+
+    QueryDef(
+      "vs25_hybrid_rrf",
+      // HYBRID retrieval — reciprocal-rank fusion of the two ranking
+      // modalities the engine ships: tx30's lexical BM25 leg and
+      // vs01's dense-cosine leg, for the same more-like-this query
+      // (doc 42 / its aligned embedding vec 42 — the doc_id = vec_id
+      // alignment vs20/mm12 established). Each leg ranks its top 50
+      // deterministically (BM25 on the integer-grid score; cosine on
+      // the 1e-6 grid, both tie-breaking on id), then
+      // RRF(doc) = Σ_legs 10⁹ DIV (60 + rank) — integer floor
+      // division (Spark DIV ≡ DuckDB // on non-negatives, the dd19
+      // grid discipline), so the fused ranking is exact in both
+      // engines with no float anywhere. This is the standard fusion
+      // that beats either leg alone on hybrid corpora (terms for
+      // precision, vectors for paraphrase recall). Scale: each leg is
+      // its already-proven plan + a distributed sort+limit 50; the
+      // fusion is a 50∪50-row full-outer join — driver-trivial.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (SELECT DISTINCT unnest(toks) AS term FROM tk2 WHERE doc_id = 42),
+             |posts AS (SELECT doc_id, unnest(toks) AS term FROM tk2),
+             |qposts AS (SELECT doc_id, term FROM posts JOIN terms USING (term)),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+             |bagg AS (SELECT doc_id, sum(q) AS iscore FROM sc
+             |         WHERE doc_id <> 42 GROUP BY doc_id),
+             |btop AS (SELECT doc_id,
+             |           row_number() OVER (ORDER BY iscore DESC, doc_id) AS r
+             |         FROM bagg QUALIFY r <= 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 42),
+             |cg AS (SELECT e.vec_id AS doc_id,
+             |         floor(list_cosine_similarity(pv, v) * 1000000 + 0.5) AS g
+             |       FROM e, p WHERE e.vec_id <> 42),
+             |ctop AS (SELECT doc_id,
+             |           row_number() OVER (ORDER BY g DESC, doc_id) AS r
+             |         FROM cg QUALIFY r <= 50),
+             |fused AS (
+             |  SELECT doc_id,
+             |    coalesce(1000000000 // (60 + b.r), 0)
+             |      + coalesce(1000000000 // (60 + c.r), 0) AS rrf
+             |  FROM btop b FULL OUTER JOIN ctop c USING (doc_id)),
+             |r AS (SELECT doc_id, rrf,
+             |        row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+             |      FROM fused)
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, CAST(rrf AS BIGINT) AS rrf
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        import graft.ops.PrefixSum.onePart
+        // lexical leg: tx30's integer-grid BM25 kernel
+        val wB = Window.partitionBy(onePart(col("doc_id")))
+          .orderBy(col("iscore").desc, col("doc_id"))
+        val btop = TextOps.bm25Scores(Tables(s, d, "documents"), queryDocId = 42)
+          .filter(col("doc_id") =!= 42)
+          .orderBy(col("iscore").desc, col("doc_id")).limit(50)
+          .withColumn("rb", row_number().over(wB)).select("doc_id", "rb")
+        // dense leg: grid-quantized cosine vs the aligned embedding
+        val e = emb(s, d)
+        val probe = e.filter(col("vec_id") === 42).select(col("v").as("pv"))
+        val wC = Window.partitionBy(onePart(col("doc_id")))
+          .orderBy(col("g").desc, col("doc_id"))
+        val ctop = e.filter(col("vec_id") =!= 42).crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            floor(cosine(col("pv"), col("v")) * lit(1000000) + lit(0.5))
+              .cast("long").as("g"))
+          .orderBy(col("g").desc, col("doc_id")).limit(50)
+          .withColumn("rc", row_number().over(wC)).select("doc_id", "rc")
+        val wF = Window.partitionBy(onePart(col("doc_id")))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        btop.join(ctop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 DIV (60 + rb)"), lit(0L)) +
+             coalesce(expr("1000000000 DIV (60 + rc)"), lit(0L))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rn", row_number().over(wF))
+          .select(col("doc_id"), col("rn").cast("long").as("rnk"),
+            col("rrf").cast("long").as("rrf"))
       })
   )
 }

@@ -92,7 +92,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // dd19: 1-row broadcast node count N seeding the PageRank grid
       "dd19_authority_rank",
       // tx30: 1-row broadcast corpus stats (N, avgdl) into BM25 scoring
-      "tx30_bm25_topk")
+      "tx30_bm25_topk",
+      // vs25: tx30's stats broadcast + vs01's 1-row broadcast probe
+      "vs25_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
