@@ -1120,6 +1120,108 @@ object TextOps {
           .withColumn("rn", row_number().over(w))
           .select(col("doc_id"), col("rn").cast("long").as("rnk"),
             round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+      }),
+
+    QueryDef(
+      "tx31_hard_negatives",
+      // HARD-NEGATIVE MINING for contrastive training: for each probe
+      // doc (40–44), the top-5 BM25-most-similar docs that are NOT
+      // near-duplicates — similar enough to be informative negatives,
+      // distinct enough not to be false negatives. The corpus carries
+      // an injected exact copy of every doc (ids +100000), so each
+      // probe's copy TOPS its raw BM25 ranking and the near-dup
+      // exclusion (dd06's exact J >= 0.8 pairs, both directions, plus
+      // self) must genuinely bite — a broken exclusion surfaces the
+      // duplicate as rank 1. One plan: [[bm25ScoresMulti]] (batch
+      // retrieval — term df/stats computed once, postings fan out only
+      // by the 5 probes' term lists), the never-all-pairs PPJoin edge
+      // kernel, an anti-join, and a per-probe top-5 window.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+             |          FROM tk2 WHERE doc_id BETWEEN 40 AND 44),
+             |posts AS (SELECT doc_id, unnest(toks) AS term FROM tk2),
+             |qposts AS (SELECT qid, doc_id, term FROM posts JOIN terms USING (term)),
+             |tf AS (SELECT qid, doc_id, term, count(*) AS tf FROM qposts GROUP BY 1, 2, 3),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT qid, tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+             |agg AS (SELECT qid, doc_id, sum(q) AS iscore FROM sc
+             |        WHERE doc_id <> qid GROUP BY 1, 2),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk2),
+             |post2 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             |  FROM post2 x JOIN post2 y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(shs) AS n2 FROM sh),
+             |edges AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sz sa ON sa.doc_id = a
+             |  JOIN sz sb ON sb.doc_id = b
+             |  WHERE CAST(i AS DOUBLE) / (sa.n2 + sb.n2 - i) >= 0.8),
+             |ex AS (SELECT a AS qid, b AS doc_id FROM edges
+             |       UNION ALL SELECT b, a FROM edges),
+             |neg AS (SELECT agg.qid, agg.doc_id, agg.iscore FROM agg
+             |        WHERE NOT EXISTS (SELECT 1 FROM ex
+             |          WHERE ex.qid = agg.qid AND ex.doc_id = agg.doc_id)),
+             |r AS (SELECT qid, doc_id, iscore,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY iscore DESC, doc_id) AS rn
+             |      FROM neg)
+             |SELECT qid, doc_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
+             |FROM r WHERE rn <= 5""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val u = base.unionByName(base.select(
+          (col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+        val scored = bm25ScoresMulti(u, col("doc_id").between(40, 44))
+          .filter(col("doc_id") =!= col("qid"))
+        // Probe-restricted near-dup exclusion — the scale shape: only
+        // J(probe, scored doc) can matter, so broadcast the 5 probes'
+        // sorted shingle hashes and verify exactly the scored pairs
+        // with the zero-alloc merge kernel (tx14's discipline) — no
+        // corpus-wide edge enumeration for a 5-probe batch. The
+        // J >= 0.8 gate is integral: 5i >= 4(qn+dn-i) ⇔ 9i >= 4(qn+dn).
+        // Shingle the store once (NOT semi-join-pruned to scored ids:
+        // that re-executes the whole scoring subplan as the prune's
+        // build side, and a term-sharing candidate set covers most of
+        // the corpus anyway — measured 2.4s -> 3.7s; the lshIndexProbe
+        // prune pays off only when candidates are selective relative
+        // to the store)
+        val hs = DedupOps.shingleSets(u).select(col("doc_id"),
+          size(col("shs")).cast("long").as("n"),
+          sort_array(transform(col("shs"), x => xxhash64(x))).as("hx"))
+        val probeHs = hs.filter(col("doc_id").between(40, 44))
+          .select(col("doc_id").as("qid"), col("n").as("qn"), col("hx").as("qh"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("iscore").desc, col("doc_id"))
+        scored.join(broadcast(probeHs), "qid").join(hs, "doc_id")
+          .withColumn("i", graft.functions.GraftFunctions
+            .sorted_intersect_count(col("qh"), col("hx")))
+          .filter(lit(9) * col("i") < lit(4) * (col("qn") + col("n")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("doc_id"), col("rn").cast("long").as("rnk"),
+            round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
       })
   )
 
@@ -1133,28 +1235,42 @@ object TextOps {
     * engine. Postings are pruned to the query's terms before any
     * aggregation; corpus stats (N, avgdl) broadcast as one row. */
   def bm25Scores(corpus: org.apache.spark.sql.DataFrame,
-      queryDocId: Long): org.apache.spark.sql.DataFrame = {
+      queryDocId: Long): org.apache.spark.sql.DataFrame =
+    bm25ScoresMulti(corpus, col("doc_id") === queryDocId).drop("qid")
+
+  /** Batch (multi-query) BM25 — the shape retrieval runs at scale:
+    * score every corpus doc against EVERY query doc selected by
+    * `probePred` in one plan. Returns (qid, doc_id, iscore). Term df,
+    * corpus stats, and the per-(doc, term) grid quantization are
+    * query-independent and computed once; the postings join fans out
+    * only by the probes' term lists (broadcast — probe batches are
+    * small by design). */
+  def bm25ScoresMulti(corpus: org.apache.spark.sql.DataFrame,
+      probePred: Column): org.apache.spark.sql.DataFrame = {
     val tk2 = corpus
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
-    val terms = tk2.filter(col("doc_id") === queryDocId)
-      .select(explode(array_distinct(col("toks"))).as("term"))
+    val terms = tk2.filter(probePred)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(col("toks"))).as("term"))
     val posts = tk2.select(col("doc_id"), explode(col("toks")).as("term"))
     val qposts = posts.join(broadcast(terms), "term")
-    val tf = qposts.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = qposts.groupBy("qid", "doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tk2.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     // single-row corpus stats: broadcast via crossJoin (bounded)
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val dfq = qposts.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df is a TERM property (query-independent): distinct docs per term
+    val dfq = qposts.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = log((col("n") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0)) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     tf.join(dfq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+      .select(col("qid"), col("doc_id"),
         floor(contrib * lit(1000000) + lit(0.5)).cast("long").as("q"))
-      .groupBy("doc_id").agg(sum(col("q")).as("iscore"))
+      .groupBy("qid", "doc_id").agg(sum(col("q")).as("iscore"))
   }
 
   /** EXACT all-pairs containment C(A,B) = |A∩B|/|A| >= 0.9 over word-3-

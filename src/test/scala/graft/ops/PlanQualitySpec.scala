@@ -94,7 +94,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // tx30: 1-row broadcast corpus stats (N, avgdl) into BM25 scoring
       "tx30_bm25_topk",
       // vs25: tx30's stats broadcast + vs01's 1-row broadcast probe
-      "vs25_hybrid_rrf")
+      "vs25_hybrid_rrf",
+      // tx31: the same 1-row corpus-stats broadcast (batch BM25 leg)
+      "tx31_hard_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
