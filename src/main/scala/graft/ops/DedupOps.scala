@@ -1158,7 +1158,7 @@ object DedupOps {
         val survivors = all.filter(col("doc_id") % 7 =!= 0)
         val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_del_").toString
+        val tmp = graft.core.Scratch.dir("graft_lsh_del_")
         writeLshIndexRows(
           lshIndexDelete(s.table(baseLshIndex(s, d)), lshBandIndex(removed)),
           "dd20_lsh_index_v2", s"$tmp/index_v2")
@@ -1233,7 +1233,7 @@ object DedupOps {
         val lakeV2 = all.filter(col("doc_id") % 9 =!= 0).unionByName(newU)
         val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_upd_").toString
+        val tmp = graft.core.Scratch.dir("graft_lsh_upd_")
         writeLshIndexRows(
           lshIndexUpsert(s.table(baseLshIndex(s, d)),
             lshBandIndex(oldU), lshBandIndex(newU)),
@@ -1306,8 +1306,8 @@ object DedupOps {
         // (RetentionSpec pins that), so every execution measures the
         // verb: O(1) dir drops + the sharded probe
         val store = shardStoreCache.computeIfAbsent(d, _ => {
-          val st = java.nio.file.Files
-            .createTempDirectory("graft_lsh_ret_").toString + "/shards"
+          val st = graft.core.Scratch.dir(
+            s"graft_lsh_ret_${d.hashCode & 0x7fffffff}_") + "/shards"
           (0 until 3).foreach { day =>
             lshBandIndex(all.filter(pmod(col("doc_id"), lit(3)) === day))
               .write.parquet(s"$st/day=$day")
@@ -1679,8 +1679,8 @@ object DedupOps {
   private def baseLshIndex(s: SparkSession, d: String): String =
     baseIndexCache.computeIfAbsent(d, _ => {
       val table = s"lsh_base_${d.hashCode & 0x7fffffff}"
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_lsh_idx_").toString
+      val tmp = graft.core.Scratch.dir(
+        s"graft_lsh_idx_${d.hashCode & 0x7fffffff}_")
       writePortableLshIndex(docs(s, d).select("doc_id", "text"),
         table, s"$tmp/index")
       table
@@ -1824,8 +1824,14 @@ object DedupOps {
     val prefix = s"$partitionCol="
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix) && n.drop(prefix.length).toLong < cutoff)
-        fs.delete(st.getPath, true)
+      // Tolerate non-numeric partition values (__HIVE_DEFAULT_PARTITION__,
+      // stray staging dirs): skip anything that doesn't parse, per the
+      // "ignores non-shard entries" contract above.
+      val shardValue =
+        if (n.startsWith(prefix))
+          scala.util.Try(n.drop(prefix.length).toLong).toOption
+        else None
+      if (shardValue.exists(_ < cutoff)) fs.delete(st.getPath, true)
     }
   }
 

@@ -521,12 +521,21 @@ object EventOps {
     // standard pos = q·(n-1) order-statistic form, written identically
     // in both engines; sf0.1's 20k-row groups exercise the SAMPLED
     // tier under the bit-parity gate, not just the exact one.
+    // Guarantee bounds (r7 advice): (1) the kernel's TreeSet collapses
+    // duplicate (hv, value) pairs where the oracle's rank window keeps
+    // both — md5_low60's 60-bit space makes a same-value collision a
+    // birthday event at ~2^30 rows PER GROUP, so bit-parity and the
+    // exact-below-k sample size are scale-bounded there (the sampled
+    // tier's ~sqrt(q(1-q)/k) rank error is unaffected: dropping one of
+    // two identical (hash, value) pairs perturbs ranks by ≤1);
+    // (2) both tiers state the same null contract explicitly — the
+    // kernel skips NULL values, the oracle filters them before ranking.
     QueryDef(
       "ev14_approx_quantiles",
       Some("""WITH h AS (
              |  SELECT event_type, value,
              |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL),
              |r AS (
              |  SELECT event_type, value,
              |    row_number() OVER (PARTITION BY event_type ORDER BY hv, value) AS rn

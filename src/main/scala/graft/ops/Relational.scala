@@ -643,7 +643,7 @@ object Relational {
              |FROM lineitem GROUP BY 1""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt_").toString
+        val tmp = graft.core.Scratch.dir("graft_csv_rt_")
         val opts = Map("header" -> "true", "escape" -> "\"")
         li(s, d)
           .select(col("l_orderkey"), col("l_quantity"),
@@ -718,7 +718,7 @@ object Relational {
              |FROM orders GROUP BY 1""".stripMargin),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_json_rt_").toString
+        val tmp = graft.core.Scratch.dir("graft_json_rt_")
         ord(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
           .write.mode("overwrite").json(tmp)
         val schema = StructType(Seq(
@@ -1058,7 +1058,7 @@ object Relational {
              |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
              |FROM lineitem GROUP BY 1""".stripMargin),
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt_").toString
+        val tmp = graft.core.Scratch.dir("graft_orc_rt_")
         li(s, d)
           .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate")
           .write.mode("overwrite").orc(tmp)
@@ -1084,7 +1084,7 @@ object Relational {
              |FROM lineitem WHERE l_returnflag IN ('R', 'A')
              |GROUP BY 1, 2""".stripMargin),
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_part_rt_").toString
+        val tmp = graft.core.Scratch.dir("graft_part_rt_")
         li(s, d)
           .select("l_orderkey", "l_quantity", "l_linestatus", "l_returnflag")
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
@@ -1111,7 +1111,7 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin),
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+        val tmp = graft.core.Scratch.dir("graft_bkt_")
         s.read.parquet(s"$d/orders.parquet")
           .select("o_custkey", "o_totalprice")
           .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -1453,7 +1453,7 @@ object Relational {
              |  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
              |FROM orders GROUP BY 1""".stripMargin),
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_nested_").toString
+        val tmp = graft.core.Scratch.dir("graft_nested_")
         ord(s, d)
           .select(
             struct(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"))

@@ -206,8 +206,7 @@ object VectorOps {
     val touched = spark.read.parquet(td.toString)
       .select(col("cid").cast(index.schema("cid").dataType).as("cid"))
       .distinct().collect().map(_.get(0))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_ivf_vacuum_").toString + "/staged"
+    val tmp = graft.core.Scratch.dir("graft_ivf_vacuum_") + "/staged"
     minusTombstones(spark, path, index.filter(col("cid").isin(touched: _*)))
       .write.parquet(tmp) // flat: cid stays a data column while staged
     touched.foreach(c =>
@@ -1514,8 +1513,7 @@ object VectorOps {
         val e = emb(s, d)
         val centroids = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivf_append_").resolve("idx").toString
+        val path = graft.core.Scratch.dir("graft_ivf_append_") + "/idx"
         writeIvfIndex(e.filter(col("vec_id") % 10 =!= 0), centroids, path)
         appendIvfIndex(e.filter(col("vec_id") % 10 === 0), centroids, path)
         val probes = assignClusters(
@@ -1569,8 +1567,7 @@ object VectorOps {
         val e = emb(s, d)
         val centroids = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivf_delete_").resolve("idx").toString
+        val path = graft.core.Scratch.dir("graft_ivf_delete_") + "/idx"
         writeIvfIndex(e, centroids, path)
         tombstoneIvfDelete(e.filter(col("vec_id") % 7 === 0), centroids, path)
         val probes = assignClusters(

@@ -306,9 +306,8 @@ object StreamQueries {
         val inDir = java.nio.file.Files.createTempDirectory("graft_cdc_in_")
         val file = java.nio.file.Paths.get(src)
         java.nio.file.Files.createSymbolicLink(inDir.resolve(file.getFileName), file)
-        val table = java.nio.file.Files
-          .createTempDirectory("graft_cdc_tab_").resolve("t").toString
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_").toString
+        val table = graft.core.Scratch.dir("graft_cdc_tab_") + "/t"
+        val ckpt = graft.core.Scratch.dir("graft_cdc_ckpt_")
         // seed table: the pre-existing state the stream updates — the
         // first events replayed to last-writer form
         val raw = Tables(s, d, "events")
@@ -548,13 +547,14 @@ object StreamQueries {
         // runStream's schema-probe cache, so a min-of-3 bench measures
         // the ingest rather than re-staging an immutable input.
         val inDir = landingCache.computeIfAbsent(s"$d/documents.parquet", _ => {
-          val staged = java.nio.file.Files
-            .createTempDirectory("graft_lsh_landing_")
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_lsh_landing_${d.hashCode & 0x7fffffff}_"))
           docsDf.repartition(4, col("doc_id"))
             .write.mode("overwrite").parquet(s"$staged/in")
           s"$staged/in"
         })
-        val base = java.nio.file.Files.createTempDirectory("graft_lsh_ingest_")
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_lsh_ingest_"))
         // checkpoint on tmpfs when present — deployment config, not
         // semantics (see runStream's harness-floor note)
         val ckBase = java.nio.file.Paths.get("/dev/shm")
@@ -628,13 +628,14 @@ object StreamQueries {
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         val raw = graft.Tables(s, d, "embeddings").select("vec_id", "embedding")
         val inDir = landingCache.computeIfAbsent(s"$d/embeddings.parquet", _ => {
-          val staged = java.nio.file.Files
-            .createTempDirectory("graft_ivf_landing_")
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_ivf_landing_${d.hashCode & 0x7fffffff}_"))
           raw.repartition(4, col("vec_id"))
             .write.mode("overwrite").parquet(s"$staged/in")
           s"$staged/in"
         })
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_ingest_")
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_ivf_ingest_"))
         val ckBase = java.nio.file.Paths.get("/dev/shm")
         val ck = java.nio.file.Files.createTempDirectory(
           if (java.nio.file.Files.isWritable(ckBase)) ckBase
