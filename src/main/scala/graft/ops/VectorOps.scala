@@ -215,6 +215,27 @@ object VectorOps {
     spark.read.parquet(tmp).write.partitionBy("cid").mode("append").parquet(path)
   }
 
+  /** RE-VERSION (the UPDATE verb) on the IVF index — the vector-lake
+    * counterpart of [[graft.ops.DedupOps.lshIndexUpsert]]: replace the
+    * stored vectors of `oldVectors`' ids with `newVectors` (same ids,
+    * edited embeddings) at batch cost, without rebuilding. The
+    * composition is tombstone → vacuum → append IN THAT ORDER: a
+    * tombstone kills by (vec_id, cid), so appending a new version that
+    * lands in the SAME cell before the sidecar is folded away would be
+    * shadowed by its own id's tombstone (IvfDeleteSpec pins both the
+    * hazard and this safe ordering). Cost: O(edit batch) for tombstone
+    * and append + a vacuum rewrite of only the cells the OLD versions
+    * occupied — the index's other cells are never read or written.
+    * After the verb, probes see exactly the index a fresh
+    * [[writeIvfIndex]] over the edited lake would build (vs26's oracle
+    * holds it to that full-recompute answer). */
+  def reversionIvfIndex(spark: SparkSession, oldVectors: DataFrame,
+      newVectors: DataFrame, centroids: DataFrame, path: String): Unit = {
+    tombstoneIvfDelete(oldVectors, centroids, path)
+    vacuumIvfIndex(spark, path)
+    appendIvfIndex(newVectors, centroids, path)
+  }
+
   /** Top-k cosine neighbors of each probe within the probe's cell.
     * `probes` cols: (probe_id, pv, pcid). The `cid isin` filter prunes
     * the scan to the probed partitions. Probe sets are small by design
@@ -1664,6 +1685,73 @@ object VectorOps {
           .withColumn("rn", row_number().over(wF))
           .select(col("doc_id"), col("rn").cast("long").as("rnk"),
             col("rrf").cast("long").as("rrf"))
+      }),
+
+    QueryDef(
+      "vs26_ivf_update",
+      // RE-VERSION in the IVF lifecycle — the UPDATE verb
+      // ([[reversionIvfIndex]]), closing the CRUD symmetry with the
+      // LSH index (dd21): every 9th vector is re-embedded (v2 = v with
+      // +0.1 added to every component — the vector analog of dd21's
+      // "v2 " token edit: the new version stays near its old
+      // neighborhood but its cosines, and possibly its cell, change),
+      // and the persisted index is updated in place at batch cost:
+      // tombstone the OLD versions (their own content names their
+      // cells), vacuum to fold the sidecar (so a same-cell re-insert
+      // isn't shadowed — the IvfDeleteSpec hazard), append the NEW
+      // versions under the frozen codebook. The oracle replays the
+      // whole edited lake from scratch — assignment, cells, probes —
+      // so the in-place verb is held to the full-rebuild answer:
+      // stale versions must vanish from top-3s AND re-versioned
+      // vectors must re-enter wherever their new embedding ranks.
+      // Codebook wrinkle as in vs24: seed vector 0 is itself edited in
+      // the lake, yet its ORIGINAL embedding stays the cid=0 centroid —
+      // the codebook is derived data, frozen at build time.
+      // `+ 0.0` after round: a shifted cosine can be negative near a
+      // round-4 boundary (the vs05 -0.0 rule).
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |e2 AS (SELECT vec_id, CASE WHEN vec_id % 9 = 0
+             |         THEN list_transform(v, x -> x + 0.1e0) ELSE v END AS v
+             |       FROM e),
+             |a AS (SELECT e2.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e2.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e2, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e2.vec_id AS probe_id, e2.v AS pv, a2.cid AS pcid
+             |      FROM e2 JOIN asg a2 ON e2.vec_id = a2.vec_id
+             |      WHERE e2.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e2.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e2.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e2 ON e2.vec_id = asg.vec_id
+             |         WHERE e2.vec_id <> probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) + 0.0 AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val path = graft.core.Scratch.dir("graft_ivf_update_") + "/idx"
+        writeIvfIndex(e, centroids, path)
+        val oldV = e.filter(col("vec_id") % 9 === 0)
+        val newV = oldV.select(col("vec_id"),
+          transform(col("v"), x => x + lit(0.1)).as("v"))
+        reversionIvfIndex(s, oldV, newV, centroids, path)
+        // the edited lake, only to derive the probe batch (probes
+        // 100–104 are not multiples of 9, so they are unedited)
+        val e2 = e.filter(col("vec_id") % 9 =!= 0).unionByName(newV)
+        val probes = assignClusters(
+          e2.filter(col("vec_id").between(100, 104)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        probeIvfIndex(s, path, probes, k = 3)
+          .withColumn("cos", col("cos") + lit(0.0))
       })
   )
 }

@@ -123,16 +123,19 @@ class IvfDeleteSpec extends AnyFunSuite {
     // by (vec_id, cid) and would shadow a new version landing in the
     // same cell
     val path = newIndex("graft_ivfdel_rev_")
+    val fullAnswer = rows(VectorOps.probeIvfIndex(spark, path, probes, k = 3))
     val newV = removed.select(col("vec_id"), reverse(col("v")).as("v"))
-    VectorOps.tombstoneIvfDelete(removed, centroids, path)
-    VectorOps.vacuumIvfIndex(spark, path)
-    VectorOps.appendIvfIndex(newV, centroids, path)
+    VectorOps.reversionIvfIndex(spark, removed, newV, centroids, path)
 
     val rebuilt = java.nio.file.Files
       .createTempDirectory("graft_ivfdel_rev_ref_").toString + "/idx"
     VectorOps.writeIvfIndex(survivors.unionByName(newV), centroids, rebuilt)
-    assert(rows(VectorOps.probeIvfIndex(spark, path, probes, k = 3)) ==
-      rows(VectorOps.probeIvfIndex(spark, rebuilt, probes, k = 3)))
+    val updated = rows(VectorOps.probeIvfIndex(spark, path, probes, k = 3))
+    assert(updated == rows(VectorOps.probeIvfIndex(spark, rebuilt, probes, k = 3)))
+    // the update genuinely changed answers (stale versions were in
+    // pre-update top-3s — same overlap alarm as the delete test)
+    assert(fullAnswer.exists(_._2 % 7 == 0), "test corpus lost its overlap — weaken alarm")
+    assert(updated != fullAnswer)
 
     // and the contract edge the ordering exists for: WITHOUT the
     // vacuum, a same-cell re-insert is shadowed by its own tombstone
