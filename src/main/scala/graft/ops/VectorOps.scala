@@ -797,11 +797,19 @@ object VectorOps {
       // by cosine among its CANDIDATES. Since r5 the registered plan
       // is the 100 TB shape, not the N² kernel: candidates come from
       // the vs02 IVF layout — every vector lives in its (integer-exact
-      // L2) home cell, every source probes its top-2 cells, and
+      // L2) home cell, every source probes its top-4 cells, and
       // scoring joins probes×homes ON THE CELL KEY, so work shards by
       // cell across executors and the pair count drops from N² to
-      // ~Σ|probe_c|·|home_c| (≈N²/4 at 8 cells; with √N cells the
-      // standard IVF economics apply). The assignment metric is the
+      // ~Σ|probe_c|·|home_c| (≈N²/2 at 8 cells; with √N cells the
+      // standard IVF economics apply). nprobe = 4 is the operating
+      // point chosen OFF THE PUBLISHED CURVE (SKETCH_QUALITY's
+      // vs10_nprobe_recall_curve: 0.30/0.36/0.60/1.0 at 1/2/4/8 on
+      // the adversarial near-uniform test corpus): the 2→4 step buys
+      // the curve's largest recall increment (+0.24) for ~2× probe
+      // reads, while 8 of 8 cells would just be the N² kernel —
+      // r7 verdict task 4's defensible default. On clustered corpora
+      // (IVF's regime) even nprobe = 2 clears 0.95 (IvfIndexSpec), so
+      // 4 is conservative there. The assignment metric is the
       // engine-independent quantized L2 ([[rankCellsL2Exact]], vs05's
       // discipline) so both engines derive IDENTICAL candidate sets —
       // which is what keeps this multiprobe plan ORACLE-EXACT rather
@@ -822,7 +830,7 @@ object VectorOps {
              |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, cid) AS arn
              |      FROM q, c),
              |home AS (SELECT r.vec_id AS nb, cid FROM r WHERE arn = 1),
-             |probes AS (SELECT r.vec_id AS src, cid FROM r WHERE arn <= 2),
+             |probes AS (SELECT r.vec_id AS src, cid FROM r WHERE arn <= 4),
              |sc AS (SELECT p.src, h.nb, list_cosine_similarity(ev.v, eh.v) AS c
              |       FROM probes p JOIN home h USING (cid)
              |       JOIN e ev ON ev.vec_id = p.src JOIN e eh ON eh.vec_id = h.nb
@@ -836,7 +844,7 @@ object VectorOps {
       (s, d) => {
         val e = emb(s, d)
         val cents = seedCells(e)
-        mutualKnnCelled(e, cents, nprobe = 2)
+        mutualKnnCelled(e, cents, nprobe = 4)
       }),
 
     QueryDef(

@@ -48,10 +48,12 @@ class SketchQualitySpec extends AnyFunSuite {
     // miss here means the celled plan drops pairs for some other
     // reason than probe selection
     assert(curve.last == 1.0, s"full-probe recall ${curve.last}")
-    // the REGISTERED operating point (nprobe = 2) sits on the curve —
-    // the artifact's headline vs10 recall is the curve's second point
-    assert(m("vs10_mutual_knn")("recall_vs_exact") == curve(1),
-      s"registered point ${m("vs10_mutual_knn")("recall_vs_exact")} vs curve ${curve(1)}")
+    // the REGISTERED operating point (nprobe = 4 since r8 — picked
+    // off this curve: the 2→4 step buys the largest recall increment
+    // for ~2× probe reads) sits on the curve — the artifact's headline
+    // vs10 recall is the curve's third point
+    assert(m("vs10_mutual_knn")("recall_vs_exact") == curve(2),
+      s"registered point ${m("vs10_mutual_knn")("recall_vs_exact")} vs curve ${curve(2)}")
   }
 
   test("ev14 quantiles: sample and GK tiers both within 1% rank error") {
