@@ -1676,7 +1676,7 @@ object DedupOps {
   private val shardStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  private def baseLshIndex(s: SparkSession, d: String): String =
+  private[ops] def baseLshIndex(s: SparkSession, d: String): String =
     baseIndexCache.computeIfAbsent(d, _ => {
       val table = s"lsh_base_${d.hashCode & 0x7fffffff}"
       val tmp = graft.core.Scratch.dir(

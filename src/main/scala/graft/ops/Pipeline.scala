@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,6 +394,186 @@ object Pipeline {
           .select(col("source"), col("n_docs"), col("tokens"), col("target_tokens"),
             round(col("target_tokens").cast("double") / col("tokens"), 4).as("sample_rate"),
             expr("(target_tokens + tokens - 1) DIV tokens").cast("long").as("epochs"))
+      }),
+
+    QueryDef(
+      "pp06_incremental_corpus",
+      // The INCREMENTAL corpus build end-to-end — every index-lifecycle
+      // verb composed the way a day-2 production run chains them, in
+      // one query, so cross-verb interface drift the per-verb gates
+      // (dd17/dd20/dd23/sp11) cannot see is caught here:
+      //
+      //   takedown: every 13th lake doc is removed — dd20's
+      //     content-addressed DELETE prunes the persisted LSH index
+      //     (the base index is the shared input fixture)
+      //   ingest: dd17's batch (every 10th doc re-arriving under a new
+      //     id) probes the PRUNED index against survivors ∪ batch
+      //   admission: a batch doc named as the larger end of any
+      //     J >= 0.8 probe pair is REJECTED (it duplicates surviving
+      //     content, or a smaller-id batch doc — the greedy-by-id
+      //     representative rule); docs whose only copy was taken down
+      //     are genuinely new and must be ADMITTED, so deletion
+      //     changes admission, not just postings
+      //   corpus v2 = survivors ∪ admitted
+      //   split: dd23's leak-free discipline on corpus v2 — EXACT
+      //     PPJoin edges, connected components, cluster-keyed hash
+      //     split (LSH missing a pair must not leak: the split stage
+      //     re-derives edges exactly)
+      //   pack: sp11's snake-draft curriculum deal, PER SPLIT (a shard
+      //     never mixes train and test), via the distributed two-phase
+      //     prefix rank — no single-partition window
+      //
+      // The oracle replays the whole chain from scratch in DuckDB —
+      // the staged engine pipeline is held to the one-shot
+      // full-recompute answer, membership-sensitive via per-shard
+      // id_sum. Scale: every stage is a proven 100 TB shape — index
+      // delete O(takedown), probe O(batch + touched postings), exact
+      // edges via the never-all-pairs posting join, CC O(diameter)
+      // rounds, pack two-phase rank; the only materializations are
+      // the index write (the verb) and the per-split rank inputs.
+      Some("""WITH sv AS (
+             |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 13 <> 0),
+             |bt AS (
+             |  SELECT doc_id + 100000 AS doc_id, text, n_chars
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |u AS (SELECT doc_id, text FROM sv
+             |      UNION ALL SELECT doc_id, text FROM bt),
+             |tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b),
+             |rej AS (
+             |  SELECT DISTINCT b AS doc_id FROM v
+             |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8 AND b >= 100000),
+             |corpus AS (
+             |  SELECT doc_id, n_chars FROM sv
+             |  UNION ALL
+             |  SELECT doc_id, n_chars FROM bt
+             |  WHERE NOT EXISTS (SELECT 1 FROM rej WHERE rej.doc_id = bt.doc_id)),
+             |post AS (
+             |  SELECT s2.doc_id, unnest(s2.shs) AS s
+             |  FROM sh s2 JOIN corpus c ON c.doc_id = s2.doc_id),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT s2.doc_id, len(s2.shs) AS n
+             |       FROM sh s2 JOIN corpus c ON c.doc_id = s2.doc_id),
+             |edges AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sz sa ON sa.doc_id = a
+             |  JOIN sz sb ON sb.doc_id = b
+             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |sym AS (SELECT a AS src, b AS dst FROM edges
+             |        UNION ALL SELECT b, a FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM corpus
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, lbl FROM r),
+             |cc AS (SELECT node AS doc_id, min(lbl) AS canonical
+             |       FROM reach GROUP BY node),
+             |spl AS (
+             |  SELECT doc_id,
+             |    CASE WHEN CAST(concat('0x',
+             |        substr(md5(CAST(canonical AS VARCHAR)), 1, 15)) AS BIGINT)
+             |        % 10 < 8
+             |      THEN 'train' ELSE 'test' END AS split
+             |  FROM cc),
+             |rk AS (
+             |  SELECT c.doc_id, c.n_chars, spl.split,
+             |    row_number() OVER (PARTITION BY spl.split
+             |      ORDER BY c.n_chars DESC, c.doc_id) - 1 AS r0
+             |  FROM corpus c JOIN spl USING (doc_id)),
+             |a2 AS (
+             |  SELECT split, doc_id, n_chars,
+             |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+             |         ELSE 7 - (r0 % 8) END AS shard
+             |  FROM rk)
+             |SELECT split, CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM a2 GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val all = docs(s, d).select("doc_id", "text", "n_chars")
+        val takedown = all.filter(col("doc_id") % 13 === 0)
+          .select("doc_id", "text")
+        val survivors = all.filter(col("doc_id") % 13 =!= 0)
+        val batch = all.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            col("text"), col("n_chars"))
+        // takedown first: the pruned index is what the ingest probes
+        DedupOps.writeLshIndexRows(
+          DedupOps.lshIndexDelete(
+            s.table(DedupOps.baseLshIndex(s, d)),
+            DedupOps.lshBandIndex(takedown)),
+          "pp06_index_v2",
+          graft.core.Scratch.dir("graft_pp06_idx_") + "/index_v2")
+        val pairs = DedupOps.lshIndexProbe(
+          batch.select("doc_id", "text"),
+          s.table("pp06_index_v2"),
+          survivors.select("doc_id", "text")
+            .unionByName(batch.select("doc_id", "text")))
+        val admitted = batch.join(
+          pairs.select(col("b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val corpus = survivors.unionByName(admitted)
+        val edges = DedupOps
+          .exactJaccardPairs(corpus.select("doc_id", "text")).select("a", "b")
+        val cc = DedupOps.connectedComponents(
+          corpus.select(col("doc_id").as("id")), edges)
+        val withSplit = corpus.join(
+          cc.select(col("id").as("doc_id"),
+            when(pmod(DedupOps.portableHash60(col("label").cast("string")),
+              lit(10)) < 8, lit("train")).otherwise(lit("test")).as("split")),
+          "doc_id")
+        def packed(side: DataFrame, name: String): DataFrame =
+          PrefixSum.byLongKey(
+              side.withColumn("negc", -col("n_chars").cast("long")),
+              "negc", Seq(col("doc_id")), lit(1L), "r0", inclusive = false)
+            .withColumn("shard",
+              when(expr("(r0 DIV 8) % 2") === 0, col("r0") % 8)
+                .otherwise(lit(7) - col("r0") % 8))
+            .groupBy(col("shard").cast("long").as("shard"))
+            .agg(count(lit(1)).as("n"),
+              sum("n_chars").cast("long").as("sum_chars"),
+              sum("doc_id").cast("long").as("id_sum"))
+            .withColumn("split", lit(name))
+        packed(withSplit.filter(col("split") === "train"), "train")
+          .unionByName(packed(withSplit.filter(col("split") === "test"), "test"))
+          .select("split", "shard", "n", "sum_chars", "id_sum")
       })
   )
 }
