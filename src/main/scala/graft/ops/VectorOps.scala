@@ -1760,6 +1760,153 @@ object VectorOps {
             col("cid").as("pcid"))
         probeIvfIndex(s, path, probes, k = 3)
           .withColumn("cos", col("cos") + lit(0.0))
+      }),
+
+    QueryDef(
+      "vs27_retrieval_recall",
+      // RETRIEVAL QUALITY EVAL for the ranking family (r7 verdict
+      // task 7): vs06 grades ANN recall, but nothing graded tx30's
+      // BM25 or vs25's RRF fusion — this query measures recall@10 of
+      // each leg AND the fusion against planted ground truth, and is
+      // itself oracle-gated (the metric pipeline, not just the number,
+      // is held bit-exact). Construction: each probe doc q (40–44)
+      // gets TWO planted relevants the two legs are asymmetrically
+      // blind to — a LEXICAL twin (q+100000: q's exact text, but a
+      // DONOR's (q+100) embedding — BM25 pins it at the top, cosine
+      // sees an unrelated vector) and a SEMANTIC twin (q+200000: the
+      // donor's text, but q's own embedding — cosine 1.0, BM25 sees
+      // unrelated terms). So each leg alone can reach at most half the
+      // truth by construction, and reciprocal-rank fusion — which
+      // needs NO score calibration across the incomparable integer
+      // grids, exactly why RRF is the standard hybrid — recovers both:
+      // the published numbers show recall(rrf) >= max(recall(bm25),
+      // recall(dense)) (RetrievalEvalSpec pins the inequality; the
+      // classic Cormack/Clarke/Buettcher finding reproduced under a
+      // bit-exact gate). Top-10s via the mergeable topk_by_score
+      // aggregate — O(groups·k) shuffle, no per-probe corpus sort —
+      // and the same (score DESC, id ASC) total order as the oracle's
+      // rank windows; RRF points are integer floor divisions, so every
+      // ranking and tie is engine-exact.
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |u AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM base WHERE doc_id BETWEEN 40 AND 44
+             |  UNION ALL
+             |  SELECT doc_id - 100 + 200000, text FROM base WHERE doc_id BETWEEN 140 AND 144
+             |), tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+             |          FROM tk2 WHERE doc_id BETWEEN 40 AND 44),
+             |posts AS (SELECT doc_id, unnest(toks) AS term FROM tk2),
+             |qposts AS (SELECT qid, doc_id, term FROM posts JOIN terms USING (term)),
+             |tf AS (SELECT qid, doc_id, term, count(*) AS tf FROM qposts GROUP BY 1, 2, 3),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT qid, tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+             |agg AS (SELECT qid, doc_id, sum(q) AS iscore FROM sc
+             |        WHERE doc_id <> qid GROUP BY 1, 2),
+             |bm AS (SELECT qid, doc_id,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY iscore DESC, doc_id) AS r
+             |       FROM agg QUALIFY r <= 10),
+             |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |evu AS (
+             |  SELECT vec_id, v FROM ev
+             |  UNION ALL
+             |  SELECT vec_id - 100 + 100000, v FROM ev WHERE vec_id BETWEEN 140 AND 144
+             |  UNION ALL
+             |  SELECT vec_id + 200000, v FROM ev WHERE vec_id BETWEEN 40 AND 44),
+             |pv AS (SELECT vec_id AS qid, v AS pv FROM ev WHERE vec_id BETWEEN 40 AND 44),
+             |cg AS (SELECT qid, evu.vec_id AS doc_id,
+             |         floor(list_cosine_similarity(pv, v) * 1000000 + 0.5) AS g
+             |       FROM pv, evu WHERE evu.vec_id <> qid),
+             |dn AS (SELECT qid, doc_id,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY g DESC, doc_id) AS r
+             |       FROM cg QUALIFY r <= 10),
+             |fused AS (
+             |  SELECT qid, doc_id,
+             |    coalesce(1000000000 // (60 + b.r), 0)
+             |      + coalesce(1000000000 // (60 + c.r), 0) AS rrf
+             |  FROM bm b FULL OUTER JOIN dn c USING (qid, doc_id)),
+             |rr AS (SELECT qid, doc_id,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY rrf DESC, doc_id) AS r
+             |       FROM fused QUALIFY r <= 10),
+             |eb AS (SELECT count(*) AS hits FROM bm
+             |       WHERE doc_id = qid + 100000 OR doc_id = qid + 200000),
+             |ed AS (SELECT count(*) AS hits FROM dn
+             |       WHERE doc_id = qid + 100000 OR doc_id = qid + 200000),
+             |er AS (SELECT count(*) AS hits FROM rr
+             |       WHERE doc_id = qid + 100000 OR doc_id = qid + 200000)
+             |SELECT 'bm25' AS system, CAST(hits AS BIGINT) AS hits,
+             |  CAST(10 AS BIGINT) AS n_rel,
+             |  round(CAST(hits AS DOUBLE) / 10, 4) AS recall FROM eb
+             |UNION ALL
+             |SELECT 'dense', CAST(hits AS BIGINT), CAST(10 AS BIGINT),
+             |  round(CAST(hits AS DOUBLE) / 10, 4) FROM ed
+             |UNION ALL
+             |SELECT 'rrf', CAST(hits AS BIGINT), CAST(10 AS BIGINT),
+             |  round(CAST(hits AS DOUBLE) / 10, 4) FROM er""".stripMargin),
+      (s, d) => {
+        val base = Tables(s, d, "documents").select("doc_id", "text")
+        val u = base
+          .unionByName(base.filter(col("doc_id").between(40, 44))
+            .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id").between(140, 144))
+            .select((col("doc_id") - lit(100L) + lit(200000L)).as("doc_id"),
+              col("text")))
+        def top10(scored: DataFrame, score: Column): DataFrame = scored
+          .groupBy("qid")
+          .agg(GraftFunctions.topk_by_score(col("doc_id"), score, 10).as("tk"))
+          .select(col("qid"), posexplode(col("tk")))
+          .select(col("qid"), col("col.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("r"))
+        val bm = top10(
+          TextOps.bm25ScoresMulti(u, col("doc_id").between(40, 44))
+            .filter(col("doc_id") =!= col("qid")),
+          col("iscore").cast("double"))
+        val e = emb(s, d)
+        val evu = e
+          .unionByName(e.filter(col("vec_id").between(140, 144))
+            .select((col("vec_id") - lit(100L) + lit(100000L)).as("vec_id"),
+              col("v")))
+          .unionByName(e.filter(col("vec_id").between(40, 44))
+            .select((col("vec_id") + lit(200000L)).as("vec_id"), col("v")))
+        val pv = e.filter(col("vec_id").between(40, 44))
+          .select(col("vec_id").as("qid"), col("v").as("pv"))
+        val dn = top10(
+          evu.crossJoin(broadcast(pv)).filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              floor(cosine(col("pv"), col("v")) * lit(1000000) + lit(0.5))
+                .cast("long").as("g")),
+          col("g").cast("double"))
+        val rr = top10(
+          bm.select(col("qid"), col("doc_id"), col("r").as("rb"))
+            .join(dn.select(col("qid"), col("doc_id"), col("r").as("rc")),
+              Seq("qid", "doc_id"), "full_outer")
+            .select(col("qid"), col("doc_id"),
+              (coalesce(expr("1000000000 DIV (60 + rb)"), lit(0L)) +
+               coalesce(expr("1000000000 DIV (60 + rc)"), lit(0L))).as("rrf")),
+          col("rrf").cast("double"))
+        def recallRow(leg: DataFrame, name: String): DataFrame = leg
+          .filter(col("doc_id") === col("qid") + lit(100000L) ||
+            col("doc_id") === col("qid") + lit(200000L))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("system"), col("hits"), lit(10L).as("n_rel"),
+            round(col("hits").cast("double") / lit(10), 4).as("recall"))
+        recallRow(bm, "bm25")
+          .unionByName(recallRow(dn, "dense"))
+          .unionByName(recallRow(rr, "rrf"))
       })
   )
 }
