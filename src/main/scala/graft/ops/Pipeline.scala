@@ -549,16 +549,22 @@ object Pipeline {
         val admitted = batch.join(
           pairs.select(col("b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        val corpus = survivors.unionByName(admitted)
+        // corpus v2 feeds FOUR consumers (edge derivation, CC nodes,
+        // the split join, and both packs through it) — without a pin
+        // each would re-execute the whole probe/admission pipeline
+        val corpus = Pin.once(survivors.unionByName(admitted))
         val edges = DedupOps
           .exactJaccardPairs(corpus.select("doc_id", "text")).select("a", "b")
         val cc = DedupOps.connectedComponents(
           corpus.select(col("doc_id").as("id")), edges)
-        val withSplit = corpus.join(
+        // pinned: both packs filter it, and CC's label frame upstream
+        // is itself multi-round — total pins here stay within the
+        // PinBudgetSpec Keep bound
+        val withSplit = Pin.once(corpus.join(
           cc.select(col("id").as("doc_id"),
             when(pmod(DedupOps.portableHash60(col("label").cast("string")),
               lit(10)) < 8, lit("train")).otherwise(lit("test")).as("split")),
-          "doc_id")
+          "doc_id"))
         def packed(side: DataFrame, name: String): DataFrame =
           PrefixSum.byLongKey(
               side.withColumn("negc", -col("n_chars").cast("long")),
