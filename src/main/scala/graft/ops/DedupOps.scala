@@ -1389,7 +1389,63 @@ object DedupOps {
           col("label").cast("long").as("canonical"),
           when(pmod(portableHash60(col("label").cast("string")), lit(10)) < 8,
             lit("train")).otherwise(lit("test")).as("split"))
-      })
+      }),
+
+    QueryDef(
+      "dd24_index_health",
+      // INDEX HEALTH AUDIT — the LSH counterpart of vs12's IVF
+      // cell-balance audit, and the monitoring query that decides the
+      // lifecycle verbs' cadence: the posting-size HISTOGRAM of the
+      // persisted index (how many band keys hold 1, 2, … docs),
+      // annotated with the dd18 blocklist policy's verdict per size
+      // class. Rising mass in the hot tail (sz > maxPosting) is the
+      // signal to refresh the blocklist; rising singleton share after
+      // heavy deletes signals a compaction/rebuild. Reads ONLY the
+      // index's 8-byte key + sz columns (column-pruned scan of the
+      // posting store — never the lake), aggregates on a domain
+      // bounded by the largest posting list, and the oracle re-derives
+      // the whole histogram from the raw documents — so the audit is
+      // held to the content-defined truth of what the index SHOULD
+      // hold, which also makes it an end-to-end index-integrity check
+      // (a lost or duplicated posting row shifts a bucket count).
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |k AS (SELECT bd, k1, k2, k3, k4, count(*) AS sz FROM bands
+             |      GROUP BY 1, 2, 3, 4, 5)
+             |SELECT CAST(sz AS BIGINT) AS sz,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(sz) AS BIGINT) AS postings,
+             |  CASE WHEN sz > 2 THEN 'blocklist' ELSE 'probe' END AS policy
+             |FROM k GROUP BY sz""".stripMargin),
+      (s, d) =>
+        s.table(baseLshIndex(s, d))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("sz")).as("postings"))
+          .select(col("sz"), col("n_keys"), col("postings"),
+            when(col("sz") > 2, lit("blocklist")).otherwise(lit("probe"))
+              .as("policy")))
   )
 
   /** Integer-grid weighted PageRank (damping 0.85, 1e12 mass scale):

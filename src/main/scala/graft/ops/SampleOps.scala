@@ -588,6 +588,72 @@ object SampleOps {
           .filter(col("k") >= 1)
           .select(col("doc_id"), col("source"),
             explode(sequence(lit(1L), col("k").cast("long"))).as("rep"))
+      }),
+
+    QueryDef(
+      "sp19_sequence_packing",
+      // SEQUENCE PACKING for a fixed training context: the standard
+      // GPT-style concat-then-chunk — documents laid out in canonical
+      // corpus order (doc_id here; compose with sp12's md5 permutation
+      // for per-epoch shuffled packing), token stream cut into B=256
+      // token contexts. Unlike first-fit bin packing (inherently
+      // sequential, a scheduler not an operator), concat-then-chunk is
+      // a pure function of the exclusive token prefix sum, so it
+      // distributes: the prefix is the two-phase rank
+      // ([[PrefixSum.byLongKey]] — per-bucket partials + broadcast
+      // offsets, no single-partition window), and every doc's context
+      // span [p DIV B, (p+t-1) DIV B] follows map-side. Output: the
+      // boundary-crossing census (spans = #context boundaries a doc
+      // straddles — what attention-masking/bin-packing variants trade
+      // against), with the global context count and fill factor
+      // (tail waste only, by construction) on each row. All integer
+      // arithmetic; the one float is the final rounded fill ratio.
+      // Token definition shared with tx02 (whitespace split).
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS t
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, t,
+             |    coalesce(sum(t) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+             |  FROM t),
+             |tot AS (SELECT CAST(sum(t) AS BIGINT) AS total_tokens,
+             |               CAST((sum(t) + 255) // 256 AS BIGINT) AS n_bins
+             |        FROM t),
+             |x AS (
+             |  SELECT doc_id, t,
+             |    CASE WHEN t = 0 THEN 0
+             |         ELSE ((p + t - 1) // 256) - (p // 256) END AS spans
+             |  FROM p)
+             |SELECT CAST(spans AS BIGINT) AS spans,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  n_bins, total_tokens,
+             |  round(CAST(total_tokens AS DOUBLE) / (n_bins * 256), 4) AS fill
+             |FROM x, tot GROUP BY 1, 5, 6, 7""".stripMargin),
+      (s, d) => {
+        val t = docs(s, d).select(col("doc_id"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("t"))
+        val p = PrefixSum.byLongKey(t, "doc_id", Seq.empty,
+          col("t"), "p", inclusive = false)
+        val tot = t.agg(sum("t").cast("long").as("total_tokens"))
+          .withColumn("n_bins", expr("(total_tokens + 255) DIV 256"))
+        p.withColumn("spans",
+            when(col("t") === 0, lit(0L))
+              .otherwise(expr("((p + t - 1) DIV 256) - (p DIV 256)")))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("spans").cast("long").as("spans"),
+            col("n_bins"), col("total_tokens"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("t").cast("long").as("sum_tokens"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .withColumn("fill", round(col("total_tokens").cast("double")
+            / (col("n_bins") * 256), 4))
+          .select("spans", "n_docs", "sum_tokens", "id_sum",
+            "n_bins", "total_tokens", "fill")
       })
   )
 }

@@ -1907,6 +1907,90 @@ object VectorOps {
         recallRow(bm, "bm25")
           .unionByName(recallRow(dn, "dense"))
           .unionByName(recallRow(rr, "rrf"))
+      }),
+
+    QueryDef(
+      "vs28_semdedup",
+      // SEMANTIC DEDUPLICATION, SemDeDup-shaped (Abbas et al. 2023,
+      // arXiv:2303.09540): cluster the embedding space, compare
+      // cosines only WITHIN a cluster, drop all but one member of
+      // each semantic-duplicate group. This is the embedding-space
+      // answer to what dd02 does lexically — it catches re-encodes /
+      // templated rewrites whose shingles differ but whose embeddings
+      // coincide — and the clustering is the same scale trick as IVF
+      // serving: the pair space is Σ|cell|², never N², and shards by
+      // cell across executors. Determinism discipline: cell assignment
+      // is the integer-exact quantized L2 ([[assignClustersL2Exact]],
+      // vs05's rule — group MEMBERSHIP must match the oracle), the
+      // duplicate gate is the 1e-6 cosine grid (g >= 999000 ⇔
+      // cos >= 0.999 — the corpus carries an injected exact copy of
+      // every vector, so every group has >= 2 members and the census
+      // has a closed-form shape: each original is its group's min-id
+      // canonical), groups close under [[DedupOps.connectedComponents]]
+      // min-label CC exactly as dd05 does for lexical clusters.
+      // Output: per-cell census (vectors, kept, kept-id checksum) —
+      // the dedup decision AND the cell-balance view in one audit.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |e2 AS (SELECT vec_id, v FROM e
+             |       UNION ALL SELECT vec_id + 100000, v FROM e),
+             |q AS (SELECT vec_id, v,
+             |        list_transform(v, x -> CAST(floor(x*10000+0.5) AS BIGINT)) AS qv
+             |      FROM e2),
+             |c AS (SELECT vec_id AS cid,
+             |        list_transform(v, x -> CAST(floor(x*10000+0.5) AS BIGINT)) AS qc
+             |      FROM e WHERE vec_id < 8),
+             |r AS (SELECT q.vec_id, cid, row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_sum(list_transform(list_zip(q.qv, c.qc),
+             |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, cid) AS arn
+             |      FROM q, c),
+             |asg AS (SELECT vec_id, cid FROM r WHERE arn = 1),
+             |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+             |       FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |       JOIN e2 ea ON ea.vec_id = x.vec_id
+             |       JOIN e2 eb ON eb.vec_id = y.vec_id
+             |       WHERE floor(list_cosine_similarity(ea.v, eb.v) * 1000000 + 0.5)
+             |         >= 999000),
+             |sym AS (SELECT a AS src, b AS dst FROM pr
+             |        UNION ALL SELECT b, a FROM pr),
+             |reach AS (
+             |  WITH RECURSIVE rr(node, lbl) AS (
+             |    SELECT vec_id, vec_id FROM e2
+             |    UNION
+             |    SELECT s.src, rr.lbl FROM rr JOIN sym s ON s.dst = rr.node)
+             |  SELECT node, lbl FROM rr),
+             |cc AS (SELECT node AS vec_id, min(lbl) AS canonical
+             |       FROM reach GROUP BY node),
+             |k AS (SELECT cc.vec_id, canonical, cid FROM cc JOIN asg USING (vec_id))
+             |SELECT CAST(cid AS BIGINT) AS cid,
+             |  CAST(count(*) AS BIGINT) AS n_vectors,
+             |  CAST(sum(CASE WHEN vec_id = canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN vec_id = canonical THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+             |FROM k GROUP BY cid""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val e2 = e.unionByName(
+          e.select((col("vec_id") + lit(100000L)).as("vec_id"), col("v")))
+        // assignment feeds both pair sides and the final census join
+        val asg = graft.ops.Pin.once(
+          assignClustersL2Exact(e2, seedCells(e)))
+        val pairs = asg
+          .select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
+          .join(asg.select(col("cid"), col("vec_id").as("b"),
+            col("v").as("vb")), Seq("cid"))
+          .filter(col("a") < col("b"))
+          .filter(floor(cosine(col("va"), col("vb")) * lit(1000000)
+            + lit(0.5)) >= 999000)
+          .select("a", "b")
+        val cc = DedupOps.connectedComponents(
+          e2.select(col("vec_id").as("id")), pairs)
+        cc.select(col("id").as("vec_id"), col("label"))
+          .join(asg.select("vec_id", "cid"), "vec_id")
+          .groupBy(col("cid").cast("long").as("cid"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("vec_id") === col("label"), lit(1L))
+              .otherwise(lit(0L))).cast("long").as("n_kept"),
+            sum(when(col("vec_id") === col("label"), col("vec_id"))
+              .otherwise(lit(0L))).cast("long").as("kept_id_sum"))
       })
   )
 }
