@@ -654,6 +654,66 @@ object SampleOps {
             / (col("n_bins") * 256), 4))
           .select("spans", "n_docs", "sum_tokens", "id_sum",
             "n_bins", "total_tokens", "fill")
+      }),
+
+    QueryDef(
+      "sp20_quota_apportion",
+      // EXACT QUOTA APPORTIONMENT (largest-remainder / Hamilton
+      // method) — the integer complement of pp05's rate-based mixture
+      // schedule: distribute a hard budget B (= half the corpus) over
+      // the (source, lang) cells PROPORTIONALLY such that the quotas
+      // are integers and Σquota = B EXACTLY — floor shares first, then
+      // the B − Σfloor leftover units go to the cells with the largest
+      // remainders (ties broken on the cell key). Rate-based sampling
+      // (pp05, sp06) hits a budget only in expectation; a packing job
+      // that must emit exactly B sequences needs these integer quotas.
+      // Scale discipline: one map-combinable cell rollup; the
+      // apportionment itself runs on the CELL table (a bounded domain
+      // — sources × langs, thousands at most; the onePart window
+      // marks the intentional single partition), and all shares are
+      // computed in DECIMAL(38,0)/HUGEINT so B·n products cannot wrap
+      // at lake scale (B·n ≈ 5e22 at T = 1e12 docs), with Spark's
+      // decimal DIV returning the exact integral part — bit-equal to
+      // DuckDB's HUGEINT floor division.
+      Some("""WITH t AS (
+             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             |               CAST(sum(n) // 2 AS BIGINT) AS b FROM t),
+             |x AS (
+             |  SELECT source, lang, n,
+             |    CAST((CAST(b AS HUGEINT) * n) // total AS BIGINT) AS f,
+             |    CAST(CAST(b AS HUGEINT) * n
+             |      - ((CAST(b AS HUGEINT) * n) // total) * total AS BIGINT) AS r
+             |  FROM t, tot),
+             |l AS (SELECT CAST(b - (SELECT sum(f) FROM x) AS BIGINT) AS leftover
+             |      FROM tot),
+             |rk AS (
+             |  SELECT source, lang, n, f,
+             |    row_number() OVER (ORDER BY r DESC, source, lang) AS rn
+             |  FROM x)
+             |SELECT source, lang, n AS n_docs,
+             |  CAST(f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |FROM rk, l""".stripMargin),
+      (s, d) => {
+        import graft.ops.PrefixSum.onePart
+        val t = docs(s, d).groupBy("source", "lang")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val tot = t.agg(sum("n").cast("long").as("total"))
+          .withColumn("b", expr("total DIV 2"))
+        val x = t.crossJoin(broadcast(tot))
+          .withColumn("p", expr("CAST(b AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"))
+          .withColumn("f", expr("p DIV CAST(total AS DECIMAL(38,0))"))
+          .withColumn("r", expr("CAST(p - CAST(f AS DECIMAL(38,0)) * total AS BIGINT)"))
+        val lv = x.agg(max("b").as("b"), sum("f").as("sf"))
+          .select((col("b") - col("sf")).cast("long").as("leftover"))
+        val w = Window.partitionBy(onePart(col("source")))
+          .orderBy(col("r").desc, col("source"), col("lang"))
+        x.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(lv))
+          .select(col("source"), col("lang"), col("n").as("n_docs"),
+            (col("f") + when(col("rn") <= col("leftover"), lit(1L))
+              .otherwise(lit(0L))).cast("long").as("quota"))
       })
   )
 }

@@ -1245,6 +1245,26 @@ object TextOps {
     * query-independent and computed once; the postings join fans out
     * only by the probes' term lists (broadcast — probe batches are
     * small by design). */
+  /** tx12's combined Gopher gate as ONE reusable predicate — the batch
+    * flags (tx12), and st14's STREAMING router consume this same
+    * definition, so the keep/drop policy cannot drift between the
+    * batch and streaming paths. Every bound is an integer comparison
+    * (see tx12's comment), hence engine-exact. */
+  def gopherKeep(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val nWords = size(split(trim(text), "\\s+")).cast("long")
+    val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
+    val nDigits =
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+    val len = length(text).cast("long")
+    val nStop = Seq("the", "and", "of", "to", "a")
+      .map(sw => when(padded.contains(s" $sw "), 1L).otherwise(0L))
+      .reduce(_ + _)
+    nWords.between(10, 1000) &&
+      nChars >= lit(2) * nWords && nChars <= lit(12) * nWords &&
+      lit(5) * nDigits <= len && nStop >= 2
+  }
+
   def bm25ScoresMulti(corpus: org.apache.spark.sql.DataFrame,
       probePred: Column): org.apache.spark.sql.DataFrame = {
     val tk2 = corpus

@@ -662,6 +662,78 @@ object StreamQueries {
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
             col("cid").as("pcid"))
         graft.ops.VectorOps.probeIvfIndex(s, s"$base/index", probes, k = 3)
+      }),
+
+    QueryDef(
+      "st14_stream_quality_router",
+      // Streaming QUALITY GATE as a DUAL-SINK router
+      // ([[RouterStream.qualityRoute]]): documents arrive as files,
+      // each micro-batch splits on tx12's Gopher gate — the literally
+      // SAME shared predicate ([[graft.ops.TextOps.gopherKeep]]), so
+      // batch and streaming policy cannot drift — and lands in the
+      // ACCEPT or QUARANTINE store as idempotent `batch=` shards.
+      // Nothing is dropped: quarantine keeps rejects replayable
+      // (lower a threshold later, re-admit without re-crawling). The
+      // gate is a pure per-row predicate, so the accumulated two-store
+      // partition provably cannot depend on micro-batch boundaries,
+      // and the batch recompute is the exact oracle; the audit reads
+      // BOTH stores back, so a row lost or doubled by the router would
+      // break the per-(route, lang) id_sum.
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             |    CAST(length(text) AS BIGINT) AS len,
+             |    CAST(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END AS BIGINT) AS n_stop
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN n_words BETWEEN 10 AND 1000
+             |       AND n_chars >= 2 * n_words AND n_chars <= 12 * n_words
+             |       AND 5 * n_digits <= len AND n_stop >= 2
+             |      THEN 'accept' ELSE 'quarantine' END AS route
+             |  FROM m)
+             |SELECT route, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val inDir = landingCache.computeIfAbsent(s"$d/documents.parquet", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_lsh_landing_${d.hashCode & 0x7fffffff}_"))
+          docsDf.select("doc_id", "text").repartition(4, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$staged/in")
+          s"$staged/in"
+        })
+        // the landing fixture is (doc_id, text); route on it and join
+        // lang back from the lake for the audit — the router passes
+        // all input columns through either way
+        val inSchema = s.read.parquet(inDir).schema
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_router_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_router_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = RouterStream.qualityRoute(s, inDir, inSchema,
+            s"$base/accept", s"$base/quarantine", ck, filesPerTrigger = 2)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        def store(sub: String, route: String) =
+          s.read.parquet(s"$base/$sub").drop("batch")
+            .withColumn("route", lit(route))
+        store("accept", "accept").unionByName(store("quarantine", "quarantine"))
+          .join(docsDf.select("doc_id", "lang"), "doc_id")
+          .groupBy("route", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }
