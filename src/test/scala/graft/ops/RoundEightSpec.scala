@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Closed-form invariants for the round-8 additions — properties the
+  * oracle hash cannot express (they must hold for ANY corpus, not
+  * just reproduce on this one): conservation laws, exact-sum
+  * contracts, and structural guarantees.
+  */
+class RoundEightSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("sp19: token mass conserved, context count is exact ceiling") {
+    val rows = q("sp19_sequence_packing").collect()
+    val totalTokens = rows.head.getAs[Long]("total_tokens")
+    val nBins = rows.head.getAs[Long]("n_bins")
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == totalTokens,
+      "per-spans token mass must sum to the corpus total")
+    assert(nBins == (totalTokens + 255) / 256)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // a doc of t tokens can straddle at most ceil(t/256) boundaries
+    assert(rows.map(_.getAs[Long]("spans")).forall(_ >= 0))
+  }
+
+  test("sp20: quotas are integers summing EXACTLY to the budget, each within 1 of proportional") {
+    val rows = q("sp20_quota_apportion").collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val b = n / 2
+    assert(rows.map(_.getAs[Long]("quota")).sum == b,
+      "largest-remainder apportionment must hit the budget exactly")
+    rows.foreach { r =>
+      val exact = BigInt(b) * r.getAs[Long]("n_docs") / BigInt(n)
+      val quota = BigInt(r.getAs[Long]("quota"))
+      assert(quota == exact || quota == exact + 1,
+        s"quota $quota vs floor share $exact for $r")
+    }
+  }
+
+  test("dd24: total postings = bands x non-empty docs (each doc posts one key per band)") {
+    val rows = q("dd24_index_health").collect()
+    val nonEmpty = docs
+      .filter(size(filter(split(col("text"), " "), x => x =!= "")) > 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("postings")).sum == 16L * nonEmpty,
+      "a lost or duplicated posting row would break this conservation law")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("postings") ==
+        r.getAs[Long]("sz") * r.getAs[Long]("n_keys"))
+      val expected = if (r.getAs[Long]("sz") > 2) "blocklist" else "probe"
+      assert(r.getAs[String]("policy") == expected)
+    }
+  }
+
+  test("vs28: every vector counted once; kept set has one canonical per group") {
+    val rows = q("vs28_semdedup").collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 2 * nVecs,
+      "corpus = embeddings + injected copies, partitioned by cell")
+    // each injected copy pairs with its original at cos = 1.0, so at
+    // most half the corpus survives; at least one doc per non-empty
+    // cell does
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(kept <= nVecs && kept > 0, s"kept $kept of $nVecs")
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") > 0 ||
+      r.getAs[Long]("n_vectors") == 0))
+  }
+
+  test("st14: the two routes partition the corpus and agree with the batch gate") {
+    val rows = q("st14_stream_quality_router").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "router must not lose or duplicate rows across its two sinks")
+    val acceptN = rows.filter(_.getAs[String]("route") == "accept")
+      .map(_.getAs[Long]("n_docs")).sum
+    val batchKeep = docs.filter(TextOps.gopherKeep(col("text"))).count()
+    assert(acceptN == batchKeep,
+      "streaming accept set must equal the batch gate's keep set")
+    val idSum = rows.map(_.getAs[Long]("id_sum")).sum
+    val expectedIdSum = docs.agg(sum("doc_id")).head().getLong(0)
+    assert(idSum == expectedIdSum, "route membership checksum")
+  }
+
+  test("pp06: snake deal balances shards within each split to +-1 doc") {
+    val rows = q("pp06_incremental_corpus").collect()
+    for (split <- Seq("train", "test")) {
+      val ns = rows.filter(_.getAs[String]("split") == split)
+        .map(_.getAs[Long]("n"))
+      assert(ns.nonEmpty, s"$split produced no shards")
+      assert(ns.max - ns.min <= 1,
+        s"$split shard sizes $ns — snake deal must balance to +-1")
+    }
+  }
+}
