@@ -96,7 +96,17 @@ class PlanQualitySpec extends AnyFunSuite {
       // vs25: tx30's stats broadcast + vs01's 1-row broadcast probe
       "vs25_hybrid_rrf",
       // tx31: the same 1-row corpus-stats broadcast (batch BM25 leg)
-      "tx31_hard_negatives")
+      "tx31_hard_negatives",
+      // sp19: 1-row broadcast (total_tokens, n_bins) into the census;
+      // sp20: 1-row broadcast budget + 1-row broadcast leftover over
+      // the bounded cell table
+      "sp19_sequence_packing", "sp20_quota_apportion",
+      // vs27: tx31's corpus-stats broadcast (BM25 leg) + the dense
+      // leg's 5-row broadcast probe stream (vs01's pattern)
+      "vs27_retrieval_recall",
+      // vs28: the broadcast 8-centroid assignment cross (dd12/vs12's
+      // pattern); the in-cell pair join itself is an equi-join on cid
+      "vs28_semdedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
