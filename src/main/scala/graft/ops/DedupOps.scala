@@ -1445,7 +1445,44 @@ object DedupOps {
           .agg(count(lit(1)).as("n_keys"), sum(col("sz")).as("postings"))
           .select(col("sz"), col("n_keys"), col("postings"),
             when(col("sz") > 2, lit("blocklist")).otherwise(lit("probe"))
-              .as("policy")))
+              .as("policy"))),
+
+    QueryDef(
+      "dd26_wordset_dedup",
+      // BAG-OF-WORDS (word-SET) dedup — the cheapest order-insensitive
+      // tier of the near-dup ladder: fingerprint = md5 of the sorted
+      // distinct token set, so re-orderings, repetition-padding and
+      // template permutations of the same vocabulary collapse into one
+      // group, where dd01's exact hash sees distinct texts and the
+      // dd02/dd06 shingle tiers see low Jaccard (shingles are
+      // order-SENSITIVE). On this corpus the groups are real: every
+      // group the gate returns holds >= 2 DIFFERENT texts over the
+      // same word set (n_texts > 1), which is exactly the class of
+      // duplicate the lexical tiers cannot call. Scale shape: map-only
+      // fingerprint (sort cost is per-doc-vocabulary, bounded by doc
+      // length) + one digest-keyed shuffle — identical economics to
+      // dd01, so it slots into the same incremental/index machinery.
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+             |  FROM documents)
+             |SELECT fp, CAST(min(doc_id) AS BIGINT) AS canonical,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM f GROUP BY fp HAVING count(*) >= 2""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("text"),
+            md5(concat_ws(" ", array_sort(array_distinct(
+              filter(split(col("text"), " "), x => x =!= ""))))).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").cast("long").as("canonical"),
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_texts"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .filter(col("n_docs") >= 2))
   )
 
   /** Integer-grid weighted PageRank (damping 0.85, 1e12 mass scale):

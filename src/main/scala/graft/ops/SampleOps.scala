@@ -714,6 +714,72 @@ object SampleOps {
           .select(col("source"), col("lang"), col("n").as("n_docs"),
             (col("f") + when(col("rn") <= col("leftover"), lit(1L))
               .otherwise(lit(0L))).cast("long").as("quota"))
+      }),
+
+    QueryDef(
+      "sp21_temperature_mix",
+      // TEMPERATURE-SCALED MULTILINGUAL MIXTURE (the XLM-R α-sampling,
+      // arXiv:1911.02116 §3.1): sampling mass per language ∝ n_lang^α
+      // with α = 0.5, which UPSAMPLES low-resource languages relative
+      // to their corpus share (the output's per-lang `rate` is
+      // strictly decreasing in n_docs). The fractional weights are
+      // integerized exactly: wt = floor(sqrt(n)·10⁶ + 0.5) — IEEE
+      // sqrt is correctly rounded, so both engines compute the
+      // identical BIGINT — and the hard budget B = total/4 is
+      // apportioned over the weights with sp20's largest-remainder
+      // method (Σquota = B exactly; DECIMAL(38,0)/HUGEINT products so
+      // B·wt cannot wrap at lake scale). Scale shape: one
+      // map-combinable per-lang rollup; the apportionment runs on the
+      // bounded LANGUAGE table (the onePart window marks the
+      // intentional single partition over ~dozens of rows).
+      Some("""WITH t AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             |               CAST(sum(n) // 4 AS BIGINT) AS b FROM t),
+             |w AS (SELECT lang, n,
+             |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wt
+             |      FROM t),
+             |ws AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+             |x AS (SELECT lang, n, wt,
+             |        CAST((CAST(b AS HUGEINT) * wt) // wsum AS BIGINT) AS f,
+             |        CAST(CAST(b AS HUGEINT) * wt
+             |          - ((CAST(b AS HUGEINT) * wt) // wsum) * wsum AS BIGINT) AS r
+             |      FROM w, tot, ws),
+             |l AS (SELECT CAST(b - (SELECT sum(f) FROM x) AS BIGINT) AS leftover
+             |      FROM tot),
+             |rk AS (SELECT lang, n, wt, f,
+             |         row_number() OVER (ORDER BY r DESC, lang) AS rn
+             |       FROM x)
+             |SELECT lang, n AS n_docs, wt AS weight,
+             |  CAST(f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+             |  round(CAST(f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS DOUBLE) / n, 6) AS rate
+             |FROM rk, l""".stripMargin),
+      (s, d) => {
+        import graft.ops.PrefixSum.onePart
+        val t = docs(s, d).groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val tot = t.agg(sum("n").cast("long").as("total"))
+          .withColumn("b", expr("total DIV 4"))
+        val w = t.withColumn("wt",
+          floor(sqrt(col("n").cast("double")) * lit(1000000) + lit(0.5))
+            .cast("long"))
+        val ws = w.agg(sum("wt").cast("long").as("wsum"))
+        val x = w.crossJoin(broadcast(tot)).crossJoin(broadcast(ws))
+          .withColumn("p", expr("CAST(b AS DECIMAL(38,0)) * CAST(wt AS DECIMAL(38,0))"))
+          .withColumn("f", expr("p DIV CAST(wsum AS DECIMAL(38,0))"))
+          .withColumn("r", expr("CAST(p - CAST(f AS DECIMAL(38,0)) * wsum AS BIGINT)"))
+        val lv = x.agg(max("b").as("b"), sum("f").as("sf"))
+          .select((col("b") - col("sf")).cast("long").as("leftover"))
+        val wnd = Window.partitionBy(onePart(col("lang")))
+          .orderBy(col("r").desc, col("lang"))
+        val quota = (col("f") + when(col("rn") <= col("leftover"), lit(1L))
+          .otherwise(lit(0L))).cast("long")
+        x.withColumn("rn", row_number().over(wnd))
+          .crossJoin(broadcast(lv))
+          .select(col("lang"), col("n").as("n_docs"),
+            col("wt").as("weight"), quota.as("quota"),
+            round(quota.cast("double") / col("n"), 6).as("rate"))
       })
   )
 }

@@ -1222,6 +1222,72 @@ object TextOps {
           .filter(col("rn") <= 5)
           .select(col("qid"), col("doc_id"), col("rn").cast("long").as("rnk"),
             round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+      }),
+
+    QueryDef(
+      "tx32_contamination",
+      // BENCHMARK DECONTAMINATION (the GPT-3 appendix-C / PaLM method,
+      // arXiv:2005.14165 §C): a training document is contaminated if
+      // it shares >= 3 distinct word-5-grams with any benchmark
+      // document. The corpus here carries planted leaks — every bench
+      // doc re-inserted under id+1000000 — so the scan has ground
+      // truth to find; bench membership is doc_id % 17 = 0 (both
+      // engines derive the same split). Scale shape: the BENCHMARK
+      // side is small by definition (eval sets are MBs against a
+      // 100 TB lake), so its 8-byte gram hashes broadcast and the
+      // corpus-side gram stream is gated map-side by the broadcast
+      // hash join BEFORE the only shuffle — the per-(doc, bench) count
+      // aggregates only surviving matches, so the pass is
+      // scan-dominated no matter the lake size. Grams are hashed with
+      // the portable md5-low60 kernel (8-byte join keys, not strings)
+      // and the oracle replays signature, join and census bit-exactly.
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+             |bench AS (SELECT doc_id AS bench_id, text FROM documents
+             |          WHERE doc_id % 17 = 0),
+             |cg AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS h
+             |  FROM (
+             |    SELECT doc_id, list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS gs
+             |    FROM (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |          FROM corpus) t WHERE len(toks) > 0) g),
+             |bg AS (
+             |  SELECT bench_id,
+             |    CAST(concat('0x', substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS h
+             |  FROM (
+             |    SELECT bench_id, list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS gs
+             |    FROM (SELECT bench_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |          FROM bench) t WHERE len(toks) > 0) g)
+             |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
+             |FROM cg c JOIN bg b ON c.h = b.h
+             |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val bench = base.filter(col("doc_id") % 17 === 0)
+        val corpus = base.filter(col("doc_id") % 17 =!= 0).unionByName(
+          bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("text")))
+        def grams(df: org.apache.spark.sql.DataFrame, idCol: String): org.apache.spark.sql.DataFrame = df
+          .select(col(idCol),
+            explode(graft.functions.GraftFunctions
+              .word_shingles(col("text"), 5)).as("g"))
+          .select(col(idCol), graft.functions.GraftFunctions
+            .md5_low60(col("g")).as("h"))
+        grams(corpus, "doc_id")
+          .join(broadcast(grams(bench
+            .withColumnRenamed("doc_id", "bench_id"), "bench_id")), "h")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("overlap"))
+          .filter(col("overlap") >= 3)
       })
   )
 

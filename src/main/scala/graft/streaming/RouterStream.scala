@@ -35,12 +35,17 @@ import graft.ops.TextOps
   */
 object RouterStream {
 
-  /** Start the router over document files arriving in `inDir`.
-    * All input columns pass through to both stores. */
-  def qualityRoute(
+  /** Start the router over document files arriving in `inDir`,
+    * splitting each micro-batch on `gate` (a pure per-row predicate —
+    * the slicing-invariance contract above holds ONLY for stateless
+    * gates, which is why the parameter is a Column, not an arbitrary
+    * DataFrame transform). All input columns pass through to both
+    * stores. */
+  def predicateRoute(
       spark: SparkSession,
       inDir: String,
       schema: StructType,
+      gate: org.apache.spark.sql.Column,
       acceptDir: String,
       quarantineDir: String,
       checkpointDir: String,
@@ -57,7 +62,7 @@ object RouterStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // evaluate the gate ONCE per row, route on the flag; the two
         // filtered writes share the gated frame's plan
-        val gated = batch.withColumn("__keep__", TextOps.gopherKeep(col("text")))
+        val gated = batch.withColumn("__keep__", gate)
         gated.filter(col("__keep__")).drop("__keep__")
           .write.mode("overwrite").parquet(s"$acceptDir/batch=$id")
         gated.filter(!col("__keep__")).drop("__keep__")
@@ -68,4 +73,19 @@ object RouterStream {
       .trigger(trigger)
       .start()
   }
+
+  /** The Gopher-gate router (st14): [[predicateRoute]] with
+    * [[TextOps.gopherKeep]] — the literally same predicate the batch
+    * tx12 flags use, so the keep/drop policy cannot drift. */
+  def qualityRoute(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      acceptDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      processAll: Boolean = true): StreamingQuery =
+    predicateRoute(spark, inDir, schema, TextOps.gopherKeep(col("text")),
+      acceptDir, quarantineDir, checkpointDir, filesPerTrigger, processAll)
 }

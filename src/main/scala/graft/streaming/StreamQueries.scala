@@ -734,6 +734,80 @@ object StreamQueries {
           .groupBy("route", "lang")
           .agg(count(lit(1)).as("n_docs"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "st15_stream_decontam",
+      // Streaming BENCHMARK DECONTAMINATION at ingest: tx32's
+      // contamination rule (shares a word-5-gram with the benchmark
+      // set, membership doc_id % 17 = 0) run as a dual-sink router —
+      // arriving documents land in the CLEAN store or the FLAGGED
+      // store (quarantined, replayable — the governance answer: a
+      // flagged doc is evidence, not garbage). The benchmark gram-hash
+      // set is collected ONCE at query build (bounded by the
+      // BENCHMARK's size — eval sets are MBs against a 100 TB lake —
+      // the same boundedness class as dd17's probe batches) and
+      // shipped inside the gate as an array literal; the gate is a
+      // pure per-row predicate (arrays_overlap against the literal),
+      // so micro-batch slicing provably cannot change the partition
+      // and the batch recompute is the exact oracle. At production
+      // scale the literal becomes a broadcast sorted array or an
+      // exact-membership filter — same plan shape, map-only pass,
+      // zero shuffles.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks) - 4, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, least(i + 4, len(toks))), ' '))) AS gs
+             |  FROM tk WHERE len(toks) > 0),
+             |cg AS (SELECT doc_id,
+             |         CAST(concat('0x', substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS h
+             |       FROM g),
+             |bh AS (SELECT DISTINCT h FROM cg WHERE doc_id % 17 = 0),
+             |flag AS (SELECT DISTINCT doc_id FROM cg JOIN bh USING (h)),
+             |r AS (SELECT d.doc_id, d.lang,
+             |        CASE WHEN f.doc_id IS NOT NULL THEN 'flagged' ELSE 'clean' END AS route
+             |      FROM documents d LEFT JOIN flag f USING (doc_id))
+             |SELECT route, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val inDir = landingCache.computeIfAbsent(s"$d/documents.parquet", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_lsh_landing_${d.hashCode & 0x7fffffff}_"))
+          docsDf.select("doc_id", "text").repartition(4, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$staged/in")
+          s"$staged/in"
+        })
+        def gramHashes(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = transform(
+          graft.functions.GraftFunctions.word_shingles(c, 5),
+          g => graft.functions.GraftFunctions.md5_low60(g))
+        // benchmark gram-hash artifact: bounded by the benchmark set
+        // (its docs' distinct 5-grams), NOT by the lake — the stream
+        // never aggregates it, the literal rides inside the gate
+        val benchHs = docsDf.filter(col("doc_id") % 17 === 0)
+          .select(explode(gramHashes(col("text"))).as("h"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val gate = !arrays_overlap(gramHashes(col("text")),
+          typedlit(benchHs.toSeq))
+        val inSchema = s.read.parquet(inDir).schema
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_decontam_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_decontam_ck_")
+        val q = RouterStream.predicateRoute(s, inDir, inSchema, gate,
+          s"$base/clean", s"$base/flagged", ck, filesPerTrigger = 2)
+        q.awaitTermination()
+        def store(sub: String, route: String) =
+          s.read.parquet(s"$base/$sub").drop("batch")
+            .withColumn("route", lit(route))
+        store("clean", "clean").unionByName(store("flagged", "flagged"))
+          .join(docsDf.select("doc_id", "lang"), "doc_id")
+          .groupBy("route", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

@@ -106,7 +106,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "vs27_retrieval_recall",
       // vs28: the broadcast 8-centroid assignment cross (dd12/vs12's
       // pattern); the in-cell pair join itself is an equi-join on cid
-      "vs28_semdedup")
+      "vs28_semdedup",
+      // sp21: sp20's shape — 1-row broadcast budget/weight-sum/leftover
+      // over the bounded language table
+      "sp21_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

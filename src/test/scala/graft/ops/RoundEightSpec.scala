@@ -90,6 +90,75 @@ class RoundEightSpec extends AnyFunSuite {
     assert(idSum == expectedIdSum, "route membership checksum")
   }
 
+  test("tx32: every planted leak is found, with the exact full-overlap count") {
+    val rows = q("tx32_contamination").collect()
+    val benchGrams = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.word_shingles(col("text"), 5))
+          .cast("long").as("ng"))
+      .filter(col("ng") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    benchGrams.foreach { case (b, ng) =>
+      val leak = rows.find(r => r.getAs[Long]("doc_id") == b + 1000000L &&
+        r.getAs[Long]("bench_id") == b)
+      assert(leak.isDefined, s"planted leak of bench doc $b not detected")
+      assert(leak.get.getAs[Long]("overlap") == ng,
+        s"identical text must share ALL $ng distinct 5-grams of doc $b")
+    }
+  }
+
+  test("dd26: fingerprint is word-order-insensitive and groups cover all exact-text dups") {
+    val fpOf = (t: org.apache.spark.sql.Column) => md5(concat_ws(" ",
+      array_sort(array_distinct(filter(split(t, " "), x => x =!= "")))))
+    val mismatches = docs.select(col("doc_id"),
+        fpOf(col("text")).as("a"),
+        fpOf(concat_ws(" ", reverse(split(col("text"), " ")))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0, "reversing word order must not change the fingerprint")
+    // word-set groups are a coarsening of exact-text groups: every doc
+    // in an exact-dup group must be in some returned word-set group
+    val exactDupDocs = docs.groupBy("text").count().filter(col("count") >= 2)
+      .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    val wordSetDocs = q("dd26_wordset_dedup").agg(coalesce(sum("n_docs"), lit(0L)))
+      .head().getLong(0)
+    assert(wordSetDocs >= exactDupDocs,
+      "word-set dedup must catch at least everything exact dedup catches")
+  }
+
+  test("sp21: temperature quotas sum EXACTLY to the budget, each within 1 of its weighted share") {
+    val rows = q("sp21_temperature_mix").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val b = total / 4
+    assert(rows.map(_.getAs[Long]("quota")).sum == b,
+      "largest-remainder apportionment must hit the budget exactly")
+    val wsum = rows.map(_.getAs[Long]("weight")).sum
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("weight") ==
+        math.floor(math.sqrt(n.toDouble) * 1000000 + 0.5).toLong,
+        "weight must be the integerized sqrt(n) grid point")
+      val floorShare = BigInt(b) * r.getAs[Long]("weight") / BigInt(wsum)
+      val quota = BigInt(r.getAs[Long]("quota"))
+      assert(quota == floorShare || quota == floorShare + 1,
+        s"quota $quota vs floor share $floorShare for $r")
+    }
+  }
+
+  test("st15: routes partition the corpus; every non-empty bench doc self-flags") {
+    val rows = q("st15_stream_decontam").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "router must not lose or duplicate rows across its two sinks")
+    assert(rows.map(_.getAs[Long]("id_sum")).sum ==
+      docs.agg(sum("doc_id")).head().getLong(0), "route membership checksum")
+    val benchWithGrams = docs.filter(col("doc_id") % 17 === 0)
+      .filter(size(graft.functions.GraftFunctions.word_shingles(col("text"), 5)) > 0)
+      .count()
+    val flagged = rows.filter(_.getAs[String]("route") == "flagged")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(flagged >= benchWithGrams,
+      "each benchmark doc shares its own grams, so it must be flagged")
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
