@@ -1288,8 +1288,133 @@ object TextOps {
           .groupBy("doc_id", "bench_id")
           .agg(count(lit(1)).as("overlap"))
           .filter(col("overlap") >= 3)
+      }),
+
+    QueryDef(
+      "tx33_text_index_topk",
+      // PERSISTED inverted-index BM25 serving ([[TextIndex]]): tx30's
+      // retrieval, but against a pre-built posting store instead of
+      // re-deriving postings from text per query — the difference
+      // between a 100 TB scan per query and a partition-pruned read of
+      // the query terms' posting lists. The probe must equal the
+      // from-scratch kernel bit-for-bit (TextIndexSpec pins it); the
+      // oracle replays the whole th-keyed pipeline from raw documents,
+      // so a lost/duplicated posting row, a stale stats-log row, or a
+      // df drift all surface as a hash mismatch. Probe doc 43
+      // (tx30 demonstrates 42 from scratch).
+      Some(bm25IndexOracle("", probeId = 43)),
+      (s, d) =>
+        TextIndex.probeTextIndex(s, baseTextIndex(s, d),
+          TextIndex.queryTerms(docs(s, d), 43), k = 10)),
+
+    QueryDef(
+      "tx34_text_index_append",
+      // Inverted-index APPEND: the index holds 90% of the corpus
+      // (doc_id % 10 <> 9, the cached input fixture); the verb ingests
+      // the remaining 10% as an arriving batch — new posting rows into
+      // their tp partitions plus one stats-log row, nothing rewritten
+      // — and the probe must then equal the FULL-corpus from-scratch
+      // answer (which is exactly what the oracle computes): tf, df, N
+      // and avgdl must all absorb the new mass. The batch write is
+      // idempotent (overwrites its own batch= subdirs), so replays
+      // cannot double-count.
+      Some(bm25IndexOracle("", probeId = 42)),
+      (s, d) => {
+        val idx = base90TextIndex(s, d)
+        TextIndex.appendTextIndex(
+          docs(s, d).filter(col("doc_id") % 10 === 9)
+            .select("doc_id", "text"), idx, batch = 1L)
+        TextIndex.probeTextIndex(s, idx,
+          TextIndex.queryTerms(docs(s, d), 42), k = 10)
+      }),
+
+    QueryDef(
+      "tx35_text_index_delete",
+      // Inverted-index DELETE, merge-on-read (the vs24 idiom for the
+      // text side): a takedown of every (doc_id % 25 = 3) doc writes
+      // (doc_id, dl) tombstones to a sidecar — the docs' own text
+      // names what they contributed, no index scan — and probes
+      // subtract them via a broadcast anti-join while the base
+      // snapshot stays immutable. The oracle replays retrieval over
+      // the SURVIVOR lake, so the gate proves the subtraction shifts
+      // every factor (df, N, avgdl, candidate set) exactly as a
+      // rebuild would. The sidecar is per-execution scratch: the
+      // shared base fixture is never poisoned for tx33.
+      Some(bm25IndexOracle(" WHERE doc_id % 25 <> 3", probeId = 43)),
+      (s, d) => {
+        val idx = baseTextIndex(s, d)
+        val tombs = graft.core.Scratch.dir("graft_txt_tomb_") + "/t"
+        TextIndex.deleteFromTextIndex(
+          docs(s, d).filter(col("doc_id") % 25 === 3)
+            .select("doc_id", "text"), tombs)
+        TextIndex.probeTextIndex(s, idx,
+          TextIndex.queryTerms(docs(s, d), 43), k = 10,
+          tombsPath = Some(tombs))
       })
   )
+
+  /** Per-sf cached base text index (input-fixture rationale, like
+    * dd17's baseLshIndex: a production probe runs against an index
+    * that already exists). Scratch-tagged per sf dir, swept at exit. */
+  private val textIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def baseTextIndex(s: SparkSession, d: String): String =
+    textIndexCache.computeIfAbsent(d, _ => {
+      val dir = graft.core.Scratch.dir(
+        s"graft_txt_idx_${d.hashCode & 0x7fffffff}_")
+      TextIndex.buildTextIndex(docs(s, d).select("doc_id", "text"),
+        s"$dir/index")
+      s"$dir/index"
+    })
+
+  /** tx34's 90%-corpus base index (the append verb's input fixture). */
+  private val text90IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def base90TextIndex(s: SparkSession, d: String): String =
+    text90IndexCache.computeIfAbsent(d, _ => {
+      val dir = graft.core.Scratch.dir(
+        s"graft_txt_idx90_${d.hashCode & 0x7fffffff}_")
+      TextIndex.buildTextIndex(docs(s, d)
+        .filter(col("doc_id") % 10 =!= 9).select("doc_id", "text"),
+        s"$dir/index")
+      s"$dir/index"
+    })
+
+  /** Oracle for the [[TextIndex]] probes: tx30's BM25 replay, keyed on
+    * the portable md5-low60 TERM HASH exactly as the index is (so even
+    * a th collision reproduces identically), over the lake restricted
+    * by `corpusWhere`; query terms always come from the unrestricted
+    * lake, mirroring [[TextIndex.queryTerms]]. */
+  private def bm25IndexOracle(corpusWhere: String, probeId: Long): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents$corpusWhere),
+       |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+       |terms AS (
+       |  SELECT DISTINCT CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+       |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents WHERE doc_id = $probeId) q),
+       |posts AS (SELECT doc_id,
+       |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+       |          FROM tk2),
+       |qposts AS (SELECT doc_id, th FROM posts JOIN terms USING (th)),
+       |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), stats),
+       |agg AS (SELECT doc_id, sum(q) AS iscore FROM sc GROUP BY doc_id),
+       |r AS (SELECT doc_id, iscore,
+       |        row_number() OVER (ORDER BY iscore DESC, doc_id) AS rn
+       |      FROM agg)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rnk,
+       |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
+       |FROM r WHERE rn <= 10""".stripMargin
 
   /** tx30's scoring kernel, reusable by the hybrid fusion (vs25):
     * integer-grid Okapi BM25 (k1=1.2, b=0.75) of every corpus doc

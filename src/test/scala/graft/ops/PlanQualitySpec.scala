@@ -109,7 +109,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "vs28_semdedup",
       // sp21: sp20's shape — 1-row broadcast budget/weight-sum/leftover
       // over the bounded language table
-      "sp21_temperature_mix")
+      "sp21_temperature_mix",
+      // tx33/34/35: the 1-row broadcast N/avgdl stats fold from the
+      // index's stats log (tx30's single-row corpus-stats cross, read
+      // from the store instead of computed from text)
+      "tx33_text_index_topk", "tx34_text_index_append",
+      "tx35_text_index_delete")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

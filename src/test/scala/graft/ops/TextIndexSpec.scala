@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The persisted inverted text index ([[TextIndex]]): every lifecycle
+  * verb must equal a from-scratch rebuild, and the probe must be the
+  * tx30 kernel bit-for-bit — the index is an ACCELERATION STRUCTURE,
+  * never a different answer.
+  */
+class TextIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/index"
+
+  private def probe(dir: String, qid: Long,
+      tombs: Option[String] = None): DataFrame =
+    TextIndex.probeTextIndex(spark, dir,
+      TextIndex.queryTerms(docs, qid), k = 10, tombsPath = tombs)
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"result sets differ:\n${a.collect().mkString("\n")}\nvs\n${b.collect().mkString("\n")}")
+  }
+
+  test("index probe == the from-scratch tx30 kernel, bit for bit") {
+    val dir = fresh("graft_ti_base_")
+    TextIndex.buildTextIndex(docs, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(PrefixSum.onePart(col("doc_id")))
+      .orderBy(col("iscore").desc, col("doc_id"))
+    val scratch = TextOps.bm25Scores(
+        spark.read.parquet(s"$sf/documents.parquet"), queryDocId = 43)
+      .orderBy(col("iscore").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("rn").cast("long").as("rnk"),
+        round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+    sameRows(probe(dir, 43), scratch)
+  }
+
+  test("append == rebuild over the union corpus") {
+    val incr = fresh("graft_ti_incr_")
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") % 10 =!= 9), incr)
+    TextIndex.appendTextIndex(docs.filter(col("doc_id") % 10 === 9),
+      incr, batch = 1L)
+    val rebuilt = fresh("graft_ti_full_")
+    TextIndex.buildTextIndex(docs, rebuilt)
+    sameRows(probe(incr, 42), probe(rebuilt, 42))
+    // a replayed batch overwrites itself — no double counting
+    TextIndex.appendTextIndex(docs.filter(col("doc_id") % 10 === 9),
+      incr, batch = 1L)
+    sameRows(probe(incr, 42), probe(rebuilt, 42))
+  }
+
+  test("merge-on-read delete == rebuild over survivors, and visibly changes the answer") {
+    val dir = fresh("graft_ti_del_")
+    TextIndex.buildTextIndex(docs, dir)
+    val tombs = fresh("graft_ti_tomb_")
+    TextIndex.deleteFromTextIndex(docs.filter(col("doc_id") % 25 === 3), tombs)
+    val survivors = fresh("graft_ti_surv_")
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") % 25 =!= 3), survivors)
+    val deleted = probe(dir, 43, tombs = Some(tombs))
+    sameRows(deleted, probe(survivors, 43))
+    // no tombstoned doc can appear
+    assert(deleted.filter(col("doc_id") % 25 === 3).count() == 0)
+    // N/avgdl/df all shift, so scores (not just membership) must move
+    val before = probe(dir, 43).select("doc_id", "score").collect().toSet
+    val after = deleted.select("doc_id", "score").collect().toSet
+    assert(before != after, "takedown must shift the retrieval answer")
+  }
+
+  test("probe scan is pruned to the query terms' tp partitions (DPP)") {
+    val dir = fresh("graft_ti_dpp_")
+    TextIndex.buildTextIndex(docs, dir)
+    val p = probe(dir, 43)
+    assert(p.queryExecution.executedPlan.treeString.contains("dynamicpruning"),
+      "posting scan must carry a dynamic partition pruning filter on tp")
+  }
+}
