@@ -103,6 +103,36 @@ object TextIndex {
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$tombsPath/batch=$batch")
 
+  /** VACUUM: fold the posting shards minus the tombstone sidecar into
+    * a fresh single-batch snapshot at `outDir`, after which probes
+    * need no tombstone subtraction. Unlike the IVF vacuum (a doomed
+    * VECTOR lives in exactly one cell, so only touched cells rewrite),
+    * a doomed DOCUMENT's terms hash across every tp partition — doc-
+    * granular deletes in a term-partitioned store touch the whole
+    * index, which is exactly WHY merge-on-read is the right idiom
+    * here: takedowns are O(tombstone) at write time, and the O(index)
+    * rewrite is deferred to this explicit compaction. Stats fold to
+    * one log row; the output is byte-layout-fresh but answer-identical
+    * (TextIndexSpec pins vacuumed-without-sidecar ≡ base-with-sidecar). */
+  def vacuumTextIndex(spark: SparkSession, dir: String, tombsPath: String,
+      outDir: String): Unit = {
+    val tomb = spark.read.parquet(tombsPath)
+    val visible = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "dl", "th", "tf", "tp")
+    visible.write.mode("overwrite").partitionBy("tp")
+      .parquet(s"$outDir/postings/batch=0")
+    val base = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").cast("long").as("n0"),
+        sum("sum_dl").cast("long").as("s0"))
+    val td = tomb.agg(coalesce(count(lit(1)), lit(0L)).as("nd"),
+      coalesce(sum("dl"), lit(0L)).as("sd"))
+    base.crossJoin(broadcast(td))
+      .select((col("n0") - col("nd")).cast("long").as("n_docs"),
+        (col("s0") - col("sd")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$outDir/stats/batch=0")
+  }
+
   /** Distinct query-term hashes of `docId`'s lake text — the probe
     * input is external to the index, like dd17's probe batches. */
   def queryTerms(docsDf: DataFrame, docId: Long): DataFrame =

@@ -1385,7 +1385,7 @@ object TextOps {
     * a th collision reproduces identically), over the lake restricted
     * by `corpusWhere`; query terms always come from the unrestricted
     * lake, mirroring [[TextIndex.queryTerms]]. */
-  private def bm25IndexOracle(corpusWhere: String, probeId: Long): String =
+  private[graft] def bm25IndexOracle(corpusWhere: String, probeId: Long): String =
     s"""WITH tk AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents$corpusWhere),

@@ -808,6 +808,46 @@ object StreamQueries {
           .groupBy("route", "lang")
           .agg(count(lit(1)).as("n_docs"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "st16_stream_text_ingest",
+      // Continuous inverted-index maintenance
+      // ([[TextIndexStream.textIngest]]): documents arrive as files,
+      // each micro-batch becomes one batch=<id> posting shard plus one
+      // stats-log row — tx34's append as a running service, completing
+      // the streaming-ingest symmetry across all three index families
+      // (st12 LSH, st13 IVF, st16 text). Posting rows are a pure
+      // per-document function and N/avgdl are sums over the stats log,
+      // so the accumulated index equals the one-shot build wherever
+      // the micro-batch boundaries fall — this oracle holds the final
+      // BM25 probe to the from-scratch whole-corpus answer, exactly as
+      // st13's holds the sharded IVF store to vs23's.
+      Some(graft.ops.TextOps.bm25IndexOracle("", probeId = 42)),
+      (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val inDir = landingCache.computeIfAbsent(s"$d/documents.parquet", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_lsh_landing_${d.hashCode & 0x7fffffff}_"))
+          docsDf.select("doc_id", "text").repartition(4, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$staged/in")
+          s"$staged/in"
+        })
+        val inSchema = s.read.parquet(inDir).schema
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_txt_ingest_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_txt_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = TextIndexStream.textIngest(s, inDir, inSchema,
+            s"$base/index", ck, filesPerTrigger = 2)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        graft.ops.TextIndex.probeTextIndex(s, s"$base/index",
+          graft.ops.TextIndex.queryTerms(docsDf, 42), k = 10)
       })
   )
 }

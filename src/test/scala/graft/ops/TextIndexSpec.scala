@@ -77,6 +77,20 @@ class TextIndexSpec extends AnyFunSuite {
     assert(before != after, "takedown must shift the retrieval answer")
   }
 
+  test("vacuum folds the sidecar in: vacuumed-without-tombs == base-with-tombs == survivor rebuild") {
+    val dir = fresh("graft_ti_vac_base_")
+    TextIndex.buildTextIndex(docs, dir)
+    val tombs = fresh("graft_ti_vac_tomb_")
+    TextIndex.deleteFromTextIndex(docs.filter(col("doc_id") % 25 === 3), tombs)
+    val vacuumed = fresh("graft_ti_vac_out_")
+    TextIndex.vacuumTextIndex(spark, dir, tombs, vacuumed)
+    val mor = probe(dir, 43, tombs = Some(tombs))
+    sameRows(probe(vacuumed, 43), mor)
+    val survivors = fresh("graft_ti_vac_surv_")
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") % 25 =!= 3), survivors)
+    sameRows(probe(vacuumed, 43), probe(survivors, 43))
+  }
+
   test("probe scan is pruned to the query terms' tp partitions (DPP)") {
     val dir = fresh("graft_ti_dpp_")
     TextIndex.buildTextIndex(docs, dir)
