@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, VectorOps}
+import graft.ops.{DedupOps, TextIndex, VectorOps}
 
 /** Measured scaling EXPONENTS for the headline sub-quadratic claims
   * (r7 verdict task 6): ScaleStressSpec proves the answers stay exact
@@ -34,6 +34,14 @@ import graft.ops.{DedupOps, VectorOps}
   *   - vs02 (IVF cell probe, fixed 5-probe batch): per-cell scan
   *     grows with cell size at a fixed 8-cell codebook — sub-linear
   *     to linear; the oracle-side assignment is part of the plan.
+  *   - tx33 (BM25 index probe, FIXED query vs growing indexed lake):
+  *     O(query-term posting mass). On THIS corpus's ~30-word
+  *     vocabulary every doc holds most terms, so posting mass is a
+  *     constant fraction of the lake and the expected regime is
+  *     near-LINEAR — the claim under test is sub-quadratic plus the
+  *     constant-factor story (the probe reads 4 long columns of the
+  *     query's partitions, never text); at real-corpus vocabularies
+  *     query postings are a vanishing lake fraction.
   */
 object Scaling {
 
@@ -66,6 +74,15 @@ object Scaling {
       .filter(col("doc_id") % 10 === 0 && col("doc_id") < docSizes.head)
       .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"))
 
+    // tx33's fixtures: one persisted BM25 index per lake size, with a
+    // FIXED query so only the posting store grows.
+    val txtIdxDir = docSizes.map { n =>
+      val dirN = graft.core.Scratch.dir(s"graft_scaling_txtidx_${n}_") + "/index"
+      TextIndex.buildTextIndex(dslice(n), dirN)
+      n -> dirN
+    }.toMap
+    val fixedQuery = TextIndex.queryTerms(docs, 42)
+
     val kernels: Seq[(String, Seq[Long], Long => DataFrame)] = Seq(
       ("dd02_minhash_lsh", docSizes,
         n => DedupOps.minHashNearDupsPortable(withCopy(n))),
@@ -74,6 +91,8 @@ object Scaling {
       ("dd17_index_probe", docSizes,
         n => DedupOps.lshIndexProbe(batch, spark.table(idxTable(n)),
           dslice(n).unionByName(batch))),
+      ("tx33_text_probe", docSizes,
+        n => TextIndex.probeTextIndex(spark, txtIdxDir(n), fixedQuery, 10)),
       ("vs02_ivf_probe", vecSizes, { n =>
         val e = vslice(n)
         val centroids = e.filter(col("vec_id") < 8)

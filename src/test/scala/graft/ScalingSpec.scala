@@ -17,7 +17,7 @@ class ScalingSpec extends AnyFunSuite {
   test("headline kernels scale sub-quadratically over 1x/3x/10x slices") {
     val m = Scaling.measure(spark, "/root/testdata/sf0.1", reps = 2)
     assert(m.map(_._1).toSet == Set("dd02_minhash_lsh", "dd06_exact_ppjoin",
-      "dd17_index_probe", "vs02_ivf_probe"))
+      "dd17_index_probe", "vs02_ivf_probe", "tx33_text_probe"))
     for ((name, points, exp) <- m) {
       assert(points.forall(_._2 > 0), s"$name: non-positive timing $points")
       assert(exp <= 1.7, s"$name exponent $exp (points $points) — " +
