@@ -148,7 +148,8 @@ object TextIndex {
     * (doc_id, rnk, score). */
   def probeTextIndex(spark: SparkSession, dir: String,
       qterms: DataFrame, k: Int,
-      tombsPath: Option[String] = None): DataFrame = {
+      tombsPath: Option[String] = None,
+      excludeDocId: Option[Long] = None): DataFrame = {
     val tombs = tombsPath
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .map(p => spark.read.parquet(p))
@@ -182,10 +183,15 @@ object TextIndex {
         (col("df") + lit(0.5)) + lit(1.0)) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val sc = qp.join(dfq, "th").crossJoin(broadcast(stats))
+    val scAll = qp.join(dfq, "th").crossJoin(broadcast(stats))
       .select(col("doc_id"),
         floor(contrib * lit(1000000) + lit(0.5)).cast("long").as("q"))
       .groupBy("doc_id").agg(sum("q").as("iscore"))
+    // more-like-this serving excludes the query doc itself (it is its
+    // own top hit by construction); stats/df above still include it,
+    // matching the from-scratch kernels' convention (tx30/vs25)
+    val sc = excludeDocId.map(id => scAll.filter(col("doc_id") =!= id))
+      .getOrElse(scAll)
     // global top-k via distributed sort+limit; the rank window then
     // runs over <= k rows (onePart marker)
     val w = Window.partitionBy(PrefixSum.onePart(col("doc_id")))

@@ -1358,7 +1358,7 @@ object TextOps {
     * that already exists). Scratch-tagged per sf dir, swept at exit. */
   private val textIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def baseTextIndex(s: SparkSession, d: String): String =
+  private[ops] def baseTextIndex(s: SparkSession, d: String): String =
     textIndexCache.computeIfAbsent(d, _ => {
       val dir = graft.core.Scratch.dir(
         s"graft_txt_idx_${d.hashCode & 0x7fffffff}_")

@@ -1991,6 +1991,118 @@ object VectorOps {
               .otherwise(lit(0L))).cast("long").as("n_kept"),
             sum(when(col("vec_id") === col("label"), col("vec_id"))
               .otherwise(lit(0L))).cast("long").as("kept_id_sum"))
+      }),
+
+    QueryDef(
+      "vs29_index_served_rrf",
+      // INDEX-SERVED hybrid retrieval — vs25's reciprocal-rank fusion,
+      // but both legs answered FROM THE PERSISTED INDEXES instead of
+      // corpus scans: the lexical leg is a tx33 BM25 probe of the
+      // inverted text index (exact full-lake ranking off pruned
+      // posting partitions), the dense leg is a probeIvfIndex read of
+      // the persisted IVF store (cell-restricted, the serving
+      // approximation — at nprobe=1 the dense leg deliberately trades
+      // recall for a single-partition read, and RRF's strength is
+      // exactly that the exact lexical leg backstops it). This is the
+      // production serving path: two index reads and a 50∪50-row
+      // fusion join — the corpus itself is never scanned at query
+      // time. Fusion stays integer-exact: RRF(doc) = Σ 10⁹ DIV
+      // (60 + rank), Spark DIV ≡ DuckDB // on non-negatives.
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (
+             |  SELECT DISTINCT CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |  FROM tk2 WHERE doc_id = 42),
+             |posts AS (SELECT doc_id,
+             |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |          FROM tk2),
+             |qposts AS (SELECT doc_id, th FROM posts JOIN terms USING (th)),
+             |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), stats),
+             |bagg AS (SELECT doc_id, sum(q) AS iscore FROM sc
+             |         WHERE doc_id <> 42 GROUP BY doc_id),
+             |btop AS (SELECT doc_id,
+             |           row_number() OVER (ORDER BY iscore DESC, doc_id) AS r
+             |         FROM bagg QUALIFY r <= 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |pcell AS (SELECT cid FROM asg WHERE vec_id = 42),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 42),
+             |ctop AS (SELECT e.vec_id AS doc_id,
+             |           row_number() OVER (
+             |             ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS r
+             |         FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |         JOIN pcell ON asg.cid = pcell.cid, p
+             |         WHERE e.vec_id <> 42
+             |         QUALIFY r <= 50),
+             |fused AS (
+             |  SELECT doc_id,
+             |    coalesce(1000000000 // (60 + b.r), 0)
+             |      + coalesce(1000000000 // (60 + c2.r), 0) AS rrf
+             |  FROM btop b FULL OUTER JOIN ctop c2 USING (doc_id)),
+             |r AS (SELECT doc_id, rrf,
+             |        row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+             |      FROM fused)
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, CAST(rrf AS BIGINT) AS rrf
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        import graft.ops.PrefixSum.onePart
+        // lexical leg: the persisted inverted index, full BM25 ranking
+        val btop = graft.ops.TextIndex.probeTextIndex(s,
+            TextOps.baseTextIndex(s, d),
+            graft.ops.TextIndex.queryTerms(Tables(s, d, "documents"), 42),
+            k = 50, excludeDocId = Some(42L))
+          .select(col("doc_id"), col("rnk").as("rb"))
+        // dense leg: the persisted IVF store, probe vec 42's cell
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val probes = assignClusters(e.filter(col("vec_id") === 42), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        val ctop = probeIvfIndex(s, baseIvfIndexDir(s, d), probes, k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rnk").as("rc"))
+        val wF = Window.partitionBy(onePart(col("doc_id")))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        btop.join(ctop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 DIV (60 + rb)"), lit(0L)) +
+             coalesce(expr("1000000000 DIV (60 + rc)"), lit(0L))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rn", row_number().over(wF))
+          .select(col("doc_id"), col("rn").cast("long").as("rnk"),
+            col("rrf").cast("long").as("rrf"))
       })
   )
+
+  /** Per-sf cached base IVF index (input-fixture rationale, like
+    * dd17's baseLshIndex / tx33's baseTextIndex: a serving probe runs
+    * against a store that already exists). */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[ops] def baseIvfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexCache.computeIfAbsent(d, _ => {
+      val dir = graft.core.Scratch.dir(
+        s"graft_ivf_base_${d.hashCode & 0x7fffffff}_") + "/index"
+      val e = emb(s, d)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      writeIvfIndex(e, centroids, dir)
+      dir
+    })
 }
