@@ -1350,6 +1350,30 @@ object TextOps {
         TextIndex.probeTextIndex(s, idx,
           TextIndex.queryTerms(docs(s, d), 43), k = 10,
           tombsPath = Some(tombs))
+      }),
+
+    QueryDef(
+      "tx36_text_index_vacuum",
+      // Inverted-index VACUUM as a registered verb: fold tx35's
+      // tombstone sidecar into a fresh single-batch snapshot, then
+      // probe WITHOUT the sidecar — the same survivor-lake oracle as
+      // tx35, so merge-on-read and its compaction are proven to agree
+      // through the gate, not just through TextIndexSpec. Doc-granular
+      // deletes touch every tp partition (a doomed doc's terms hash
+      // everywhere), so the rewrite is O(index) BY DESIGN — the cost
+      // merge-on-read defers; running both verbs under one oracle is
+      // the point.
+      Some(bm25IndexOracle(" WHERE doc_id % 25 <> 3", probeId = 43)),
+      (s, d) => {
+        val idx = baseTextIndex(s, d)
+        val tombs = graft.core.Scratch.dir("graft_txt_tomb36_") + "/t"
+        TextIndex.deleteFromTextIndex(
+          docs(s, d).filter(col("doc_id") % 25 === 3)
+            .select("doc_id", "text"), tombs)
+        val out = graft.core.Scratch.dir("graft_txt_vac_") + "/index"
+        TextIndex.vacuumTextIndex(s, idx, tombs, out)
+        TextIndex.probeTextIndex(s, out,
+          TextIndex.queryTerms(docs(s, d), 43), k = 10)
       })
   )
 

@@ -114,7 +114,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // index's stats log (tx30's single-row corpus-stats cross, read
       // from the store instead of computed from text)
       "tx33_text_index_topk", "tx34_text_index_append",
-      "tx35_text_index_delete", "st16_stream_text_ingest",
+      "tx35_text_index_delete", "tx36_text_index_vacuum",
+      "st16_stream_text_ingest",
       // vs29: the text-index probe's 1-row stats cross (lexical leg)
       "vs29_index_served_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
