@@ -384,4 +384,77 @@ class ScaleStressSpec extends AnyFunSuite {
       .filter(col("pr") =!= floor).count() == 0,
       "padding nodes must sit exactly on the teleport floor")
   }
+
+  test("tx32 decontamination at 10x corpus: every planted leak keeps its exact overlap") {
+    // 10 id-shifted copies of the contaminated corpus against the
+    // FIXED benchmark (the realistic shape: eval sets don't grow with
+    // the lake). The gram stream is a pure per-doc function, so each
+    // copy's planted leak must pair with its bench source at overlap
+    // == that doc's exact distinct-5-gram count — a broadcast-join
+    // recall loss under 10x-hotter gram buckets, or a count drift from
+    // duplicate posting rows, breaks the per-pair equality, not just a
+    // total.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    def grams(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+      .select(col(idCol), explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 5)).as("g"))
+      .select(col(idCol),
+        graft.functions.GraftFunctions.md5_low60(col("g")).as("h"))
+    val leaks1 = bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      col("text"))
+    val corpus10 = (0 until 10).map(i => docs
+        .filter(col("doc_id") % 17 =!= 0).unionByName(leaks1)
+        .select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+    val found = grams(corpus10, "doc_id")
+      .join(broadcast(grams(bench.withColumnRenamed("doc_id", "bench_id"),
+        "bench_id")), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= 3)
+    val ng = bench.select(col("doc_id").as("bench_id"),
+      size(graft.functions.GraftFunctions.word_shingles(col("text"), 5))
+        .cast("long").as("ng")).filter(col("ng") >= 3)
+    val planted = found
+      .filter(pmod(col("doc_id"), lit(100000000L)) === col("bench_id") + 1000000L)
+      .join(ng, "bench_id")
+    assert(planted.count() == 10L * ng.count(),
+      "each of the 10 copies' planted leaks must be detected")
+    assert(planted.filter(col("overlap") =!= col("ng")).count() == 0,
+      "a planted leak's overlap must equal its doc's exact gram count")
+  }
+
+  test("text index at 10x lake: probe == from-scratch BM25 on the same 10x corpus") {
+    // The inverted index's visibility/stats/pruning logic at 10x the
+    // gated scale: build the posting store over 10 id-shifted copies,
+    // probe with a FIXED query, and demand bit-equality with the
+    // from-scratch tx30 kernel on the identical 10x frame — a stats-log
+    // fold error, a dropped posting partition, or a DPP prune that
+    // loses a bucket cannot survive the comparison.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val big = (0 until 10).map(i => docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sss_txtidx_").toString + "/index"
+    TextIndex.buildTextIndex(big, dir)
+    val probe = TextIndex.probeTextIndex(spark, dir,
+      TextIndex.queryTerms(docs, 42), k = 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(PrefixSum.onePart(col("doc_id")))
+      .orderBy(col("iscore").desc, col("doc_id"))
+    val scratch = TextOps.bm25ScoresMulti(big,
+        col("doc_id") === 42).drop("qid")
+      .orderBy(col("iscore").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("rn").cast("long").as("rnk"),
+        round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+    assert(probe.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(probe).count() == 0,
+      "10x index probe must equal the from-scratch kernel bit-for-bit")
+  }
 }
