@@ -51,6 +51,16 @@ object TextIndex {
 
   private val Parts = 16
 
+  /** Fixed store schemas, declared on every read: a quiet-hour batch
+    * (zero indexable docs — routine at scale) writes NO posting files
+    * under its `batch=`/`tp=` dirs, and schema INFERENCE over a store
+    * whose only batches are quiet would throw; a declared schema makes
+    * the empty read return an empty frame instead. Partition columns
+    * (batch, tp) are part of the declared schema, so discovery parses
+    * them into the declared types. */
+  private val postingsSchema = "doc_id LONG, dl LONG, th LONG, tf LONG, batch LONG, tp INT"
+  private val statsSchema = "n_docs LONG, sum_dl LONG, batch LONG"
+
   private def termHash(c: Column): Column =
     graft.functions.GraftFunctions.md5_low60(c)
 
@@ -78,7 +88,8 @@ object TextIndex {
     tokenized(docsDf)
       .select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("sum_dl"))
+        // a quiet-hour batch sums no rows: log 0, not NULL
+        coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
 
   /** Ingest `docsDf` as batch `batch` of the index at `dir` — the same
     * writer serves the fresh build (batch 0) and every later append;
@@ -117,14 +128,15 @@ object TextIndex {
   def vacuumTextIndex(spark: SparkSession, dir: String, tombsPath: String,
       outDir: String): Unit = {
     val tomb = spark.read.parquet(tombsPath)
-    val visible = spark.read.parquet(s"$dir/postings")
+    val visible = spark.read.schema(postingsSchema)
+      .parquet(s"$dir/postings")
       .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id", "dl", "th", "tf", "tp")
     visible.write.mode("overwrite").partitionBy("tp")
       .parquet(s"$outDir/postings/batch=0")
-    val base = spark.read.parquet(s"$dir/stats")
-      .agg(sum("n_docs").cast("long").as("n0"),
-        sum("sum_dl").cast("long").as("s0"))
+    val base = spark.read.schema(statsSchema).parquet(s"$dir/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long").as("n0"),
+        coalesce(sum("sum_dl"), lit(0L)).cast("long").as("s0"))
     val td = tomb.agg(coalesce(count(lit(1)), lit(0L)).as("nd"),
       coalesce(sum("dl"), lit(0L)).as("sd"))
     base.crossJoin(broadcast(td))
@@ -153,7 +165,8 @@ object TextIndex {
     val tombs = tombsPath
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .map(p => spark.read.parquet(p))
-    val postsAll = spark.read.parquet(s"$dir/postings")
+    val postsAll = spark.read.schema(postingsSchema)
+      .parquet(s"$dir/postings")
     val posts = tombs.map(t => postsAll.join(
         broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
       .getOrElse(postsAll)
@@ -164,21 +177,25 @@ object TextIndex {
     // df from the VISIBLE postings of the query's terms only — an
     // O(query postings) aggregate that appends/deletes can never stale
     val dfq = qp.groupBy("th").agg(count(lit(1)).as("df"))
-    val statsBase = spark.read.parquet(s"$dir/stats")
-      .agg(sum("n_docs").cast("long").as("n0"),
-        sum("sum_dl").cast("long").as("s0"))
+    val statsBase = spark.read.schema(statsSchema).parquet(s"$dir/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long").as("n0"),
+        coalesce(sum("sum_dl"), lit(0L)).cast("long").as("s0"))
     // N and avgdl fold the stats log minus the tombstone mass; every
     // operand is an exact integer in double range, so the division is
     // bit-equal to an avg() over the surviving docs
+    // an all-quiet store has n = 0; its probe emits no score rows, so
+    // avgdl is never consumed — but ANSI mode still evaluates the
+    // division, so guard it (0.0 is an arbitrary inert placeholder)
+    def safeAvg(sumDl: Column, n: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(sumDl.cast("double") / n)
     val stats = tombs.map { t =>
       val td = t.agg(coalesce(count(lit(1)), lit(0L)).as("nd"),
         coalesce(sum("dl"), lit(0L)).as("sd"))
       statsBase.crossJoin(broadcast(td))
         .select((col("n0") - col("nd")).as("n"),
-          ((col("s0") - col("sd")).cast("double") /
-            (col("n0") - col("nd"))).as("avgdl"))
+          safeAvg(col("s0") - col("sd"), col("n0") - col("nd")).as("avgdl"))
     }.getOrElse(statsBase.select(col("n0").as("n"),
-      (col("s0").cast("double") / col("n0")).as("avgdl")))
+      safeAvg(col("s0"), col("n0")).as("avgdl")))
     val contrib = log((col("n") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0)) *
       (col("tf") * lit(2.2)) /

@@ -29,6 +29,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(DedupOps.exactJaccardPairs(emptyDocs).count() == 0)
   }
 
+  test("text index: quiet-hour empty append leaves probes unchanged; empty build probes empty") {
+    // a daily ingest with no new documents writes ZERO posting files
+    // under its batch dirs and a (0, 0) stats row — both must be
+    // invisible to every later probe, and a store whose only batches
+    // are quiet must probe EMPTY, not throw on schema inference
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ei_ti_").toString + "/index"
+    TextIndex.buildTextIndex(docs, dir)
+    val qt = TextIndex.queryTerms(docs, 42)
+    val before = TextIndex.probeTextIndex(spark, dir, qt, 10).collect().toSeq
+    TextIndex.appendTextIndex(emptyDocs, dir, batch = 1L)
+    val after = TextIndex.probeTextIndex(spark, dir, qt, 10).collect().toSeq
+    assert(after == before, "an empty append must not move any answer")
+    val emptyIdx = java.nio.file.Files
+      .createTempDirectory("graft_ei_ti0_").toString + "/index"
+    TextIndex.buildTextIndex(emptyDocs, emptyIdx)
+    assert(TextIndex.probeTextIndex(spark, emptyIdx, qt, 10).count() == 0)
+  }
+
   test("portable near-dup pipelines (r7) on an empty corpus return zero pairs") {
     assert(DedupOps.minHashNearDupsPortable(emptyDocs).count() == 0)
     assert(DedupOps.simHashNearDupsPortable(emptyDocs).count() == 0)
