@@ -780,6 +780,81 @@ object SampleOps {
           .select(col("lang"), col("n").as("n_docs"),
             col("wt").as("weight"), quota.as("quota"),
             round(quota.cast("double") / col("n"), 6).as("rate"))
+      }),
+
+    QueryDef(
+      "sp22_kfold_split",
+      // LEAK-FREE K-FOLD cross-validation splits — dd23's cluster-
+      // keyed discipline generalized from one 80/20 cut to k = 5
+      // rotating folds: the fold key is the near-dup CLUSTER canonical
+      // (dd06's exact J >= 0.8 edges closed under dd05's min-label
+      // CC), hashed onto 0..4 with the portable md5 — so a document
+      // and all its near-duplicates land in the SAME fold and no
+      // evaluation fold is ever contaminated by a training twin, for
+      // every one of the k rotations at once (the property a per-doc
+      // fold hash cannot give; RoundEightSpec proves both copies of
+      // every doc share a fold). Retry-stable and manifest-free like
+      // every sp-family op: fold = pure function of content-derived
+      // cluster id. Output is the per-fold census (docs, clusters,
+      // id checksum); the per-doc frame is the same plan minus the
+      // final rollup.
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |), tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM u),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> array_to_string(
+             |             list_slice(toks, i, least(i + 2, len(toks))), ' '))) AS shs
+             |  FROM tk WHERE len(toks) > 0),
+             |post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+             |inter AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             |  FROM post x JOIN post y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+             |edges AS (
+             |  SELECT a, b FROM inter
+             |  JOIN sz sa ON sa.doc_id = a
+             |  JOIN sz sb ON sb.doc_id = b
+             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+             |sym AS (SELECT a AS src, b AS dst FROM edges
+             |        UNION ALL SELECT b, a FROM edges),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM u
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, lbl FROM r),
+             |cc AS (SELECT node AS doc_id, min(lbl) AS canonical
+             |       FROM reach GROUP BY node)
+             |SELECT CAST(CAST(concat('0x',
+             |    substr(md5(CAST(canonical AS VARCHAR)), 1, 15)) AS BIGINT)
+             |    % 5 AS BIGINT) AS fold,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_clusters,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM cc GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val u = base.unionByName(base.select(
+          (col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+        val edges = DedupOps.exactJaccardPairs(u).select("a", "b")
+        val cc = DedupOps.connectedComponents(
+          u.select(col("doc_id").as("id")), edges)
+        cc.select(col("id").as("doc_id"), col("label"))
+          .withColumn("fold",
+            pmod(DedupOps.portableHash60(col("label").cast("string")), lit(5)))
+          .groupBy(col("fold").cast("long").as("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("label").as("n_clusters"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

@@ -159,6 +159,32 @@ class RoundEightSpec extends AnyFunSuite {
       "each benchmark doc shares its own grams, so it must be flagged")
   }
 
+  test("sp22: k-fold is leak-free — every doc and its injected twin share a fold") {
+    val rows = q("sp22_kfold_split").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 2 * docs.count(),
+      "folds must partition the duplicated corpus")
+    assert(rows.map(_.getAs[Long]("fold")).toSet.size == rows.length,
+      "one census row per fold")
+    // recompute per-doc folds: both copies of a doc are exact dups
+    // (J = 1 edge), so they share a cluster, hence a fold — the
+    // property a per-doc hash split cannot give
+    val base = docs.select("doc_id", "text")
+    val u = base.unionByName(base.select(
+      (col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+    val cc = DedupOps.connectedComponents(
+      u.select(col("doc_id").as("id")),
+      DedupOps.exactJaccardPairs(u).select("a", "b"))
+    val perDoc = cc.select(col("id").as("doc_id"),
+      pmod(graft.functions.GraftFunctions.md5_low60(
+        col("label").cast("string")), lit(5)).as("fold"))
+    val straddlers = perDoc.filter(col("doc_id") < 100000L)
+      .join(perDoc.filter(col("doc_id") >= 100000L)
+        .select((col("doc_id") - 100000L).as("doc_id"),
+          col("fold").as("fold2")), "doc_id")
+      .filter(col("fold") =!= col("fold2")).count()
+    assert(straddlers == 0, "a doc and its twin landed in different folds")
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
