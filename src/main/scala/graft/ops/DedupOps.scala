@@ -1569,8 +1569,13 @@ object DedupOps {
     // aggregate per round instead of a join+filter+count over all nodes.
     // decimal(38,0) sum: a bigint sum could wrap at extreme node counts
     // and fake a fixed point
+    // coalesce: an EMPTY node set (a quiet partition is routine at
+    // scale) sums to NULL, and a null BigDecimal would NPE the
+    // convergence compare — fold it to 0 so the loop converges on the
+    // first round and returns the empty label frame
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -50,6 +50,34 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextIndex.probeTextIndex(spark, emptyIdx, qt, 10).count() == 0)
   }
 
+  test("round-8 kernels on an empty corpus: empty results, no ANSI arithmetic errors") {
+    // a quiet partition must flow through every round-8 kernel shape
+    // without a null unwrap or an ANSI 0-division
+    import org.apache.spark.sql.DataFrame
+    // tx32's shape: gram join against an (equally empty) bench side
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col(idCol), explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 5)).as("g"))
+      .select(col(idCol), graft.functions.GraftFunctions
+        .md5_low60(col("g")).as("h"))
+    assert(grams(emptyDocs, "doc_id")
+      .join(broadcast(grams(emptyDocs.withColumnRenamed("doc_id", "bench_id"),
+        "bench_id")), "h")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= 3).count() == 0)
+    // dd26's shape: word-set fingerprint census
+    assert(emptyDocs.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(
+          filter(split(col("text"), " "), x => x =!= ""))))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).count() == 0)
+    // sp22's shape: CC over an empty node/edge set
+    assert(DedupOps.connectedComponents(
+      emptyDocs.select(col("doc_id").as("id")),
+      DedupOps.exactJaccardPairs(emptyDocs).select(
+        col("a"), col("b"))).count() == 0)
+  }
+
   test("portable near-dup pipelines (r7) on an empty corpus return zero pairs") {
     assert(DedupOps.minHashNearDupsPortable(emptyDocs).count() == 0)
     assert(DedupOps.simHashNearDupsPortable(emptyDocs).count() == 0)
