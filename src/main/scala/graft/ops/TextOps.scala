@@ -1374,6 +1374,51 @@ object TextOps {
         TextIndex.vacuumTextIndex(s, idx, tombs, out)
         TextIndex.probeTextIndex(s, out,
           TextIndex.queryTerms(docs(s, d), 43), k = 10)
+      }),
+
+    QueryDef(
+      "tx37_passage_chunk",
+      // PASSAGE CHUNKING — sliding-window document segmentation (the
+      // RAG-retrieval / long-context preprocessing standard): windows
+      // of W = 32 tokens at stride S = 24 (8-token overlap so no
+      // boundary-straddling fact is lost to retrieval), the
+      // DOCUMENT-level complement of sp19's corpus-level
+      // concat-then-chunk. Every passage is a pure function of
+      // (doc, start): map-only generate via one transform over the
+      // stride sequence + posexplode — embarrassingly parallel, no
+      // shuffle at all (the census columns ride per row). Output rows
+      // carry the passage fingerprint rather than its text — at lake
+      // scale the chunker feeds embedding/indexing stages that
+      // re-read text by (doc_id, pid) range, not by copy.
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+             |p AS (
+             |  SELECT doc_id, CAST((st - 1) // 24 + 1 AS BIGINT) AS pid,
+             |    CAST(least(CAST(st + 31 AS BIGINT), n) - st + 1 AS BIGINT) AS n_tokens,
+             |    md5(array_to_string(
+             |      list_slice(toks, CAST(st AS INT), CAST(least(CAST(st + 31 AS BIGINT), n) AS INT)), ' ')) AS fp
+             |  FROM t2, unnest(range(1, n + 1, 24)) u(st))
+             |SELECT doc_id, pid, n_tokens, fp FROM p""".stripMargin),
+      (s, d) => {
+        val tk = docs(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), x => x =!= "").as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("n", size(col("toks")).cast("long"))
+        tk.select(col("doc_id"), col("n"),
+            posexplode(transform(
+              sequence(lit(1L), col("n"), lit(24L)),
+              st => concat_ws(" ", slice(col("toks"),
+                st.cast("int"), lit(32))))))
+          .select(col("doc_id"),
+            (col("pos") + 1).cast("long").as("pid"),
+            least(lit(1L) + col("pos") * 24 + 31, col("n"))
+              .minus(lit(1L) + col("pos") * 24).plus(1L)
+              .cast("long").as("n_tokens"),
+            md5(col("col")).as("fp"))
       })
   )
 

@@ -185,6 +185,31 @@ class RoundEightSpec extends AnyFunSuite {
     assert(straddlers == 0, "a doc and its twin landed in different folds")
   }
 
+  test("tx37: passages count exactly ceil(n/24) per doc and cover every token") {
+    val rows = q("tx37_passage_chunk").collect()
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docLens = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.keySet == docLens.keySet,
+      "every tokenizable doc chunks, nothing else does")
+    for ((id, n) <- docLens) {
+      val ps = perDoc(id)
+      assert(ps.length == ((n - 1) / 24 + 1).toInt,
+        s"doc $id with $n tokens: wrong passage count ${ps.length}")
+      assert(ps.map(_.getAs[Long]("pid")).sorted.toSeq ==
+        (1L to ps.length).toSeq, s"doc $id: pids must be dense from 1")
+      // stride 24 < window 32: windows overlap, so summed passage
+      // lengths must cover the doc with exactly 8-token double counts
+      // between consecutive FULL windows
+      val total = ps.map(_.getAs[Long]("n_tokens")).sum
+      assert(total >= n, s"doc $id: passages must cover all $n tokens")
+    }
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
