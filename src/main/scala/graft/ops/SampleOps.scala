@@ -855,6 +855,70 @@ object SampleOps {
           .agg(count(lit(1)).as("n_docs"),
             countDistinct("label").as("n_clusters"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "sp23_span_corruption",
+      // SPAN-CORRUPTION MASK PLANNING (the T5 denoising objective,
+      // arXiv:1910.10683 §3.1.4: ~15% of tokens masked in multi-token
+      // spans, mean length 3) made DISTRIBUTED-DETERMINISTIC: T5's
+      // sequential sampler is replaced by a pure per-position hash
+      // plan — position i starts a span iff md5(doc:i) % 20 = 0
+      // (density 1/20), its length is 1 + md5(doc:i:len) % 5 (1..5,
+      // mean 3 ⇒ expected mask mass ≈ 15%), overlapping spans merge
+      // by taking the distinct covered-position set. Same row, same
+      // mask — on any partitioning, any retry, any engine — which is
+      // what makes mid-epoch resume and cross-run ablations
+      // reproducible. Map-only: every step is per-doc array algebra
+      // (span merge is a bounded per-doc set op), zero shuffles.
+      // Output: per-doc mask census + the canonical mask fingerprint
+      // a downstream tokenizer pass re-derives positions from.
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tk
+             |       WHERE len(toks) > 0),
+             |m AS (
+             |  SELECT doc_id, n,
+             |    list_sort(list_distinct(flatten(list_transform(
+             |      list_filter(range(1, n + 1), i ->
+             |        CAST(concat('0x', substr(md5(doc_id || ':' || i), 1, 15)) AS BIGINT) % 20 = 0),
+             |      s -> range(s, least(
+             |             s + CAST(concat('0x', substr(md5(doc_id || ':' || s || ':len'), 1, 15)) AS BIGINT) % 5,
+             |             n) + 1))))) AS masked
+             |  FROM t2)
+             |SELECT doc_id, n AS n_tokens,
+             |  CAST(len(masked) AS BIGINT) AS n_masked,
+             |  CAST(len(list_filter(masked, p -> NOT list_contains(masked, p - 1))) AS BIGINT) AS n_spans,
+             |  md5(coalesce(array_to_string(masked, ','), '')) AS mask_fp
+             |FROM m""".stripMargin),
+      (s, d) => {
+        def h(parts: Column*): Column = pmod(
+          graft.functions.GraftFunctions.md5_low60(concat(parts: _*)),
+          lit(20))
+        def hlen(id: Column, st: Column): Column = pmod(
+          graft.functions.GraftFunctions.md5_low60(concat(
+            id.cast("string"), lit(":"), st.cast("string"), lit(":len"))),
+          lit(5))
+        val t2 = docs(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), x => x =!= "").as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+        val m = t2.withColumn("masked", array_sort(array_distinct(flatten(
+          transform(
+            filter(sequence(lit(1L), col("n")), i =>
+              h(col("doc_id").cast("string"), lit(":"),
+                i.cast("string")) === 0),
+            st => sequence(st,
+              least(st + hlen(col("doc_id"), st), col("n"))))))))
+        m.select(col("doc_id"), col("n").as("n_tokens"),
+          size(col("masked")).cast("long").as("n_masked"),
+          size(filter(col("masked"), p =>
+            !array_contains(col("masked"), p - 1))).cast("long").as("n_spans"),
+          md5(concat_ws(",",
+            transform(col("masked"), p => p.cast("string")))).as("mask_fp"))
       })
   )
 }

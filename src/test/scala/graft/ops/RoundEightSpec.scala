@@ -210,6 +210,31 @@ class RoundEightSpec extends AnyFunSuite {
     }
   }
 
+  test("sp23: mask plan is structurally sound and lands near the 15% design mass") {
+    val rows = q("sp23_span_corruption").collect()
+    val nDocs = docs
+      .filter(size(filter(split(col("text"), " "), x => x =!= "")) > 0)
+      .count()
+    assert(rows.length == nDocs, "one mask plan per tokenizable doc")
+    rows.foreach { r =>
+      val (n, m, sp) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"))
+      assert(m <= n, s"mask cannot exceed the doc: $r")
+      assert(sp <= m, s"spans cannot exceed masked tokens: $r")
+      assert((sp == 0) == (m == 0), s"empty mask iff zero spans: $r")
+    }
+    val mass = rows.map(_.getAs[Long]("n_masked")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(mass > 0.08 && mass < 0.25,
+      f"corpus mask mass $mass%.3f strayed from the ~15%% design point")
+    // same rows, same masks — the property that makes resume/ablation
+    // reproducible
+    val again = q("sp23_span_corruption").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("mask_fp")).toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[String]("mask_fp")))
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
