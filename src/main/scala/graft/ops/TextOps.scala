@@ -1419,7 +1419,50 @@ object TextOps {
               .minus(lit(1L) + col("pos") * 24).plus(1L)
               .cast("long").as("n_tokens"),
             md5(col("col")).as("fp"))
-      })
+      }),
+
+    QueryDef(
+      "tx38_repetition_census",
+      // WITHIN-DOCUMENT REPETITION — the Gopher rep-filter signal
+      // (arXiv:2112.11446 table A1: duplicate n-gram fraction) the
+      // tx12 gate doesn't carry: the fraction of a doc's 3-gram
+      // OCCURRENCES that are repeats of an earlier 3-gram in the same
+      // doc. Boilerplate, looped generations and template spam score
+      // high; natural prose scores near zero. The fraction lives on
+      // the integer grid via pure floor division
+      // ((total − distinct)·10⁴ DIV total — no float anywhere), so
+      // the census is trivially engine- and partition-exact. Map-only:
+      // per-doc array algebra, zero shuffles — at 100 TB this rides
+      // the same single corpus pass as every other per-doc signal.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang,
+             |    list_transform(range(1, len(toks) - 1),
+             |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+             |  FROM tk WHERE len(toks) >= 3)
+             |SELECT doc_id, lang,
+             |  CAST(len(grams) AS BIGINT) AS total_3grams,
+             |  CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_3grams,
+             |  CAST(((len(grams) - len(list_distinct(grams))) * 10000)
+             |    // len(grams) AS BIGINT) AS rep_q
+             |FROM g""".stripMargin),
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            filter(split(col("text"), " "), x => x =!= "").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("grams", transform(
+            sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+          .select(col("doc_id"), col("lang"),
+            size(col("grams")).cast("long").as("total_3grams"),
+            size(array_distinct(col("grams"))).cast("long")
+              .as("distinct_3grams"))
+          .withColumn("rep_q", expr(
+            "((total_3grams - distinct_3grams) * 10000) DIV total_3grams")))
   )
 
   /** Per-sf cached base text index (input-fixture rationale, like

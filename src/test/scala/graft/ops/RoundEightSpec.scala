@@ -235,6 +235,24 @@ class RoundEightSpec extends AnyFunSuite {
       again(r.getAs[Long]("doc_id")) == r.getAs[String]("mask_fp")))
   }
 
+  test("tx38: repetition census conserves gram mass and stays on the grid") {
+    val rows = q("tx38_repetition_census").collect()
+    val expected = docs
+      .select(size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+      .filter(col("n") >= 3)
+      .agg(count(lit(1)), sum(col("n") - 2)).head()
+    assert(rows.length == expected.getLong(0),
+      "one census row per doc with >= 3 tokens")
+    assert(rows.map(_.getAs[Long]("total_3grams")).sum == expected.getLong(1),
+      "total gram occurrences must equal sum(n - 2) — nothing dropped")
+    rows.foreach { r =>
+      val (t, dst, q) = (r.getAs[Long]("total_3grams"),
+        r.getAs[Long]("distinct_3grams"), r.getAs[Long]("rep_q"))
+      assert(dst >= 1 && dst <= t, s"distinct out of range: $r")
+      assert(q == (t - dst) * 10000 / t, s"rep_q off the integer grid: $r")
+    }
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
