@@ -2087,8 +2087,48 @@ object VectorOps {
           .withColumn("rn", row_number().over(wF))
           .select(col("doc_id"), col("rn").cast("long").as("rnk"),
             col("rrf").cast("long").as("rrf"))
-      })
+      }),
+
+    QueryDef(
+      "vs30_embedding_audit",
+      // see [[embeddingAudit]] — per-dimension integer-grid QA of the
+      // embedding lake (drift / dead-dimension / quantization-range
+      // monitor for the ANN tiers).
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (
+             |  SELECT CAST(d AS BIGINT) AS dim,
+             |    CAST(floor(v[d + 1] * 1000000 + 0.5) AS BIGINT) AS qv
+             |  FROM e, range(0, 64) t(d))
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n_values,
+             |  CAST(sum(qv) AS BIGINT) AS sum_q,
+             |  CAST(min(qv) AS BIGINT) AS min_q,
+             |  CAST(max(qv) AS BIGINT) AS max_q,
+             |  CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+             |FROM x GROUP BY dim""".stripMargin),
+      (s, d) => embeddingAudit(emb(s, d)))
   )
+
+  /** vs30's QueryDef body, kept beside the fixture helpers: the
+    * EMBEDDING-LAKE QA AUDIT — per-dimension statistics on the 1e-6
+    * integer grid (value count, exact quantized sum, min, max, zero
+    * count per dimension). This is the drift/dead-dimension monitor a
+    * vector lake runs before trusting ANN answers: a dimension whose
+    * sum_q collapses or whose n_zero spikes signals an encoder
+    * regression upstream, and min/max bound the quantization range the
+    * PQ/int8 tiers (vs04, vs09) assume. All integers, NO division
+    * anywhere (a mean would need floor-vs-truncate division parity on
+    * negatives — the consumer divides); one explode + one
+    * map-combinable rollup over a bounded 64-dim domain. */
+  private[ops] def embeddingAudit(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(1000000) + lit(0.5)).cast("long").as("qv"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_values"),
+        sum("qv").cast("long").as("sum_q"),
+        min("qv").as("min_q"), max("qv").as("max_q"),
+        sum(when(col("qv") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"))
 
   /** Per-sf cached base IVF index (input-fixture rationale, like
     * dd17's baseLshIndex / tx33's baseTextIndex: a serving probe runs

@@ -253,6 +253,19 @@ class RoundEightSpec extends AnyFunSuite {
     }
   }
 
+  test("vs30: every dimension audits every vector exactly once") {
+    val rows = q("vs30_embedding_audit").collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == 64, "one audit row per embedding dimension")
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (0L until 64L).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_values") == nVecs,
+        s"a dimension missed or double-counted vectors: $r")
+      assert(r.getAs[Long]("min_q") <= r.getAs[Long]("max_q"))
+      assert(r.getAs[Long]("n_zero") <= nVecs)
+    }
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
