@@ -580,6 +580,67 @@ object Pipeline {
         packed(withSplit.filter(col("split") === "train"), "train")
           .unionByName(packed(withSplit.filter(col("split") === "test"), "test"))
           .select("split", "shard", "n", "sum_chars", "id_sum")
+      }),
+
+    QueryDef(
+      "pp07_temperature_mix_build",
+      // The temperature mixture BUILT, not just planned: sp21's α=0.5
+      // quotas (Σ = total/4 exactly) actually SELECT the corpus — per
+      // language, the quota-many docs with the smallest md5(doc_id)
+      // keys (sp01/sp02's retry-stable selection discipline: a pure
+      // content hash, so re-runs, retries and engines pick the same
+      // docs). The census proves the build hit every quota exactly and
+      // pins membership with id_sum. Scale: the quota table is 5 rows
+      // (broadcast); selection is sp02's shape — ONE shuffle, each
+      // language's rank window hash-partitions to its own task chain;
+      // everything upstream of the window is the same map-side pass
+      // sp21 runs. This closes the mixture loop the way pp06 closes
+      // the index-lifecycle loop: plan → build → audited artifact.
+      Some("""WITH t AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             |               CAST(sum(n) // 4 AS BIGINT) AS b FROM t),
+             |w AS (SELECT lang, n,
+             |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wt
+             |      FROM t),
+             |ws AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+             |x AS (SELECT lang, n, wt,
+             |        CAST((CAST(b AS HUGEINT) * wt) // wsum AS BIGINT) AS f,
+             |        CAST(CAST(b AS HUGEINT) * wt
+             |          - ((CAST(b AS HUGEINT) * wt) // wsum) * wsum AS BIGINT) AS r
+             |      FROM w, tot, ws),
+             |l AS (SELECT CAST(b - (SELECT sum(f) FROM x) AS BIGINT) AS leftover
+             |      FROM tot),
+             |rk AS (SELECT lang, n, wt, f,
+             |         row_number() OVER (ORDER BY r DESC, lang) AS rn
+             |       FROM x),
+             |q AS (SELECT lang,
+             |        CAST(f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |      FROM rk, l),
+             |sel AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT s.lang, q.quota,
+             |  CAST(count(*) AS BIGINT) AS n_selected,
+             |  CAST(sum(s.doc_id) AS BIGINT) AS id_sum
+             |FROM sel s JOIN q USING (lang)
+             |WHERE s.rn <= q.quota
+             |GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val q = SampleOps.temperatureQuotas(s, d).select("lang", "quota")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+        docs(s, d).select(col("doc_id"), col("lang"))
+          .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(q), "lang")
+          .filter(col("rn") <= col("quota"))
+          .groupBy("lang", "quota")
+          .agg(count(lit(1)).as("n_selected"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

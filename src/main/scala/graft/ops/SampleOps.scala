@@ -34,6 +34,36 @@ object SampleOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
+  /** sp21's α = 0.5 temperature apportionment, shared with pp07 (which
+    * SELECTS the mixture these quotas prescribe). Returns
+    * (lang, n_docs, weight, quota, rate) — Σquota = total/4 exactly. */
+  private[ops] def temperatureQuotas(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.PrefixSum.onePart
+    val t = docs(s, d).groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = t.agg(sum("n").cast("long").as("total"))
+      .withColumn("b", expr("total DIV 4"))
+    val w = t.withColumn("wt",
+      floor(sqrt(col("n").cast("double")) * lit(1000000) + lit(0.5))
+        .cast("long"))
+    val ws = w.agg(sum("wt").cast("long").as("wsum"))
+    val x = w.crossJoin(broadcast(tot)).crossJoin(broadcast(ws))
+      .withColumn("p", expr("CAST(b AS DECIMAL(38,0)) * CAST(wt AS DECIMAL(38,0))"))
+      .withColumn("f", expr("p DIV CAST(wsum AS DECIMAL(38,0))"))
+      .withColumn("r", expr("CAST(p - CAST(f AS DECIMAL(38,0)) * wsum AS BIGINT)"))
+    val lv = x.agg(max("b").as("b"), sum("f").as("sf"))
+      .select((col("b") - col("sf")).cast("long").as("leftover"))
+    val wnd = Window.partitionBy(onePart(col("lang")))
+      .orderBy(col("r").desc, col("lang"))
+    val quota = (col("f") + when(col("rn") <= col("leftover"), lit(1L))
+      .otherwise(lit(0L))).cast("long")
+    x.withColumn("rn", row_number().over(wnd))
+      .crossJoin(broadcast(lv))
+      .select(col("lang"), col("n").as("n_docs"),
+        col("wt").as("weight"), quota.as("quota"),
+        round(quota.cast("double") / col("n"), 6).as("rate"))
+  }
+
   /** events with `ts` normalized to TIMESTAMP (see Tables.normalizeTs). */
   private def evTs(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
@@ -755,32 +785,7 @@ object SampleOps {
              |  CAST(f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
              |  round(CAST(f + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS DOUBLE) / n, 6) AS rate
              |FROM rk, l""".stripMargin),
-      (s, d) => {
-        import graft.ops.PrefixSum.onePart
-        val t = docs(s, d).groupBy("lang")
-          .agg(count(lit(1)).cast("long").as("n"))
-        val tot = t.agg(sum("n").cast("long").as("total"))
-          .withColumn("b", expr("total DIV 4"))
-        val w = t.withColumn("wt",
-          floor(sqrt(col("n").cast("double")) * lit(1000000) + lit(0.5))
-            .cast("long"))
-        val ws = w.agg(sum("wt").cast("long").as("wsum"))
-        val x = w.crossJoin(broadcast(tot)).crossJoin(broadcast(ws))
-          .withColumn("p", expr("CAST(b AS DECIMAL(38,0)) * CAST(wt AS DECIMAL(38,0))"))
-          .withColumn("f", expr("p DIV CAST(wsum AS DECIMAL(38,0))"))
-          .withColumn("r", expr("CAST(p - CAST(f AS DECIMAL(38,0)) * wsum AS BIGINT)"))
-        val lv = x.agg(max("b").as("b"), sum("f").as("sf"))
-          .select((col("b") - col("sf")).cast("long").as("leftover"))
-        val wnd = Window.partitionBy(onePart(col("lang")))
-          .orderBy(col("r").desc, col("lang"))
-        val quota = (col("f") + when(col("rn") <= col("leftover"), lit(1L))
-          .otherwise(lit(0L))).cast("long")
-        x.withColumn("rn", row_number().over(wnd))
-          .crossJoin(broadcast(lv))
-          .select(col("lang"), col("n").as("n_docs"),
-            col("wt").as("weight"), quota.as("quota"),
-            round(quota.cast("double") / col("n"), 6).as("rate"))
-      }),
+      (s, d) => temperatureQuotas(s, d)),
 
     QueryDef(
       "sp22_kfold_split",

@@ -117,7 +117,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx35_text_index_delete", "tx36_text_index_vacuum",
       "st16_stream_text_ingest",
       // vs29: the text-index probe's 1-row stats cross (lexical leg)
-      "vs29_index_served_rrf")
+      "vs29_index_served_rrf",
+      // pp07: sp21's quota computation inside it (1-row broadcast
+      // budget/weight-sum/leftover crosses over the language table)
+      "pp07_temperature_mix_build")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

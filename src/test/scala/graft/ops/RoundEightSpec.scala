@@ -266,6 +266,16 @@ class RoundEightSpec extends AnyFunSuite {
     }
   }
 
+  test("pp07: the built mixture hits every temperature quota exactly") {
+    val rows = q("pp07_temperature_mix_build").collect()
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_selected") == r.getAs[Long]("quota"),
+      s"selection must fill its quota exactly: $r"))
+    val total = docs.count()
+    assert(rows.map(_.getAs[Long]("n_selected")).sum == total / 4,
+      "the built mixture must hit the hard budget B = total/4 exactly")
+  }
+
   test("pp06: snake deal balances shards within each split to +-1 doc") {
     val rows = q("pp06_incremental_corpus").collect()
     for (split <- Seq("train", "test")) {
