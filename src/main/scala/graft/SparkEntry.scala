@@ -36,6 +36,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
+  /** Registration order, duplicates included — RegistrySpec asserts
+    * no two modules register the same name (a duplicate would
+    * silently collapse in the [[queries]] map) and that the counts
+    * COVERAGE.md / README.md quote equal the live registry. */
+  private[graft] def queryNames: Seq[String] = all.map(_.name)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (LSH/SimHash internals, approximate sketches). */

@@ -15,28 +15,41 @@ import java.util.concurrent.ConcurrentHashMap
   * caller has finished with it — each query materializes its answer
   * before returning), and a JVM shutdown hook removes the survivors.
   *
-  * Thread-safety: the map is concurrent; the delete of the PREVIOUS
-  * dir only races with a concurrent request for the SAME tag, and
-  * every tag is used by exactly one query (queries run sequentially
-  * in both the bench and the Verify driver).
+  * Deletion is deferred ONE generation (keep last-2, ADVICE r8):
+  * queries return lazy plans over scratch paths that are normally
+  * collected before the same query re-executes, but nothing enforces
+  * that sequencing — a harness that builds several runs' plans before
+  * collecting any would read a deleted path under keep-last-1. With
+  * last-2, requesting generation k+2 is what deletes generation k,
+  * and by then the tag's OWN next plan has been built over k+1.
+  *
+  * Thread-safety: the eviction runs inside the map's per-key compute,
+  * so concurrent requests for the same tag cannot double-delete.
   */
 object Scratch {
-  private val live = new ConcurrentHashMap[String, Path]()
+  private val live = new ConcurrentHashMap[String, List[Path]]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    live.values.forEach(p => deleteRecursively(p))
+    live.values.forEach(ps => ps.foreach(deleteRecursively))
     live.clear()
   }))
 
-  /** A fresh empty scratch directory for `tag`, replacing (and
-    * deleting) the tag's previous one if any. Returns its absolute
-    * path as a string. */
-  def dir(tag: String): String = {
-    val fresh = Files.createTempDirectory(tag)
-    val prev = live.put(tag, fresh)
-    if (prev != null) deleteRecursively(prev)
+  private def retag(tag: String, fresh: Path): String = {
+    var evicted: List[Path] = Nil
+    live.compute(tag, (_, prev) => {
+      val old = if (prev == null) Nil else prev
+      evicted = old.drop(1)
+      fresh :: old.take(1)
+    })
+    evicted.foreach(deleteRecursively)
     fresh.toString
   }
+
+  /** A fresh empty scratch directory for `tag`, retiring the tag's
+    * grandparent generation (last-2 retention — see the class note).
+    * Returns its absolute path as a string. */
+  def dir(tag: String): String =
+    retag(tag, Files.createTempDirectory(tag))
 
   /** Like [[dir]] but rooted at `base` when writable (e.g. /dev/shm
     * for streaming checkpoints), falling back to java.io.tmpdir. */
@@ -45,9 +58,7 @@ object Scratch {
     val fresh =
       if (Files.isWritable(root)) Files.createTempDirectory(root, tag)
       else Files.createTempDirectory(tag)
-    val prev = live.put(tag, fresh)
-    if (prev != null) deleteRecursively(prev)
-    fresh.toString
+    retag(tag, fresh)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -162,9 +162,14 @@ object TextIndex {
       qterms: DataFrame, k: Int,
       tombsPath: Option[String] = None,
       excludeDocId: Option[Long] = None): DataFrame = {
-    val tombs = tombsPath
-      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      .map(p => spark.read.parquet(p))
+    // existence goes through the Hadoop FileSystem of the PATH (not
+    // java.nio, which answers false for any hdfs://-s3a://-style store
+    // and would silently resurrect taken-down docs) — the same check
+    // VectorOps.minusTombstones uses (ADVICE r8)
+    val tombs = tombsPath.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }.map(p => spark.read.parquet(p))
     val postsAll = spark.read.schema(postingsSchema)
       .parquet(s"$dir/postings")
     val posts = tombs.map(t => postsAll.join(

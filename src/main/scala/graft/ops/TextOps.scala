@@ -346,27 +346,19 @@ object TextOps {
              |       THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM m""".stripMargin),
       (s, d) => {
-        val padded = concat(lit(" "), col("text"), lit(" "))
+        // the SAME metric + rule definitions the streaming router's
+        // gopherKeep composes — projected here so the per-rule flags
+        // are visible (the gate is their conjunction by construction)
         val flag = (c: Column) => when(c, 1L).otherwise(0L)
         val m = docs(s, d).select(
-          col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
-          length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars"),
-          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-            .cast("long").as("n_digits"),
-          length(col("text")).cast("long").as("len"),
-          Seq("the", "and", "of", "to", "a")
-            .map(sw => flag(padded.contains(s" $sw ")))
-            .reduce(_ + _).as("n_stop"))
-        val okW = col("n_words").between(10, 1000)
-        val okL = col("n_chars") >= lit(2) * col("n_words") &&
-          col("n_chars") <= lit(12) * col("n_words")
-        val okS = lit(5) * col("n_digits") <= col("len")
-        val okT = col("n_stop") >= 2
-        m.select(col("doc_id"), col("n_words"),
-          flag(okW).as("ok_nwords"), flag(okL).as("ok_wordlen"),
-          flag(okS).as("ok_symbols"), flag(okT).as("ok_stop"),
-          flag(okW && okL && okS && okT).as("keep"))
+          col("doc_id") +: gopherMetrics(col("text")).map {
+            case (n, c) => c.as(n)
+          }: _*)
+        val rules = gopherRules(col)
+        m.select(
+          Seq(col("doc_id"), col("n_words")) ++
+            rules.map { case (n, c) => flag(c).as(n) } :+
+            flag(rules.map(_._2).reduce(_ && _)).as("keep"): _*)
       }),
 
     QueryDef(
@@ -1548,24 +1540,44 @@ object TextOps {
     * query-independent and computed once; the postings join fans out
     * only by the probes' term lists (broadcast — probe batches are
     * small by design). */
-  /** tx12's combined Gopher gate as ONE reusable predicate — the batch
-    * flags (tx12), and st14's STREAMING router consume this same
-    * definition, so the keep/drop policy cannot drift between the
-    * batch and streaming paths. Every bound is an integer comparison
-    * (see tx12's comment), hence engine-exact. */
-  def gopherKeep(text: Column): Column = {
+  /** The Gopher gate's METRIC columns, named — the single definition
+    * of what gets measured. tx12's batch flags project these under
+    * their names; [[gopherKeep]] inlines them — either way the same
+    * Column expressions, so the two paths cannot drift (ADVICE r8:
+    * they used to be duplicated and pinned only by a spec count). */
+  private[graft] def gopherMetrics(text: Column): Seq[(String, Column)] = {
     val padded = concat(lit(" "), text, lit(" "))
-    val nWords = size(split(trim(text), "\\s+")).cast("long")
-    val nChars = length(replace(text, lit(" "), lit(""))).cast("long")
-    val nDigits =
-      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
-    val len = length(text).cast("long")
-    val nStop = Seq("the", "and", "of", "to", "a")
-      .map(sw => when(padded.contains(s" $sw "), 1L).otherwise(0L))
-      .reduce(_ + _)
-    nWords.between(10, 1000) &&
-      nChars >= lit(2) * nWords && nChars <= lit(12) * nWords &&
-      lit(5) * nDigits <= len && nStop >= 2
+    Seq(
+      "n_words" -> size(split(trim(text), "\\s+")).cast("long"),
+      "n_chars" -> length(replace(text, lit(" "), lit(""))).cast("long"),
+      "n_digits" ->
+        (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long"),
+      "len" -> length(text).cast("long"),
+      "n_stop" -> Seq("the", "and", "of", "to", "a")
+        .map(sw => when(padded.contains(s" $sw "), 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
+  /** The four Gopher rule predicates over the [[gopherMetrics]]
+    * columns, resolved through `m` (so tx12 applies them to projected
+    * metric COLUMNS and [[gopherKeep]] to the inline expressions).
+    * Every bound is an integer comparison (see tx12's comment), hence
+    * engine-exact. */
+  private[graft] def gopherRules(m: String => Column): Seq[(String, Column)] = Seq(
+    "ok_nwords" -> m("n_words").between(10, 1000),
+    "ok_wordlen" -> (m("n_chars") >= lit(2) * m("n_words") &&
+      m("n_chars") <= lit(12) * m("n_words")),
+    "ok_symbols" -> (lit(5) * m("n_digits") <= m("len")),
+    "ok_stop" -> (m("n_stop") >= 2))
+
+  /** tx12's combined Gopher gate as ONE reusable predicate — the batch
+    * flags (tx12) and st14's STREAMING router consume this same
+    * definition ([[gopherMetrics]] ∘ [[gopherRules]]), so the
+    * keep/drop policy cannot drift between the batch and streaming
+    * paths. */
+  def gopherKeep(text: Column): Column = {
+    val m = gopherMetrics(text).toMap
+    gopherRules(m).map(_._2).reduce(_ && _)
   }
 
   def bm25ScoresMulti(corpus: org.apache.spark.sql.DataFrame,

@@ -61,8 +61,12 @@ object RouterStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // evaluate the gate ONCE per row, route on the flag; the two
-        // filtered writes share the gated frame's plan
-        val gated = batch.withColumn("__keep__", gate)
+        // filtered writes share the gated frame's plan. A NULL gate
+        // (e.g. NULL text under gopherKeep) fails BOTH filter(k) and
+        // filter(!k) — coalesce to false so such rows land in
+        // quarantine and the two stores stay an exact partition of
+        // the input (ADVICE r8)
+        val gated = batch.withColumn("__keep__", coalesce(gate, lit(false)))
         gated.filter(col("__keep__")).drop("__keep__")
           .write.mode("overwrite").parquet(s"$acceptDir/batch=$id")
         gated.filter(!col("__keep__")).drop("__keep__")

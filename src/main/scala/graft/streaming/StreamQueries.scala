@@ -797,9 +797,15 @@ object StreamQueries {
         val base = java.nio.file.Paths.get(
           graft.core.Scratch.dir("graft_decontam_"))
         val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_decontam_ck_")
-        val q = RouterStream.predicateRoute(s, inDir, inSchema, gate,
-          s"$base/clean", s"$base/flagged", ck, filesPerTrigger = 2)
-        q.awaitTermination()
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = RouterStream.predicateRoute(s, inDir, inSchema, gate,
+            s"$base/clean", s"$base/flagged", ck, filesPerTrigger = 2)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         def store(sub: String, route: String) =
           s.read.parquet(s"$base/$sub").drop("batch")
             .withColumn("route", lit(route))
