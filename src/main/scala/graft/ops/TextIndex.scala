@@ -145,6 +145,46 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$outDir/stats/batch=0")
   }
 
+  /** RE-VERSION (the UPDATE verb, closing CRUD symmetry with the LSH
+    * index's dd21 and the IVF index's vs26): an edited document is
+    * tombstone-OLD → vacuum → append-NEW, in that order and through a
+    * fresh snapshot at `outDir`. The order is load-bearing — the
+    * tombstone sidecar kills by doc_id, so a new version appended
+    * while the sidecar is live is SHADOWED by its own takedown (the
+    * same-batch hazard IvfDeleteSpec maps for vs26; TextIndexSpec
+    * pins both the safe composition and the hazard). The vacuum leg
+    * is O(index) because a doc's terms hash across every tp partition
+    * (see [[vacuumTextIndex]]); a production store amortizes it by
+    * batching edits between compactions — the verb's CONTRACT
+    * (≡ full rebuild over the edited lake) is what this exposes. */
+  def reVersionTextIndex(spark: SparkSession, oldDocs: DataFrame,
+      newDocs: DataFrame, dir: String, outDir: String,
+      newBatch: Long = 1L): Unit = {
+    val tombs = graft.core.Scratch.dir("graft_txt_rev_tomb_") + "/t"
+    deleteFromTextIndex(oldDocs, tombs)
+    vacuumTextIndex(spark, dir, tombs, outDir)
+    appendTextIndex(newDocs, outDir, newBatch)
+  }
+
+  /** RETENTION EXPIRY (the dd22 idiom on the text side): when batches
+    * are the retention key — exactly what the `batch=` ingest layout
+    * gives a streaming-fed index — expiring everything older than
+    * `cutoffBatch` is DROPPING whole shard directories, postings and
+    * stats-log rows together: O(1) metadata per dropped shard, no
+    * read, no rewrite, no tombstone debt. Because each batch indexes
+    * its own disjoint docs and N/avgdl/df are all derived from what
+    * remains VISIBLE (stats-log sums, per-query df), the surviving
+    * store probes exactly like a rebuild over the surviving batches'
+    * docs (TextIndexSpec pins it, including the all-expired quiet
+    * store). Contract: fold any tombstone sidecar (vacuum) BEFORE
+    * expiring — a tombstone for a dropped doc would double-subtract
+    * its mass from the stats fold. */
+  def expireTextIndex(spark: SparkSession, dir: String,
+      cutoffBatch: Long): Unit = {
+    DedupOps.expireShards(spark, s"$dir/postings", "batch", cutoffBatch)
+    DedupOps.expireShards(spark, s"$dir/stats", "batch", cutoffBatch)
+  }
+
   /** Distinct query-term hashes of `docId`'s lake text — the probe
     * input is external to the index, like dd17's probe batches. */
   def queryTerms(docsDf: DataFrame, docId: Long): DataFrame =

@@ -1454,7 +1454,70 @@ object TextOps {
             size(array_distinct(col("grams"))).cast("long")
               .as("distinct_3grams"))
           .withColumn("rep_q", expr(
-            "((total_3grams - distinct_3grams) * 10000) DIV total_3grams")))
+            "((total_3grams - distinct_3grams) * 10000) DIV total_3grams"))),
+
+    QueryDef(
+      "tx39_text_index_update",
+      // Inverted-index UPDATE — the RE-VERSION verb
+      // ([[TextIndex.reVersionTextIndex]]), closing the text index's
+      // CRUD symmetry with the LSH index (dd21) and the IVF index
+      // (vs26): every (doc_id % 20 = 7) doc is edited to a new
+      // version (v2 = its text doubled — same doc_id, double dl and
+      // per-term tf, so EVERY BM25 factor the index maintains must
+      // move: tf, dl, avgdl, and N must NOT change). The verb is
+      // tombstone-old → vacuum → append-new, in that order — a new
+      // version appended while the sidecar is live would be SHADOWED
+      // by its own takedown (the same-batch hazard vs26's discipline
+      // maps; TextIndexSpec pins it). The oracle replays retrieval
+      // from scratch over the EDITED lake, holding the in-place verb
+      // to the full-rebuild answer. Probe doc 43 (43 % 20 = 3,
+      // unedited) — but edited docs rank in its results, so a stale
+      // old version, a shadowed new version, or an unshifted avgdl
+      // all break the hash.
+      Some(bm25IndexOracleOver(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 20 = 7 THEN text || ' ' || text
+          |       ELSE text END AS text
+          |FROM documents""".stripMargin, probeId = 43)),
+      (s, d) => {
+        val idx = baseTextIndex(s, d)
+        val edited = docs(s, d).filter(col("doc_id") % 20 === 7)
+          .select("doc_id", "text")
+        val newV = edited.select(col("doc_id"),
+          concat_ws(" ", col("text"), col("text")).as("text"))
+        val out = graft.core.Scratch.dir("graft_txt_rev_") + "/index"
+        TextIndex.reVersionTextIndex(s, edited, newV, idx, out)
+        TextIndex.probeTextIndex(s, out,
+          TextIndex.queryTerms(docs(s, d), 43), k = 10)
+      }),
+
+    QueryDef(
+      "tx40_text_index_expire",
+      // Inverted-index RETENTION EXPIRY
+      // ([[TextIndex.expireTextIndex]]) — the dd22 partition-drop
+      // economics on the text side, completing the third deletion
+      // mode across all three index families: the corpus arrives as
+      // three ingest batches (doc_id % 3, the layout a streaming feed
+      // writes naturally), retention drops every batch below the
+      // cutoff — whole batch= dirs, postings AND stats-log rows
+      // together, O(1) metadata per shard, no read, no rewrite, no
+      // tombstone debt. The oracle replays retrieval over the
+      // SURVIVING batches' docs from scratch: the probe's tf/df come
+      // from surviving postings and N/avgdl from the surviving
+      // stats-log rows, so an undropped shard, a stale stats row, or
+      // a half-dropped batch all break the hash. Probe doc 43
+      // (43 % 3 = 1, a survivor).
+      Some(bm25IndexOracle(" WHERE doc_id % 3 <> 0", probeId = 43)),
+      (s, d) => {
+        // per-execution store: expiry mutates it, so no shared fixture
+        val dir = graft.core.Scratch.dir("graft_txt_exp_") + "/index"
+        val base = docs(s, d).select("doc_id", "text")
+        (0L to 2L).foreach(b => TextIndex.appendTextIndex(
+          base.filter(pmod(col("doc_id"), lit(3)) === b), dir, b))
+        TextIndex.expireTextIndex(s, dir, cutoffBatch = 1L)
+        TextIndex.probeTextIndex(s, dir,
+          TextIndex.queryTerms(docs(s, d), 43), k = 10)
+      })
   )
 
   /** Per-sf cached base text index (input-fixture rationale, like
@@ -1490,9 +1553,16 @@ object TextOps {
     * by `corpusWhere`; query terms always come from the unrestricted
     * lake, mirroring [[TextIndex.queryTerms]]. */
   private[graft] def bm25IndexOracle(corpusWhere: String, probeId: Long): String =
+    bm25IndexOracleOver(s"SELECT doc_id, text FROM documents$corpusWhere",
+      probeId)
+
+  /** [[bm25IndexOracle]] generalized to an arbitrary corpus SELECT
+    * yielding (doc_id, text) — tx39's edited lake, tx40's surviving
+    * batches; query terms still come from the unrestricted lake. */
+  private[graft] def bm25IndexOracleOver(corpusSql: String, probeId: Long): String =
     s"""WITH tk AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-       |  FROM documents$corpusWhere),
+       |  FROM ($corpusSql) corpus),
        |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
        |terms AS (
        |  SELECT DISTINCT CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th

@@ -48,6 +48,17 @@ class EmptyInputSpec extends AnyFunSuite {
       .createTempDirectory("graft_ei_ti0_").toString + "/index"
     TextIndex.buildTextIndex(emptyDocs, emptyIdx)
     assert(TextIndex.probeTextIndex(spark, emptyIdx, qt, 10).count() == 0)
+    // re-version with an EMPTY edit set is the identity (empty
+    // tombstones + empty append through a fresh snapshot)
+    val noop = java.nio.file.Files
+      .createTempDirectory("graft_ei_ti_rev_").toString + "/index"
+    TextIndex.reVersionTextIndex(spark, emptyDocs, emptyDocs, dir, noop)
+    assert(TextIndex.probeTextIndex(spark, noop, qt, 10)
+      .collect().toSeq == before, "empty re-version must not move any answer")
+    // expiry below every live batch is a no-op
+    TextIndex.expireTextIndex(spark, noop, cutoffBatch = 0L)
+    assert(TextIndex.probeTextIndex(spark, noop, qt, 10)
+      .collect().toSeq == before, "cutoff-0 expiry must not move any answer")
   }
 
   test("round-8 kernels on an empty corpus: empty results, no ANSI arithmetic errors") {

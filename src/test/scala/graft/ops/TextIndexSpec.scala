@@ -91,6 +91,59 @@ class TextIndexSpec extends AnyFunSuite {
     sameRows(probe(vacuumed, 43), probe(survivors, 43))
   }
 
+  test("re-version == rebuild over the edited lake; the edited doc serves its NEW version") {
+    val dir = fresh("graft_ti_rev_base_")
+    TextIndex.buildTextIndex(docs, dir)
+    val edited = docs.filter(col("doc_id") % 20 === 7)
+    val newV = edited.select(col("doc_id"),
+      concat_ws(" ", col("text"), col("text")).as("text"))
+    val out = fresh("graft_ti_rev_out_")
+    TextIndex.reVersionTextIndex(spark, edited, newV, dir, out)
+    val rebuilt = fresh("graft_ti_rev_full_")
+    TextIndex.buildTextIndex(
+      docs.filter(col("doc_id") % 20 =!= 7).unionByName(newV), rebuilt)
+    sameRows(probe(out, 43), probe(rebuilt, 43))
+    // an edited doc probing ITSELF must retrieve its new version as
+    // its own top hit (doubled text still matches its own terms)
+    val selfId = edited.filter(length(trim(col("text"))) > 0)
+      .agg(min("doc_id")).head().getLong(0)
+    val self = probe(out, selfId).filter(col("rnk") === 1).head()
+    assert(self.getAs[Long]("doc_id") == selfId,
+      s"edited doc $selfId must be its own top hit, got $self")
+  }
+
+  test("re-version order is load-bearing: append before vacuum shadows the new version") {
+    val dir = fresh("graft_ti_shadow_base_")
+    TextIndex.buildTextIndex(docs, dir)
+    val edited = docs.filter(col("doc_id") % 20 === 7)
+    val newV = edited.select(col("doc_id"),
+      concat_ws(" ", col("text"), col("text")).as("text"))
+    // WRONG order: append the new versions while the sidecar is live —
+    // the doc_id-keyed tombstones kill old AND new rows alike
+    val tombs = fresh("graft_ti_shadow_tomb_")
+    TextIndex.deleteFromTextIndex(edited, tombs)
+    TextIndex.appendTextIndex(newV, dir, batch = 1L)
+    val shadowed = probe(dir, 43, tombs = Some(tombs))
+    assert(shadowed.filter(col("doc_id") % 20 === 7).count() == 0,
+      "with a live doc_id sidecar, re-appended versions are shadowed — " +
+        "this is WHY reVersionTextIndex vacuums before appending")
+  }
+
+  test("retention expiry == rebuild over the surviving batches; all-expired store is quiet") {
+    val dir = fresh("graft_ti_exp_")
+    (0L to 2L).foreach(b => TextIndex.appendTextIndex(
+      docs.filter(pmod(col("doc_id"), lit(3)) === b), dir, b))
+    TextIndex.expireTextIndex(spark, dir, cutoffBatch = 1L)
+    val survivors = fresh("graft_ti_exp_surv_")
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") % 3 =!= 0), survivors)
+    sameRows(probe(dir, 43), probe(survivors, 43))
+    assert(probe(dir, 43).filter(col("doc_id") % 3 === 0).count() == 0,
+      "no expired-batch doc may surface")
+    // drop everything: the quiet store must probe to zero rows, not throw
+    TextIndex.expireTextIndex(spark, dir, cutoffBatch = Long.MaxValue)
+    assert(probe(dir, 43).count() == 0)
+  }
+
   test("probe scan is pruned to the query terms' tp partitions (DPP)") {
     val dir = fresh("graft_ti_dpp_")
     TextIndex.buildTextIndex(docs, dir)
