@@ -641,6 +641,130 @@ object Pipeline {
           .groupBy("lang", "quota")
           .agg(count(lit(1)).as("n_selected"),
             sum("doc_id").cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "pp08_day2_index_serving",
+      // DAY-2 OF THE SERVING STORY, composed across index FAMILIES:
+      // pp06 composes the LSH lifecycle and vs29 serves read-only from
+      // pristine indexes — this runs a full maintenance day and then
+      // serves from the UPDATED stores, the chain where cross-family
+      // drift lives (a stats-log row that ignores tombstone mass, a
+      // tombstone the dense side applies and the text side loses):
+      //   1. INGEST: the text index starts at 90% of the corpus and
+      //      absorbs the day's 10% batch (tx34's append verb — one
+      //      batch= shard + one stats-log row, nothing rewritten);
+      //   2. TAKEDOWN: every (id % 25 = 4) doc/vector is removed from
+      //      BOTH stores — text via the merge-on-read tombstone
+      //      sidecar (tx35), vectors via tombstoneIvfDelete (vs24) —
+      //      the rule intersects BOTH the 90% base and the fresh
+      //      batch (id ≡ 4 mod 25 ∧ id ≡ 9 mod 10 has solutions, e.g.
+      //      29), so takedowns must reach rows the append just wrote;
+      //   3. SERVE: vs29's RRF answer for probe 42, both legs read
+      //      from the post-maintenance indexes with their sidecars
+      //      live (no vacuum — serving between compactions is the
+      //      production steady state).
+      // The oracle replays the whole day from raw tables: BM25 over
+      // the survivor lake (N/avgdl/df/tf all post-append minus
+      // tombstone mass) fused with the cell-restricted cosine top-50
+      // over surviving vectors under the FROZEN codebook (vec 4 is
+      // taken down yet stays a centroid — the codebook is derived
+      // data). Integer-grid RRF: Σ 10⁹ DIV (60 + rank).
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id % 25 <> 4),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (
+             |  SELECT DISTINCT CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |        FROM documents WHERE doc_id = 42) q),
+             |posts AS (SELECT doc_id,
+             |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |          FROM tk2),
+             |qposts AS (SELECT doc_id, th FROM posts JOIN terms USING (th)),
+             |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), stats),
+             |bagg AS (SELECT doc_id, sum(q) AS iscore FROM sc
+             |         WHERE doc_id <> 42 GROUP BY doc_id),
+             |btop AS (SELECT doc_id,
+             |           row_number() OVER (ORDER BY iscore DESC, doc_id) AS r
+             |         FROM bagg QUALIFY r <= 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |pcell AS (SELECT cid FROM asg WHERE vec_id = 42),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 42),
+             |ctop AS (SELECT e.vec_id AS doc_id,
+             |           row_number() OVER (
+             |             ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS r
+             |         FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |         JOIN pcell ON asg.cid = pcell.cid, p
+             |         WHERE e.vec_id <> 42 AND e.vec_id % 25 <> 4
+             |         QUALIFY r <= 50),
+             |fused AS (
+             |  SELECT doc_id,
+             |    coalesce(1000000000 // (60 + b.r), 0)
+             |      + coalesce(1000000000 // (60 + c2.r), 0) AS rrf
+             |  FROM btop b FULL OUTER JOIN ctop c2 USING (doc_id)),
+             |r AS (SELECT doc_id, rrf,
+             |        row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+             |      FROM fused)
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, CAST(rrf AS BIGINT) AS rrf
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        import graft.ops.PrefixSum.onePart
+        val base = docs(s, d).select("doc_id", "text")
+        // day 2 of the text index: 90% base, ingest the 10% batch,
+        // then takedowns into a live merge-on-read sidecar
+        val ti = graft.core.Scratch.dir("graft_pp08_ti_") + "/index"
+        TextIndex.buildTextIndex(base.filter(col("doc_id") % 10 =!= 9), ti)
+        TextIndex.appendTextIndex(base.filter(col("doc_id") % 10 === 9),
+          ti, batch = 1L)
+        val tombs = graft.core.Scratch.dir("graft_pp08_tomb_") + "/t"
+        TextIndex.deleteFromTextIndex(
+          base.filter(col("doc_id") % 25 === 4), tombs)
+        val btop = TextIndex.probeTextIndex(s, ti,
+            TextIndex.queryTerms(docs(s, d), 42), k = 50,
+            tombsPath = Some(tombs), excludeDocId = Some(42L))
+          .select(col("doc_id"), col("rnk").as("rb"))
+        // day 2 of the IVF index: build, take down the same rule's
+        // vectors (frozen codebook), serve through the live sidecar
+        val e = Tables(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val vi = graft.core.Scratch.dir("graft_pp08_vi_") + "/index"
+        VectorOps.writeIvfIndex(e, centroids, vi)
+        VectorOps.tombstoneIvfDelete(
+          e.filter(col("vec_id") % 25 === 4), centroids, vi)
+        val probes = VectorOps.assignClusters(
+            e.filter(col("vec_id") === 42), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        val ctop = VectorOps.probeIvfIndex(s, vi, probes, k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rnk").as("rc"))
+        val wF = Window.partitionBy(onePart(col("doc_id")))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        btop.join(ctop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 DIV (60 + rb)"), lit(0L)) +
+             coalesce(expr("1000000000 DIV (60 + rc)"), lit(0L))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rn", row_number().over(wF))
+          .select(col("doc_id"), col("rn").cast("long").as("rnk"),
+            col("rrf").cast("long").as("rrf"))
       })
   )
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Closed-form invariants for the round-9 additions — properties that
+  * must hold for ANY corpus, complementing the oracle hash gate.
+  */
+class RoundNineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("pp08: no taken-down id serves; RRF values bounded; day's scenario reaches the fresh batch") {
+    // the takedown rule must intersect the day's appended batch at
+    // this fixture, or the cross-reach (tombstones killing rows the
+    // append just wrote) isn't actually exercised
+    val crossReach = docs
+      .filter(col("doc_id") % 25 === 4 && col("doc_id") % 10 === 9).count()
+    assert(crossReach > 0,
+      "fixture must contain ids ≡ 29 (mod 50) so takedowns reach the appended batch")
+    val rows = q("pp08_day2_index_serving").collect()
+    assert(rows.length == 10, "serving contract is a top-10")
+    assert(rows.forall(_.getAs[Long]("doc_id") % 25 != 4),
+      "a taken-down doc served from an updated index is the cross-family drift this query exists to catch")
+    // each leg contributes at most 10^9 DIV 61 per doc; two legs max
+    val cap = 2L * (1000000000L / 61)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("rrf")
+      assert(v > 0 && v <= cap, s"RRF out of bounds: $r")
+    }
+    // ranks are dense 1..10 in descending rrf order
+    assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to 10L),
+      "ranks must be dense")
+  }
+
+  test("tx39: the re-versioned store's answer differs from the pristine store's (the edit is visible)") {
+    val before = TextIndex.probeTextIndex(spark,
+      TextOps.baseTextIndex(spark, sf),
+      TextIndex.queryTerms(docs.select("doc_id", "text"), 43), k = 10)
+      .collect().toSeq
+    val after = q("tx39_text_index_update").collect().toSeq
+    assert(before != after,
+      "doubling every 20th doc's text must shift BM25 scores (dl/tf/avgdl all move)")
+  }
+
+  test("tx40: expired-batch docs never serve, survivors' census is exact") {
+    val rows = q("tx40_text_index_expire").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 3 != 0),
+      "an expired batch's doc surfacing means a shard or stats row survived the drop")
+  }
+}
