@@ -45,6 +45,19 @@ import graft.ops.{DedupOps, TextIndex, VectorOps}
   */
 object Scaling {
 
+  /** Copy a persisted index to a fresh path — the UNTIMED setup for
+    * measuring verbs that mutate their store in place (vs26's
+    * re-version): every invocation runs against a pristine copy, so
+    * min-of-reps times identical work. */
+  private def copyDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = sp.getFileSystem(conf)
+    if (fs.exists(dp)) fs.delete(dp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, true, conf)
+  }
+
   /** (kernel name, points as (n, min seconds), endpoint exponent). */
   def measure(spark: SparkSession, sfDir: String,
       reps: Int = 3): Seq[(String, Seq[(Long, Double)], Double)] = {
@@ -83,39 +96,107 @@ object Scaling {
     }.toMap
     val fixedQuery = TextIndex.queryTerms(docs, 42)
 
-    val kernels: Seq[(String, Seq[Long], Long => DataFrame)] = Seq(
+    // ---- write-verb fixtures (r8 verdict task 6: the verbs' O(batch)
+    // / O(touched) claims were spec'd but unmeasured) ----
+
+    // tx34: dedicated per-size text indexes (append MUTATES its store,
+    // so tx33's probe fixtures stay pristine); the appended batch is
+    // FIXED, so only the store underneath grows. A replayed batch
+    // overwrites its own batch= subdirs — every rep does identical work.
+    val txtApIdx = docSizes.map { n =>
+      val dirN = graft.core.Scratch.dir(s"graft_scaling_txtap_${n}_") + "/index"
+      TextIndex.buildTextIndex(dslice(n), dirN)
+      n -> dirN
+    }.toMap
+
+    // tx36: one FIXED tombstone sidecar (takedown-batch-sized; the
+    // docs exist in every slice) — the vacuum folds it into each
+    // per-size store, reading/rewriting O(index). Vacuum writes to a
+    // fresh scratch snapshot, inputs untouched: reps are identical.
+    val fixedTombs = graft.core.Scratch.dir("graft_scaling_tomb_") + "/t"
+    TextIndex.deleteFromTextIndex(
+      dslice(docSizes.head).filter(col("doc_id") % 10 === 3), fixedTombs)
+
+    // dd20: fixed removed-docs band keys (content-addressed); the
+    // delete is a pure DataFrame transform over the per-size index
+    // tables — forcing it does the posting-list subtraction without
+    // persisting, so reps are identical.
+    val removedKeys = DedupOps.lshBandIndex(
+      dslice(docSizes.head).filter(col("doc_id") % 10 === 3))
+
+    // vs26: per-size pristine IVF stores under one frozen codebook;
+    // re-version MUTATES in place (tombstone sidecar + vacuum +
+    // append), so each invocation runs against an UNTIMED fresh copy.
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ivfPristine = vecSizes.map { n =>
+      val dirN = graft.core.Scratch.dir(s"graft_scaling_ivf_${n}_") + "/idx"
+      VectorOps.writeIvfIndex(vslice(n), centroids, dirN)
+      n -> dirN
+    }.toMap
+    val oldV = emb.filter(col("vec_id") % 10 === 3 &&
+      col("vec_id") < vecSizes.head)
+    val newV = oldV.select(col("vec_id"),
+      transform(col("v"), x => x + lit(0.1)).as("v"))
+
+    def force(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
+
+    // prep(n) runs UNTIMED before every invocation (fresh copies for
+    // in-place verbs; identity for pure reads); the returned thunk is
+    // what the clock sees.
+    val kernels: Seq[(String, Seq[Long], Long => () => Unit)] = Seq(
       ("dd02_minhash_lsh", docSizes,
-        n => DedupOps.minHashNearDupsPortable(withCopy(n))),
+        n => () => force(DedupOps.minHashNearDupsPortable(withCopy(n)))),
       ("dd06_exact_ppjoin", docSizes,
-        n => DedupOps.exactJaccardPairs(withCopy(n))),
+        n => () => force(DedupOps.exactJaccardPairs(withCopy(n)))),
       ("dd17_index_probe", docSizes,
-        n => DedupOps.lshIndexProbe(batch, spark.table(idxTable(n)),
-          dslice(n).unionByName(batch))),
+        n => () => force(DedupOps.lshIndexProbe(batch, spark.table(idxTable(n)),
+          dslice(n).unionByName(batch)))),
       ("tx33_text_probe", docSizes,
-        n => TextIndex.probeTextIndex(spark, txtIdxDir(n), fixedQuery, 10)),
+        n => () => force(TextIndex.probeTextIndex(spark, txtIdxDir(n), fixedQuery, 10))),
       ("vs02_ivf_probe", vecSizes, { n =>
-        val e = vslice(n)
-        val centroids = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
-        val asg = VectorOps.assignClusters(e, centroids)
-        val probes = asg.filter(col("vec_id").between(100, 104))
-          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-            col("cid").as("pcid"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
-        asg.join(broadcast(probes),
-            col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            VectorOps.cosine(col("pv"), col("v")).as("c"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
+        () => {
+          val e = vslice(n)
+          val cs = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("v").as("cv"))
+          val asg = VectorOps.assignClusters(e, cs)
+          val probes = asg.filter(col("vec_id").between(100, 104))
+            .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+              col("cid").as("pcid"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+          force(asg.join(broadcast(probes),
+              col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+            .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              VectorOps.cosine(col("pv"), col("v")).as("c"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 3))
+        }
+      }),
+      // -- write verbs --
+      ("tx34_index_append", docSizes,
+        n => () => TextIndex.appendTextIndex(batch, txtApIdx(n), batch = 7L)),
+      ("tx36_index_vacuum", docSizes, { n =>
+        () => {
+          val out = graft.core.Scratch.dir(s"graft_scaling_vac_${n}_") + "/index"
+          TextIndex.vacuumTextIndex(spark, txtIdxDir(n), fixedTombs, out)
+        }
+      }),
+      ("dd20_index_delete", docSizes,
+        n => () => force(DedupOps.lshIndexDelete(
+          spark.table(idxTable(n)), removedKeys))),
+      ("vs26_ivf_reversion", vecSizes, { n =>
+        val work = graft.core.Scratch.dir(s"graft_scaling_rev_${n}_") + "/idx"
+        copyDir(spark, ivfPristine(n), work) // untimed: pristine copy
+        () => VectorOps.reversionIvfIndex(spark, oldV, newV, centroids, work)
       }))
 
-    kernels.map { case (name, sizes, mk) =>
+    kernels.map { case (name, sizes, prep) =>
       val points = sizes.map { n =>
         def once(): Double = {
+          val thunk = prep(n) // untimed setup (fresh copy for mutators)
           val t0 = System.nanoTime()
-          mk(n).queryExecution.toRdd.count()
+          thunk()
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm-up: this (name, n) plan's codegen/JIT
@@ -147,7 +228,12 @@ object Scaling {
       "Fixed per-job overhead deflates exponents at these corpus " +
       "sizes; the assertion is an upper bound, so that bias is " +
       "conservative. dd17 probes a FIXED batch against a growing " +
-      "indexed lake; its near-flat exponent is the O(batch) claim."
+      "indexed lake; its near-flat exponent is the O(batch) claim. " +
+      "Write verbs (r8 task 6): tx34 appends a FIXED batch to a " +
+      "growing store (O(batch) claim, asserted <= 0.8); tx36 vacuum, " +
+      "dd20 delete and vs26 re-version are O(index)/O(touched cells) " +
+      "BY DESIGN, so ~linear is their expected reading (vs26 runs " +
+      "against an untimed pristine copy per invocation)."
     val json = m.map { case (name, points, exp) =>
       val ps = points.map { case (n, t) =>
         f"""{"n": $n, "sec": $t%.3f}""" }.mkString("[", ", ", "]")

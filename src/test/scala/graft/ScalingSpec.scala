@@ -17,19 +17,30 @@ class ScalingSpec extends AnyFunSuite {
   test("headline kernels scale sub-quadratically over 1x/3x/10x slices") {
     val m = Scaling.measure(spark, "/root/testdata/sf0.1", reps = 2)
     assert(m.map(_._1).toSet == Set("dd02_minhash_lsh", "dd06_exact_ppjoin",
-      "dd17_index_probe", "vs02_ivf_probe", "tx33_text_probe"))
+      "dd17_index_probe", "vs02_ivf_probe", "tx33_text_probe",
+      "tx34_index_append", "tx36_index_vacuum", "dd20_index_delete",
+      "vs26_ivf_reversion"))
     for ((name, points, exp) <- m) {
       assert(points.forall(_._2 > 0), s"$name: non-positive timing $points")
       assert(exp <= 1.7, s"$name exponent $exp (points $points) — " +
         "approaching all-pairs growth")
     }
+    def expOf(name: String) = m.find(_._1 == name).get._3
     // the O(batch) probe claim: a FIXED batch against a 10x lake must
     // stay well below linear growth in the lake (idle-box measurement
     // is flat at ~-0.03; 0.8 leaves room for load noise, while an
     // accidental O(lake) re-shingle regression — the bug r7 caught —
     // measures ~1.0)
-    val dd17 = m.find(_._1 == "dd17_index_probe").get._3
-    assert(dd17 <= 0.8, s"dd17 probe exponent $dd17 — probe cost is " +
-      "growing with the lake, not the batch")
+    assert(expOf("dd17_index_probe") <= 0.8,
+      "dd17 probe cost is growing with the lake, not the batch")
+    // the write-side O(batch) claim (r8 verdict task 6): a FIXED batch
+    // appended to a 10x store writes the same posting mass — an
+    // exponent near 1 means the append is re-reading the store
+    assert(expOf("tx34_index_append") <= 0.8,
+      "tx34 append cost is growing with the store, not the batch")
+    // tx36 vacuum / dd20 delete / vs26 re-version are O(index) /
+    // O(touched cells) BY DESIGN — the generic <= 1.7 above is their
+    // claim (sub-quadratic, never all-pairs); no tighter pin because
+    // linear growth is the documented economics.
   }
 }
