@@ -194,6 +194,49 @@ object TextIndex {
       .select(termHash(col("term")).as("th"))
       .withColumn("tp", pmod(col("th"), lit(Parts)).cast("int"))
 
+  /** [[queryTerms]] for a PROBE BATCH: the distinct term hashes of
+    * every doc selected by `pred`, keyed by qid — the input shape of
+    * [[probeTextIndexMulti]]. Probe batches are small by design
+    * (dd17's boundedness class), so downstream joins broadcast them. */
+  def queryTermsMulti(docsDf: DataFrame, pred: Column): DataFrame =
+    docsDf.filter(pred)
+      .select(col("doc_id").as("qid"), explode(array_distinct(
+        filter(split(col("text"), " "), x => x =!= ""))).as("term"))
+      .select(col("qid"), termHash(col("term")).as("th"))
+      .withColumn("tp", pmod(col("th"), lit(Parts)).cast("int"))
+
+  /** The tx30 integer-grid BM25 contribution of one (doc, term)
+    * posting row — shared verbatim by the single and the batch probe,
+    * so the two serving paths cannot drift. */
+  private def contribQ: Column = {
+    val contrib = log((col("n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    floor(contrib * lit(1000000) + lit(0.5)).cast("long")
+  }
+
+  /** One-row (n, avgdl) of the visible store: the stats-log fold,
+    * minus tombstone mass when a sidecar rides along. ANSI guard: an
+    * all-quiet store has n = 0 and its probe emits no score rows, but
+    * the division still evaluates — hence the when(). */
+  private def storeStats(spark: SparkSession, dir: String,
+      tombs: Option[DataFrame]): DataFrame = {
+    def safeAvg(sumDl: Column, n: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(sumDl.cast("double") / n)
+    val statsBase = spark.read.schema(statsSchema).parquet(s"$dir/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long").as("n0"),
+        coalesce(sum("sum_dl"), lit(0L)).cast("long").as("s0"))
+    tombs.map { t =>
+      val td = t.agg(coalesce(count(lit(1)), lit(0L)).as("nd"),
+        coalesce(sum("dl"), lit(0L)).as("sd"))
+      statsBase.crossJoin(broadcast(td))
+        .select((col("n0") - col("nd")).as("n"),
+          safeAvg(col("s0") - col("sd"), col("n0") - col("nd")).as("avgdl"))
+    }.getOrElse(statsBase.select(col("n0").as("n"),
+      safeAvg(col("s0"), col("n0")).as("avgdl")))
+  }
+
   /** BM25 top-`k` against the persisted index: partition-pruned
     * posting scan, tombstone-subtracted visibility, stats-log-derived
     * N/avgdl, tx30's integer-grid scoring. Returns
@@ -222,32 +265,12 @@ object TextIndex {
     // df from the VISIBLE postings of the query's terms only — an
     // O(query postings) aggregate that appends/deletes can never stale
     val dfq = qp.groupBy("th").agg(count(lit(1)).as("df"))
-    val statsBase = spark.read.schema(statsSchema).parquet(s"$dir/stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long").as("n0"),
-        coalesce(sum("sum_dl"), lit(0L)).cast("long").as("s0"))
     // N and avgdl fold the stats log minus the tombstone mass; every
     // operand is an exact integer in double range, so the division is
     // bit-equal to an avg() over the surviving docs
-    // an all-quiet store has n = 0; its probe emits no score rows, so
-    // avgdl is never consumed — but ANSI mode still evaluates the
-    // division, so guard it (0.0 is an arbitrary inert placeholder)
-    def safeAvg(sumDl: Column, n: Column): Column =
-      when(n === 0, lit(0.0)).otherwise(sumDl.cast("double") / n)
-    val stats = tombs.map { t =>
-      val td = t.agg(coalesce(count(lit(1)), lit(0L)).as("nd"),
-        coalesce(sum("dl"), lit(0L)).as("sd"))
-      statsBase.crossJoin(broadcast(td))
-        .select((col("n0") - col("nd")).as("n"),
-          safeAvg(col("s0") - col("sd"), col("n0") - col("nd")).as("avgdl"))
-    }.getOrElse(statsBase.select(col("n0").as("n"),
-      safeAvg(col("s0"), col("n0")).as("avgdl")))
-    val contrib = log((col("n") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0)) *
-      (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val stats = storeStats(spark, dir, tombs)
     val scAll = qp.join(dfq, "th").crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(contrib * lit(1000000) + lit(0.5)).cast("long").as("q"))
+      .select(col("doc_id"), contribQ.as("q"))
       .groupBy("doc_id").agg(sum("q").as("iscore"))
     // more-like-this serving excludes the query doc itself (it is its
     // own top hit by construction); stats/df above still include it,
@@ -262,5 +285,76 @@ object TextIndex {
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("rn").cast("long").as("rnk"),
         round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+  }
+
+  /** BATCH serving — top-`k` more-like-this for EVERY query in
+    * `qterms` ((qid, th, tp) from [[queryTermsMulti]]) in ONE plan:
+    * the shape offline retrieval actually runs ("find neighbors for
+    * each of today's N arrivals"), amortizing one partition-pruned
+    * posting read across the whole probe batch instead of N probes ×
+    * N scans. df and the per-(doc, term) grid quantization are
+    * query-INDEPENDENT and computed once from the distinct term set;
+    * only the final fan-out join and the per-qid rank window scale
+    * with the batch. Each query excludes itself (it is its own top
+    * hit by construction); df/stats still include it, matching the
+    * single-probe convention. Returns (qid, doc_id, rnk, score). */
+  def probeTextIndexMulti(spark: SparkSession, dir: String,
+      qterms: DataFrame, k: Int): DataFrame = {
+    val posts = spark.read.schema(postingsSchema)
+      .parquet(s"$dir/postings")
+    val dterms = qterms.select("tp", "th").distinct()
+    val qp = posts.join(dterms.hint("broadcast"), Seq("tp", "th"))
+    val dfq = qp.groupBy("th").agg(count(lit(1)).as("df"))
+    val stats = storeStats(spark, dir, tombs = None)
+    val sc = qp.join(dfq, "th")
+      .join(qterms.select("qid", "th").hint("broadcast"), Seq("th"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), contribQ.as("q"))
+      .groupBy("qid", "doc_id").agg(sum("q").as("iscore"))
+    // per-qid top-k: the window partitions on the REAL query key, so
+    // each query's ranking is its own task-side sort — no global sort
+    val w = Window.partitionBy("qid")
+      .orderBy(col("iscore").desc, col("doc_id"))
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("rn").cast("long").as("rnk"),
+        round(col("iscore").cast("double") / lit(1000000), 4).as("score"))
+  }
+
+  /** INDEX HEALTH AUDIT (the dd24/vs30 analog for the text family):
+    * per ingest batch, reconcile the POSTING STORE against the STATS
+    * LOG — the two artifacts every probe trusts, maintained by
+    * different writers (posting shards by the batch write, N/avgdl by
+    * the log row). `consistent` holds two invariants that tie them:
+    * distinct posted docs = logged doc count, and Σtf = logged Σdl
+    * (every token of an indexed doc is in exactly one posting row).
+    * A lost shard, a double-logged batch, or a posting/stats writer
+    * drift flips it to 0 — the monitoring query that decides when to
+    * rebuild. Reads only the store, never the lake; map-combinable
+    * rollups over the batch-partitioned layout. */
+  def auditTextIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posts = spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+    val stats = spark.read.schema(statsSchema).parquet(s"$dir/stats")
+    val p = posts.groupBy("batch").agg(
+      count(lit(1)).as("n_postings"),
+      countDistinct("doc_id").as("n_docs_posted"),
+      countDistinct("th").as("n_terms"),
+      sum("tf").cast("long").as("sum_tf"))
+    val l = stats.groupBy("batch").agg(
+      sum("n_docs").cast("long").as("n_docs_logged"),
+      sum("sum_dl").cast("long").as("sum_dl_logged"))
+    // full outer: a quiet batch logs (0, 0) but writes no posting
+    // files; a batch with postings but no log row is itself a finding
+    p.join(l, Seq("batch"), "full_outer")
+      .select(col("batch"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+        coalesce(col("n_docs_posted"), lit(0L)).as("n_docs_posted"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("sum_tf"), lit(0L)).as("sum_tf"),
+        coalesce(col("n_docs_logged"), lit(0L)).as("n_docs_logged"),
+        coalesce(col("sum_dl_logged"), lit(0L)).as("sum_dl_logged"))
+      .withColumn("consistent",
+        when(col("n_docs_posted") === col("n_docs_logged") &&
+          col("sum_tf") === col("sum_dl_logged"), 1L).otherwise(0L))
   }
 }

@@ -1517,7 +1517,110 @@ object TextOps {
         TextIndex.expireTextIndex(s, dir, cutoffBatch = 1L)
         TextIndex.probeTextIndex(s, dir,
           TextIndex.queryTerms(docs(s, d), 43), k = 10)
-      })
+      }),
+
+    QueryDef(
+      "tx41_text_index_audit",
+      // TEXT-INDEX HEALTH AUDIT ([[TextIndex.auditTextIndex]]) — the
+      // monitoring query completing the symmetry with dd24 (LSH
+      // posting health) and vs30 (embedding-lake QA): per ingest
+      // batch, the POSTING STORE is reconciled against the STATS LOG,
+      // the two separately-written artifacts every probe trusts.
+      // `consistent` ties them with two conservation laws: distinct
+      // posted docs = logged doc count, and Σtf = logged Σdl (every
+      // token of an indexed doc lands in exactly one posting row's
+      // tf). Reads ONLY the store; the oracle re-derives both sides
+      // from raw documents, so the gate doubles as an end-to-end
+      // store-integrity check — one lost posting file, doubled log
+      // row, or writer drift shifts a census cell. Store = the %3
+      // three-batch layout (tx40's), so the audit exercises a
+      // multi-batch log.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |g AS (SELECT CAST(doc_id % 3 AS BIGINT) AS batch, doc_id,
+             |        CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |      FROM tk2),
+             |tf AS (SELECT batch, doc_id, th, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+             |p AS (SELECT batch,
+             |        CAST(count(*) AS BIGINT) AS n_postings,
+             |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_posted,
+             |        CAST(count(DISTINCT th) AS BIGINT) AS n_terms,
+             |        CAST(sum(tf) AS BIGINT) AS sum_tf
+             |      FROM tf GROUP BY 1),
+             |l AS (SELECT CAST(doc_id % 3 AS BIGINT) AS batch,
+             |        CAST(count(*) AS BIGINT) AS n_docs_logged,
+             |        CAST(sum(len(toks)) AS BIGINT) AS sum_dl_logged
+             |      FROM tk2 GROUP BY 1)
+             |SELECT batch, n_postings, n_docs_posted, n_terms, sum_tf,
+             |  n_docs_logged, sum_dl_logged,
+             |  CAST(CASE WHEN n_docs_posted = n_docs_logged
+             |         AND sum_tf = sum_dl_logged THEN 1 ELSE 0 END AS BIGINT)
+             |    AS consistent
+             |FROM p JOIN l USING (batch)""".stripMargin),
+      (s, d) => {
+        val dir = graft.core.Scratch.dir("graft_txt_audit_") + "/index"
+        val base = docs(s, d).select("doc_id", "text")
+        (0L to 2L).foreach(b => TextIndex.appendTextIndex(
+          base.filter(pmod(col("doc_id"), lit(3)) === b), dir, b))
+        TextIndex.auditTextIndex(s, dir)
+      }),
+
+    QueryDef(
+      "tx42_text_index_batch_serve",
+      // BATCH SERVING from the persisted index
+      // ([[TextIndex.probeTextIndexMulti]]): top-5 more-like-this for
+      // EVERY probe doc (40–44) in ONE plan — the offline-retrieval
+      // shape ("neighbors for each of today's arrivals"), amortizing
+      // one partition-pruned posting read across the probe batch
+      // instead of N probes × N scans. The index-served complement of
+      // tx31's from-scratch bm25ScoresMulti: df and the grid
+      // quantization are query-independent and computed ONCE from the
+      // distinct term set; only the qid fan-out join (broadcast —
+      // probe batches are small by design) and the per-qid rank
+      // window scale with the batch. Each query excludes itself;
+      // df/stats include it (the single-probe convention). The oracle
+      // replays every query's th-keyed pipeline from raw documents.
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |q AS (SELECT doc_id AS qid,
+             |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |      FROM documents WHERE doc_id BETWEEN 40 AND 44),
+             |qt AS (SELECT DISTINCT qid,
+             |         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |       FROM q),
+             |posts AS (SELECT doc_id,
+             |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |          FROM tk2),
+             |dterms AS (SELECT DISTINCT th FROM qt),
+             |qposts AS (SELECT doc_id, th FROM posts JOIN dterms USING (th)),
+             |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT qt.qid, tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN qt USING (th) JOIN dfq USING (th)
+             |  JOIN dl USING (doc_id), stats
+             |  WHERE tf.doc_id <> qt.qid),
+             |agg AS (SELECT qid, doc_id, sum(q) AS iscore FROM sc GROUP BY 1, 2),
+             |r AS (SELECT qid, doc_id, iscore,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY iscore DESC, doc_id) AS rn
+             |      FROM agg)
+             |SELECT qid, doc_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
+             |FROM r WHERE rn <= 5""".stripMargin),
+      (s, d) =>
+        TextIndex.probeTextIndexMulti(s, baseTextIndex(s, d),
+          TextIndex.queryTermsMulti(docs(s, d),
+            col("doc_id").between(40, 44)), k = 5))
   )
 
   /** Per-sf cached base text index (input-fixture rationale, like

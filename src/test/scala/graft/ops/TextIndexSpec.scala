@@ -144,6 +144,40 @@ class TextIndexSpec extends AnyFunSuite {
     assert(probe(dir, 43).count() == 0)
   }
 
+  test("batch serve == the single probe, query by query") {
+    val dir = fresh("graft_ti_multi_")
+    TextIndex.buildTextIndex(docs, dir)
+    val multi = TextIndex.probeTextIndexMulti(spark, dir,
+      TextIndex.queryTermsMulti(docs, col("doc_id").between(40, 44)), k = 5)
+    (40L to 44L).foreach { qid =>
+      val single = TextIndex.probeTextIndex(spark, dir,
+          TextIndex.queryTerms(docs, qid), k = 5, excludeDocId = Some(qid))
+        .select(lit(qid).as("qid"), col("doc_id"), col("rnk"), col("score"))
+      sameRows(multi.filter(col("qid") === qid), single)
+    }
+  }
+
+  test("audit: a healthy store is consistent on every batch; a lost shard flips it") {
+    val dir = fresh("graft_ti_audit_")
+    (0L to 2L).foreach(b => TextIndex.appendTextIndex(
+      docs.filter(pmod(col("doc_id"), lit(3)) === b), dir, b))
+    val healthy = TextIndex.auditTextIndex(spark, dir).collect()
+    assert(healthy.length == 3 &&
+      healthy.forall(_.getAs[Long]("consistent") == 1L),
+      s"fresh 3-batch store must audit clean: ${healthy.mkString(";")}")
+    // sabotage: drop batch 1's POSTING shard but keep its stats row —
+    // exactly the drift a partial ingest failure leaves behind
+    val p = java.nio.file.Paths.get(dir, "postings", "batch=1")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val broken = TextIndex.auditTextIndex(spark, dir).collect()
+      .map(r => r.getAs[Long]("batch") -> r.getAs[Long]("consistent")).toMap
+    assert(broken(1L) == 0L, "batch 1 lost its postings — audit must flag it")
+    assert(broken(0L) == 1L && broken(2L) == 1L,
+      "untouched batches must still audit clean")
+  }
+
   test("probe scan is pruned to the query terms' tp partitions (DPP)") {
     val dir = fresh("graft_ti_dpp_")
     TextIndex.buildTextIndex(docs, dir)
