@@ -2105,7 +2105,63 @@ object VectorOps {
              |  CAST(max(qv) AS BIGINT) AS max_q,
              |  CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
              |FROM x GROUP BY dim""".stripMargin),
-      (s, d) => embeddingAudit(emb(s, d)))
+      (s, d) => embeddingAudit(emb(s, d))),
+
+    QueryDef(
+      "vs31_ivf_expire",
+      // IVF RETENTION EXPIRY registered — the partition-drop deletion
+      // economics (dd22 LSH, tx40 text) now a gated verb in ALL three
+      // index families: the vector lake arrives as three ingest
+      // batches (the batch=<id>/cid=<cell> layout
+      // [[graft.streaming.VectorStream.ivfIngest]] writes naturally;
+      // batches hold disjoint vec_ids), retention drops every batch
+      // dir below the cutoff — O(1) metadata per shard, no read, no
+      // rewrite, no tombstone debt — and the two-level probe over the
+      // survivors must equal a rebuilt survivor index (IvfDeleteSpec
+      // pins the equivalence; this gate replays it through DuckDB).
+      // Probes 100–104 query with their LAKE embeddings — 102 is
+      // itself expired from the index yet remains a legitimate query,
+      // exactly the "search with a retired item's vector" case.
+      // `+ 0.0` after round (the vs05 −0.0 rule).
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, a2.cid AS pcid
+             |      FROM e JOIN asg a2 ON e.vec_id = a2.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> probe_id AND e.vec_id % 3 <> 0),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) + 0.0 AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        // per-execution store: expiry mutates it, so no shared fixture
+        val store = graft.core.Scratch.dir("graft_ivf_exp_") + "/idx"
+        (0L to 2L).foreach(b => assignClusters(
+            e.filter(pmod(col("vec_id"), lit(3)) === b), centroids)
+          .write.partitionBy("cid").mode("overwrite")
+          .parquet(s"$store/batch=$b"))
+        DedupOps.expireShards(s, store, "batch", cutoff = 1)
+        val probes = assignClusters(
+            e.filter(col("vec_id").between(100, 104)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        probeIvfIndex(s, store, probes, k = 3)
+          .withColumn("cos", col("cos") + lit(0.0))
+      })
   )
 
   /** vs30's QueryDef body, kept beside the fixture helpers: the
