@@ -854,6 +854,67 @@ object StreamQueries {
         }
         graft.ops.TextIndex.probeTextIndex(s, s"$base/index",
           graft.ops.TextIndex.queryTerms(docsDf, 42), k = 10)
+      }),
+
+    QueryDef(
+      "st17_stream_text_ttl",
+      // TTL'd CONTINUOUS INDEX SERVICE
+      // ([[TextIndexStream.textIngestWithRetention]]): st16's rolling
+      // ingest composed with tx40's partition-drop retention INSIDE
+      // the service loop — after each micro-batch lands, batches
+      // older than the window (keep 2) are expired, so the store's
+      // size is bounded by the window however long the stream runs:
+      // the rolling "last N ingest days" search tier. Retention keys
+      // on arrival batching BY DEFINITION (any time-based TTL does),
+      // so the fixture pins the file→batch assignment: four landing
+      // files, file b = the doc_id % 4 = b class, mtime-ordered, one
+      // file per trigger — batches 0–3 are the classes in order, the
+      // window keeps {2, 3}, and the oracle replays retrieval over
+      // exactly those classes from raw documents. A batch dir that
+      // out-lives its TTL, a stats row that survives its shard, or an
+      // expiry that clips a survivor all break the hash.
+      Some(graft.ops.TextOps.bm25IndexOracle(
+        " WHERE doc_id % 4 >= 2", probeId = 43)),
+      (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val inDir = landingCache.computeIfAbsent(s"$d/ttl4", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_ttl_landing_${d.hashCode & 0x7fffffff}_"))
+          val in = staged.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          (0L to 3L).foreach { b =>
+            val tmp = java.nio.file.Files
+              .createTempDirectory(staged, s"stage$b")
+            docsDf.select("doc_id", "text")
+              .filter(pmod(col("doc_id"), lit(4)) === b)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val target = in.resolve(f"b$b%d.parquet")
+            java.nio.file.Files.move(part.toPath, target)
+            // distinct mtimes pin the source's oldest-first file order
+            java.nio.file.Files.setLastModifiedTime(target,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1600000000000L + b * 60000))
+          }
+          in.toString
+        })
+        val inSchema = s.read.parquet(inDir).schema
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_ttl_idx_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_ttl_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = TextIndexStream.textIngestWithRetention(s, inDir,
+            inSchema, s"$base/index", ck, keepBatches = 2,
+            filesPerTrigger = 1)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        graft.ops.TextIndex.probeTextIndex(s, s"$base/index",
+          graft.ops.TextIndex.queryTerms(docsDf, 43), k = 10)
       })
   )
 }

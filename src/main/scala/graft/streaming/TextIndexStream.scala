@@ -54,4 +54,46 @@ object TextIndexStream {
       .trigger(trigger)
       .start()
   }
+
+  /** [[textIngest]] with a RETENTION WINDOW — the TTL'd index service
+    * (a rolling "last N ingest days" search tier): after each
+    * micro-batch lands, every batch older than the window is expired
+    * by [[TextIndex.expireTextIndex]]'s partition drop — postings and
+    * stats-log rows together, O(1) metadata per dropped shard, no
+    * rewrite, no tombstone debt — so the store's size is bounded by
+    * the window however long the stream runs. Idempotent per batch: a
+    * replayed batch re-writes its own shard and re-issues the same
+    * cutoff (expiry of already-absent dirs is a no-op).
+    *
+    * Retention keys on the micro-batch ID, so WHICH DOCS survive
+    * depends on how arrivals were sliced into batches — inherent to
+    * any time-based TTL (two docs a millisecond apart can land on
+    * opposite sides of a day boundary), not a defect of the operator:
+    * the slicing-invariance contract of [[textIngest]] applies to the
+    * accumulated index, while a TTL is BY DEFINITION a function of
+    * arrival batching. st17 therefore fixes the file→batch assignment
+    * (one file per trigger, one doc_id class per file) to make the
+    * survivor set oracle-replayable. */
+  def textIngestWithRetention(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      indexDir: String,
+      checkpointDir: String,
+      keepBatches: Int,
+      filesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        TextIndex.appendTextIndex(batch, indexDir, id)
+        TextIndex.expireTextIndex(spark, indexDir,
+          cutoffBatch = id - keepBatches + 1)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

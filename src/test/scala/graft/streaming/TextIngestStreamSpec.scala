@@ -51,4 +51,43 @@ class TextIngestStreamSpec extends AnyFunSuite {
     assert(probe(coarse).collect().toSeq == ref,
       "single-batch slicing must not change the probe answer")
   }
+
+  test("TTL'd ingest: store size stays bounded by the window; survivors == rebuild") {
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_ttl_landing_").toString
+    val in = java.nio.file.Paths.get(landing, "in")
+    java.nio.file.Files.createDirectories(in)
+    (0L to 3L).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ttl_st$b")
+      docs.filter(pmod(col("doc_id"), lit(4)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = in.resolve(s"b$b.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000))
+    }
+    val schema = spark.read.parquet(in.toString).schema
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ttl_idx_").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_ttl_ck_").toString
+    val q = TextIndexStream.textIngestWithRetention(spark, in.toString,
+      schema, s"$base/index", ck, keepBatches = 2, filesPerTrigger = 1)
+    q.awaitTermination()
+    // boundedness IS the point: however many batches streamed through,
+    // exactly `keepBatches` shard dirs remain, postings and stats alike
+    def shards(sub: String): Set[String] =
+      new java.io.File(s"$base/index/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(shards("postings") == Set("batch=2", "batch=3"), shards("postings"))
+    assert(shards("stats") == Set("batch=2", "batch=3"), shards("stats"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ttl_ref_").toString + "/index"
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") % 4 >= 2), rebuilt)
+    assert(probe(s"$base/index").collect().toSeq ==
+      probe(rebuilt).collect().toSeq,
+      "the windowed store must serve exactly the surviving classes")
+  }
 }
