@@ -765,6 +765,66 @@ object Pipeline {
           .withColumn("rn", row_number().over(wF))
           .select(col("doc_id"), col("rn").cast("long").as("rnk"),
             col("rrf").cast("long").as("rrf"))
+      }),
+
+    QueryDef(
+      "pp09_rag_passage_pipeline",
+      // RAG CORPUS BUILD end-to-end: tx37's sliding-window chunking
+      // (W = 32, S = 24) → exact passage dedup (dd01's
+      // fingerprint-window idiom — overlapping strides re-generate
+      // identical boilerplate windows, so dedup BEFORE indexing is
+      // what keeps a passage store honest) → a [[TextIndex]] BM25
+      // store built over the PASSAGE corpus → doc-level query served
+      // passage-granular. The point of composing it: the index kernel
+      // is corpus-agnostic — the same build/probe verbs run over a
+      // DERIVED corpus whose rows (chunk_id = doc_id·100000 + pid)
+      // never existed in any table, with N = deduped passages and
+      // avgdl = mean passage length, which is exactly how a retrieval
+      // tier indexes passages rather than documents. Every stage is
+      // the already-audited shape: map-only chunk generation, one
+      // fingerprint shuffle, the index build's posting rollup, a
+      // pruned probe. The oracle replays chunking, dedup, and
+      // retrieval from raw documents; probe = doc 43's full text,
+      // top-10 passages.
+      Some(TextOps.bm25IndexOracleOver(
+        """WITH tk AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+          |ch AS (
+          |  SELECT doc_id * 100000 + (st - 1) // 24 + 1 AS chunk_id,
+          |    array_to_string(list_slice(toks, CAST(st AS INT),
+          |      CAST(least(CAST(st + 31 AS BIGINT), n) AS INT)), ' ') AS ctext
+          |  FROM t2, unnest(range(1, n + 1, 24)) u(st)),
+          |ded AS (
+          |  SELECT chunk_id, ctext FROM (
+          |    SELECT chunk_id, ctext,
+          |      row_number() OVER (PARTITION BY md5(ctext)
+          |        ORDER BY chunk_id) AS rn
+          |    FROM ch) r WHERE rn = 1)
+          |SELECT chunk_id AS doc_id, ctext AS text FROM ded""".stripMargin,
+        probeId = 43)),
+      (s, d) => {
+        val tk = docs(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), x => x =!= "").as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("n", size(col("toks")).cast("long"))
+        val chunks = tk
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(1L), col("n"), lit(24L)),
+              st => concat_ws(" ", slice(col("toks"),
+                st.cast("int"), lit(32))))))
+          .select((col("doc_id") * 100000 + col("pos") + 1).as("doc_id"),
+            col("col").as("text"))
+        val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        val dedup = chunks.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("doc_id", "text")
+        val idx = graft.core.Scratch.dir("graft_pp09_idx_") + "/index"
+        TextIndex.buildTextIndex(dedup, idx)
+        TextIndex.probeTextIndex(s, idx,
+          TextIndex.queryTerms(docs(s, d), 43), k = 10)
       })
   )
 }

@@ -52,6 +52,33 @@ class RoundNineSpec extends AnyFunSuite {
       "doubling every 20th doc's text must shift BM25 scores (dl/tf/avgdl all move)")
   }
 
+  test("pp09: served passages decode to real (doc, pid) addresses; dedup collapsed something") {
+    val rows = q("pp09_rag_passage_pipeline").collect()
+    assert(rows.length == 10)
+    val docIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("doc_id")
+      assert(docIds.contains(cid / 100000) && cid % 100000 >= 1,
+        s"chunk id $cid does not address a real (doc, pid)")
+    }
+    // the re-read contract: a served chunk_id names the passage's
+    // source doc and stride position, so the text is recoverable from
+    // the lake without storing copies — and stride overlap plus
+    // boilerplate means exact passage dedup must collapse SOMETHING
+    // on this corpus (identical texts exist at doc level already)
+    val tk = docs
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val chunks = tk.select(posexplode(transform(
+        sequence(lit(1L), size(col("toks")).cast("long"), lit(24L)),
+        st => concat_ws(" ", slice(col("toks"), st.cast("int"), lit(32))))))
+      .select(col("col").as("text"))
+    val total = chunks.count()
+    val distinct = chunks.distinct().count()
+    assert(distinct < total,
+      s"fixture must contain duplicate passages for the dedup stage to matter ($distinct of $total)")
+  }
+
   test("tx40: expired-batch docs never serve, survivors' census is exact") {
     val rows = q("tx40_text_index_expire").collect()
     assert(rows.nonEmpty)
