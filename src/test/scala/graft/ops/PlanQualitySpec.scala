@@ -120,7 +120,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "vs29_index_served_rrf",
       // pp07: sp21's quota computation inside it (1-row broadcast
       // budget/weight-sum/leftover crosses over the language table)
-      "pp07_temperature_mix_build")
+      "pp07_temperature_mix_build",
+      // r9 text-index consumers: all carry the SAME 1-row broadcast
+      // N/avgdl stats cross as tx33 (the probe's storeStats fold) —
+      // tx39/tx40 probe post-maintenance stores, tx42 is the batch
+      // probe, st17 the TTL'd ingest's final probe, pp08 the fused
+      // serve's lexical leg, pp09 the passage store's probe
+      "tx39_text_index_update", "tx40_text_index_expire",
+      "tx42_text_index_batch_serve", "st17_stream_text_ttl",
+      "pp08_day2_index_serving", "pp09_rag_passage_pipeline")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
