@@ -178,11 +178,15 @@ class TextIndexSpec extends AnyFunSuite {
       "untouched batches must still audit clean")
   }
 
-  test("probe scan is pruned to the query terms' tp partitions (DPP)") {
+  test("probe scan is pruned to the query terms' tp partitions (DPP) — single and batch") {
     val dir = fresh("graft_ti_dpp_")
     TextIndex.buildTextIndex(docs, dir)
     val p = probe(dir, 43)
     assert(p.queryExecution.executedPlan.treeString.contains("dynamicpruning"),
       "posting scan must carry a dynamic partition pruning filter on tp")
+    val m = TextIndex.probeTextIndexMulti(spark, dir,
+      TextIndex.queryTermsMulti(docs, col("doc_id").between(40, 44)), k = 5)
+    assert(m.queryExecution.executedPlan.treeString.contains("dynamicpruning"),
+      "the batch probe's scan must prune identically")
   }
 }
