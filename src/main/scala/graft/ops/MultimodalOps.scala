@@ -530,6 +530,46 @@ object MultimodalOps {
             sum(least(lit(100L), col("n") - col("k") * 40))
               .cast("long").as("window_bytes"),
             max("n").cast("long").as("n_bytes"))
+      }),
+
+    QueryDef(
+      "mm14_payload_dedup",
+      // PAYLOAD-LEVEL EXACT DEDUP — the first pass on a media lake:
+      // dd01's discipline applied to the opaque BINARY column. The
+      // digest is md5 of the payload BYTES (codec-agnostic: a re-sent
+      // image/video dedups whatever its filename or metadata says; no
+      // decode needed), computed MAP-SIDE so multi-MB payloads never
+      // cross the wire — the only shuffle ships (doc_id, source,
+      // 16-byte digest). Keeper = min doc_id per digest, global across
+      // sources (the same asset uploaded to two sources is ONE asset);
+      // the per-source census shows each source's raw mass, its
+      // distinct-digest count, and how many keepers it contributed —
+      // the ingest-dedup accounting a multimodal lake reports daily.
+      Some("""WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+             |r AS (SELECT doc_id, source, fp,
+             |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             |      FROM d)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT fp) AS BIGINT) AS n_digests,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+             |FROM r GROUP BY 1""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        // digest the binary payload immediately: the projection the
+        // scan feeds the shuffle is (doc_id, source, fp) — payload
+        // bytes stay inside their input partition
+        val dig = media(s, d).toDF()
+          .select(col("doc_id"), col("source"), md5(col("payload")).as("fp"))
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        dig.withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("fp").as("n_digests"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_kept"),
+            sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+              .cast("long").as("kept_id_sum"))
       })
   )
 }

@@ -924,6 +924,51 @@ object SampleOps {
             !array_contains(col("masked"), p - 1))).cast("long").as("n_spans"),
           md5(concat_ws(",",
             transform(col("masked"), p => p.cast("string")))).as("mask_fp"))
+      }),
+
+    QueryDef(
+      "sp24_curriculum_stages",
+      // CURRICULUM STAGING — order the corpus by a difficulty signal
+      // (token count: the short→long shape of curriculum learning,
+      // Bengio et al., ICML 2009) and cut it into 4
+      // EXACT quartile stages with ntile semantics, WITHOUT a
+      // single-partition global sort: the 3 boundary keys at ntile's
+      // exact cutoff ranks come from the bracket-refine
+      // order-statistic selector ([[GridQuantile.ntileCutKeys]],
+      // q56/ev30's machinery — integer (n_words, doc_id) keys, so the
+      // selection is engine-exact), and every row then buckets by
+      // comparing against 3 LITERALS map-side. Census per (stage,
+      // lang) with id_sum pins exact stage MEMBERSHIP, not just
+      // counts: three narrow passes, zero row-scale shuffles beyond
+      // the census rollup — the plan a 100 TB curriculum cut needs.
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang, n_words,
+             |    ntile(4) OVER (ORDER BY n_words, doc_id) AS stage
+             |  FROM m)
+             |SELECT CAST(stage AS BIGINT) AS stage, lang,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(n_words) AS BIGINT) AS min_words,
+             |  CAST(max(n_words) AS BIGINT) AS max_words,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val src = docs(s, d).select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+        val (_, keys) =
+          graft.ops.GridQuantile.ntileCutKeys(src, "n_words", "doc_id", 4)
+        val v = col("n_words").cast("double")
+        val stage = keys.map { case (kv, kt) =>
+          when(v > kv || (v === kv && col("doc_id") > kt), 1L).otherwise(0L)
+        }.reduceOption(_ + _).getOrElse(lit(0L)) + 1L
+        src.groupBy(stage.as("stage"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_words").as("min_words"),
+            max("n_words").as("max_words"),
+            sum("doc_id").cast("long").as("id_sum"))
       })
   )
 }

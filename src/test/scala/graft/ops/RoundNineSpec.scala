@@ -79,6 +79,45 @@ class RoundNineSpec extends AnyFunSuite {
       s"fixture must contain duplicate passages for the dedup stage to matter ($distinct of $total)")
   }
 
+  test("mm14: keepers partition the digest space; row mass conserved") {
+    val rows = q("mm14_payload_dedup").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == docs.count(),
+      "every payload row must be counted in exactly one source")
+    val globalDigests = docs
+      .select(md5(encode(col("text"), "UTF-8")).as("fp"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == globalDigests,
+      "exactly one keeper per distinct payload digest, across all sources")
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_kept") <= r.getAs[Long]("n_digests") &&
+        r.getAs[Long]("n_digests") <= r.getAs[Long]("n_rows"), r.toString))
+  }
+
+  test("sp24: stages partition the corpus with ntile's exact sizes and ordered ranges") {
+    val rows = q("sp24_curriculum_stages").collect()
+    val n = docs.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "stages must partition the corpus")
+    val byStage = rows.groupBy(_.getAs[Long]("stage")).map { case (st, rs) =>
+      st -> (rs.map(_.getAs[Long]("n_docs")).sum,
+        rs.map(_.getAs[Long]("min_words")).min,
+        rs.map(_.getAs[Long]("max_words")).max)
+    }
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L))
+    // ntile's exact size contract: first (n mod 4) stages get one extra
+    byStage.foreach { case (st, (sz, _, _)) =>
+      val expected = n / 4 + (if (st <= n % 4) 1 else 0)
+      assert(sz == expected, s"stage $st has $sz docs, ntile says $expected")
+    }
+    // difficulty ranges are ordered (ties may straddle a boundary)
+    (1L to 3L).foreach { st =>
+      assert(byStage(st)._3 <= byStage(st + 1)._2 ||
+        byStage(st)._3 == byStage(st + 1)._2,
+        s"stage $st max must not exceed stage ${st + 1} min")
+      assert(byStage(st)._3 <= byStage(st + 1)._3)
+    }
+  }
+
   test("tx40: expired-batch docs never serve, survivors' census is exact") {
     val rows = q("tx40_text_index_expire").collect()
     assert(rows.nonEmpty)
