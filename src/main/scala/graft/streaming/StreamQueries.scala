@@ -915,6 +915,91 @@ object StreamQueries {
         }
         graft.ops.TextIndex.probeTextIndex(s, s"$base/index",
           graft.ops.TextIndex.queryTerms(docsDf, 43), k = 10)
+      }),
+
+    QueryDef(
+      "st18_stream_ivf_ttl",
+      // TTL'd IVF SERVICE ([[VectorStream.ivfIngestWithRetention]]):
+      // st17's rolling-window idiom on the vector side — each
+      // micro-batch is assigned against the frozen codebook and lands
+      // as a batch= shard, then shards older than the window (keep 2)
+      // are dropped in the service loop, bounding the store at the
+      // window. Same fixture discipline as st17 (a TTL keys on
+      // arrival batching by definition): four mtime-ordered landing
+      // files = the vec_id % 4 classes, one per trigger, window keeps
+      // {2, 3}; probes 100–104 query with their LAKE embeddings (103
+      // is itself expired — the retired-item search case). The oracle
+      // replays the cell-restricted cosine top-3 over exactly the
+      // surviving classes under the frozen codebook.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
+             |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> probe_id AND e.vec_id % 4 >= 2),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) + 0.0 AS cos
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val inDir = landingCache.computeIfAbsent(s"$d/ttlvec4", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_ttlvec_landing_${d.hashCode & 0x7fffffff}_"))
+          val in = staged.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          val raw = s.read.parquet(s"$d/embeddings.parquet")
+            .select("vec_id", "embedding")
+          (0L to 3L).foreach { b =>
+            val tmp = java.nio.file.Files
+              .createTempDirectory(staged, s"stage$b")
+            raw.filter(pmod(col("vec_id"), lit(4)) === b)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val target = in.resolve(f"b$b%d.parquet")
+            java.nio.file.Files.move(part.toPath, target)
+            java.nio.file.Files.setLastModifiedTime(target,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1600000000000L + b * 60000))
+          }
+          in.toString
+        })
+        val inSchema = s.read.parquet(inDir).schema
+        val store = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_ttlvec_idx_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_ttlvec_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = VectorStream.ivfIngestWithRetention(s, inDir, inSchema,
+            centroids, s"$store/idx", ck, keepBatches = 2,
+            filesPerTrigger = 1)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        val probes = graft.ops.VectorOps.assignClusters(
+            e.filter(col("vec_id").between(100, 104)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        graft.ops.VectorOps.probeIvfIndex(s, s"$store/idx", probes, k = 3)
+          .withColumn("cos", col("cos") + lit(0.0))
       })
   )
 }

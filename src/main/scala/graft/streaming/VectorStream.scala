@@ -74,4 +74,43 @@ object VectorStream {
       .trigger(trigger)
       .start()
   }
+
+  /** [[ivfIngest]] with a RETENTION WINDOW — the vector-side TTL'd
+    * index service (the [[TextIndexStream.textIngestWithRetention]]
+    * idiom): after each micro-batch's shard lands, every `batch=` dir
+    * older than the window is dropped
+    * ([[graft.ops.DedupOps.expireShards]] — O(1) metadata per shard,
+    * no read, no tombstone debt), so the store is bounded by the
+    * window however long the stream runs. Idempotent per batch
+    * (overwrite shard + re-issued cutoff). As with any time-based
+    * TTL, WHICH vectors survive keys on arrival batching by
+    * definition; st18 pins the file→batch assignment to make the
+    * survivor set oracle-replayable. */
+  def ivfIngestWithRetention(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      centroids: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      keepBatches: Int,
+      filesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        VectorOps.assignClusters(
+          batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          centroids)
+          .write.partitionBy("cid").mode("overwrite")
+          .parquet(s"$indexDir/batch=$id")
+        graft.ops.DedupOps.expireShards(spark, indexDir, "batch",
+          id - keepBatches + 1)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
