@@ -2161,6 +2161,109 @@ object VectorOps {
             col("cid").as("pcid"))
         probeIvfIndex(s, store, probes, k = 3)
           .withColumn("cos", col("cos") + lit(0.0))
+      }),
+
+    QueryDef(
+      "vs32_batch_hybrid_serve",
+      // BATCH hybrid serving — vs29's index-served RRF for a whole
+      // probe batch (docs 40–44) in ONE plan: the lexical leg is
+      // tx42's [[graft.ops.TextIndex.probeTextIndexMulti]] (df and
+      // the grid quantization computed ONCE from the batch's distinct
+      // term set, one partition-pruned posting read amortized across
+      // all queries), the dense leg is [[probeIvfIndex]]'s native
+      // probe SET (one cell-pruned scan for all five cells), and the
+      // fusion is a (qid, doc_id)-keyed full-outer join ranked per
+      // qid. This is the offline-serving shape — "hybrid neighbors
+      // for each of today's arrivals" — where per-query serving would
+      // re-scan the posting partitions N times. RRF stays
+      // integer-exact: Σ 10⁹ DIV (60 + rank); each query excludes
+      // itself on both legs.
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |q AS (SELECT doc_id AS qid,
+             |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |      FROM documents WHERE doc_id BETWEEN 40 AND 44),
+             |qt AS (SELECT DISTINCT qid,
+             |         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |       FROM q),
+             |posts AS (SELECT doc_id,
+             |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |          FROM tk2),
+             |dterms AS (SELECT DISTINCT th FROM qt),
+             |qposts AS (SELECT doc_id, th FROM posts JOIN dterms USING (th)),
+             |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT qt.qid, tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS sq
+             |  FROM tf JOIN qt USING (th) JOIN dfq USING (th)
+             |  JOIN dl USING (doc_id), stats
+             |  WHERE tf.doc_id <> qt.qid),
+             |bagg AS (SELECT qid, doc_id, sum(sq) AS iscore FROM sc GROUP BY 1, 2),
+             |btop AS (SELECT qid, doc_id,
+             |           row_number() OVER (PARTITION BY qid
+             |             ORDER BY iscore DESC, doc_id) AS r
+             |         FROM bagg QUALIFY r <= 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT e.vec_id AS qid, e.v AS pv, a2.cid AS pcid
+             |      FROM e JOIN asg a2 ON e.vec_id = a2.vec_id
+             |      WHERE e.vec_id BETWEEN 40 AND 44),
+             |ctop AS (SELECT qid, e.vec_id AS doc_id,
+             |           row_number() OVER (PARTITION BY qid
+             |             ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS r
+             |         FROM p JOIN asg ON asg.cid = p.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         WHERE e.vec_id <> qid
+             |         QUALIFY r <= 50),
+             |fused AS (
+             |  SELECT qid, doc_id,
+             |    coalesce(1000000000 // (60 + b.r), 0)
+             |      + coalesce(1000000000 // (60 + c2.r), 0) AS rrf
+             |  FROM btop b FULL OUTER JOIN ctop c2 USING (qid, doc_id)),
+             |r AS (SELECT qid, doc_id, rrf,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY rrf DESC, doc_id) AS rn
+             |      FROM fused)
+             |SELECT qid, doc_id, CAST(rn AS BIGINT) AS rnk, CAST(rrf AS BIGINT) AS rrf
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        val docsT = Tables(s, d, "documents")
+        val btop = graft.ops.TextIndex.probeTextIndexMulti(s,
+            TextOps.baseTextIndex(s, d),
+            graft.ops.TextIndex.queryTermsMulti(docsT,
+              col("doc_id").between(40, 44)), k = 50)
+          .select(col("qid"), col("doc_id"), col("rnk").as("rb"))
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val probes = assignClusters(
+            e.filter(col("vec_id").between(40, 44)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        val ctop = probeIvfIndex(s, baseIvfIndexDir(s, d), probes, k = 50)
+          .select(col("probe_id").as("qid"),
+            col("neighbor_id").as("doc_id"), col("rnk").as("rc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+        btop.join(ctop, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"),
+            (coalesce(expr("1000000000 DIV (60 + rb)"), lit(0L)) +
+             coalesce(expr("1000000000 DIV (60 + rc)"), lit(0L))).as("rrf"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("qid"), col("doc_id"),
+            col("rn").cast("long").as("rnk"), col("rrf").cast("long").as("rrf"))
       })
   )
 

@@ -128,7 +128,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // serve's lexical leg, pp09 the passage store's probe
       "tx39_text_index_update", "tx40_text_index_expire",
       "tx42_text_index_batch_serve", "st17_stream_text_ttl",
-      "pp08_day2_index_serving", "pp09_rag_passage_pipeline")
+      "pp08_day2_index_serving", "pp09_rag_passage_pipeline",
+      // vs32: tx42's batch-probe stats cross (lexical leg)
+      "vs32_batch_hybrid_serve")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }
