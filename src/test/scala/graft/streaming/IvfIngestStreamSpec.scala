@@ -75,4 +75,43 @@ class IvfIngestStreamSpec extends AnyFunSuite {
         s"sharded probe diverged from the $name layout")
     }
   }
+
+  test("TTL'd ingest: store bounded at keepBatches shards; survivors == rebuild") {
+    // the st17/TextIngestStreamSpec boundedness pin, vector side
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfttl_spec_")
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    (0L to 3L).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(base, s"st$b")
+      raw.filter(pmod(col("vec_id"), lit(4)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = in.resolve(s"b$b.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000))
+    }
+    val q = VectorStream.ivfIngestWithRetention(spark, in.toString,
+      raw.schema, centroids, s"$base/idx", s"$base/ck",
+      keepBatches = 2, filesPerTrigger = 1)
+    q.awaitTermination()
+    val shards = new java.io.File(s"$base/idx").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(shards == Set("batch=2", "batch=3"),
+      s"exactly keepBatches shard dirs must survive, got $shards")
+    val probes = VectorOps.assignClusters(
+        emb.filter(col("vec_id").between(100, 104)), centroids)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("cid").as("pcid"))
+    val viaTtl = VectorOps.probeIvfIndex(spark, s"$base/idx", probes, k = 3)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivfttl_ref_").resolve("idx").toString
+    VectorOps.writeIvfIndex(emb.filter(col("vec_id") % 4 >= 2),
+      centroids, rebuilt)
+    val viaRebuild = VectorOps.probeIvfIndex(spark, rebuilt, probes, k = 3)
+    assert(viaTtl.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaTtl).isEmpty,
+      "the windowed store must serve exactly the surviving classes")
+  }
 }
