@@ -1618,7 +1618,71 @@ object TextOps {
       (s, d) =>
         TextIndex.probeTextIndexMulti(s, baseTextIndex(s, d),
           TextIndex.queryTermsMulti(docs(s, d),
-            col("doc_id").between(40, 44)), k = 5))
+            col("doc_id").between(40, 44)), k = 5)),
+
+    QueryDef(
+      "tx43_bpe_train",
+      // BPE TOKENIZER TRAINING ([[Bpe]]): 6 merge iterations over the
+      // corpus word-frequency dictionary — the tokenizer-build stage
+      // of a pretraining pipeline (Sennrich arXiv:1508.07909), and the
+      // iterated closure of tx29's single pair-merge step. ONE
+      // corpus-scale pass (the word-count shuffle); each iteration is
+      // then a vocab-bounded aggregate + map-only rewrite — at 100 TB
+      // the loop never touches the corpus again, which is the entire
+      // feasibility argument for distributed BPE. Exact BIGINT pair
+      // counts + a totally-ordered argmax (cnt DESC, pair ASC) make
+      // the learned table engine- and partition-exact; DuckDB replays
+      // all 6 iterations as chained CTE stages, including the
+      // space-doubling greedy-scan replace.
+      Some(Bpe.oracleStages(6) + """
+             |SELECT step, pair, merged, cnt FROM (
+             |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
+             |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
+             |  UNION ALL SELECT * FROM m5 UNION ALL SELECT * FROM m6)""".stripMargin),
+      (s, d) => Bpe.mergeTable(s, d, 6)),
+
+    QueryDef(
+      "tx44_bpe_fertility",
+      // TOKENIZER APPLICATION + FERTILITY AUDIT: tokenize the corpus
+      // under tx43's learned merges and report the per-language token
+      // economics a tokenizer build is judged by — fertility
+      // (tokens/word) and chars/token, both on the 1e-4 integer grid
+      // (pure BIGINT floor division, no float anywhere). Scale shape:
+      // tokenization is a corpus words-explode joined to the
+      // VOCAB-bounded dictionary — broadcast by design (the dict is
+      // the small side at any corpus size), so the whole audit is one
+      // explode + one broadcast join + one per-lang aggregate. The
+      // oracle replays training (d6) and the join end-to-end.
+      Some(Bpe.oracleStages(6) + """,
+             |cw AS (
+             |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |tokc AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok FROM d6),
+             |ag AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+             |  FROM cw JOIN tokc USING (word) GROUP BY lang)
+             |SELECT lang, n_words, n_tokens, n_chars,
+             |  CAST(n_tokens * 10000 // n_words AS BIGINT) AS fert_1e4,
+             |  CAST(n_chars * 10000 // n_tokens AS BIGINT) AS cpt_1e4
+             |FROM ag""".stripMargin),
+      (s, d) => {
+        val (dict, _) = Bpe.train(docs(s, d), 6)
+        val perWord = dict.select(col("word"),
+          size(split(col("s"), " ")).cast("long").as("n_tok"))
+        docs(s, d)
+          .select(col("lang"),
+            explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+          .join(broadcast(perWord), Seq("word"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum("n_tok").cast("long").as("n_tokens"),
+            sum(length(col("word"))).cast("long").as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+            expr("n_tokens * 10000 DIV n_words").as("fert_1e4"),
+            expr("n_chars * 10000 DIV n_tokens").as("cpt_1e4"))
+      })
   )
 
   /** Per-sf cached base text index (input-fixture rationale, like

@@ -25,6 +25,7 @@ class BoundedCollectSpec extends AnyFunSuite {
     * section). */
   private val allowlist = Set(
     "ops/Upsert.scala",        // <= nBuckets affected-bucket ids
+    "ops/Bpe.scala",           // K 1-row merge argmaxes (LIMIT 1)
     "ops/VectorOps.scala",     // probe batches; 8-row codebooks
     "ops/DedupOps.scala",      // <= bands x 64 (band, group) keys
     "ops/PrefixSum.scala",     // <= buckets per-bucket totals
