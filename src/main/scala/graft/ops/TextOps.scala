@@ -1580,41 +1580,7 @@ object TextOps {
       // window scale with the batch. Each query excludes itself;
       // df/stats include it (the single-probe convention). The oracle
       // replays every query's th-keyed pipeline from raw documents.
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |  FROM documents),
-             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
-             |q AS (SELECT doc_id AS qid,
-             |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |      FROM documents WHERE doc_id BETWEEN 40 AND 44),
-             |qt AS (SELECT DISTINCT qid,
-             |         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
-             |       FROM q),
-             |posts AS (SELECT doc_id,
-             |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
-             |          FROM tk2),
-             |dterms AS (SELECT DISTINCT th FROM qt),
-             |qposts AS (SELECT doc_id, th FROM posts JOIN dterms USING (th)),
-             |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
-             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-             |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
-             |sc AS (
-             |  SELECT qt.qid, tf.doc_id,
-             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
-             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             |      * 1000000 + 0.5) AS BIGINT) AS q
-             |  FROM tf JOIN qt USING (th) JOIN dfq USING (th)
-             |  JOIN dl USING (doc_id), stats
-             |  WHERE tf.doc_id <> qt.qid),
-             |agg AS (SELECT qid, doc_id, sum(q) AS iscore FROM sc GROUP BY 1, 2),
-             |r AS (SELECT qid, doc_id, iscore,
-             |        row_number() OVER (PARTITION BY qid
-             |          ORDER BY iscore DESC, doc_id) AS rn
-             |      FROM agg)
-             |SELECT qid, doc_id, CAST(rn AS BIGINT) AS rnk,
-             |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
-             |FROM r WHERE rn <= 5""".stripMargin),
+      Some(bm25MultiOracle("doc_id BETWEEN 40 AND 44", k = 5)),
       (s, d) =>
         TextIndex.probeTextIndexMulti(s, baseTextIndex(s, d),
           TextIndex.queryTermsMulti(docs(s, d),
@@ -1690,7 +1656,7 @@ object TextOps {
     * that already exists). Scratch-tagged per sf dir, swept at exit. */
   private val textIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
-  private[ops] def baseTextIndex(s: SparkSession, d: String): String =
+  private[graft] def baseTextIndex(s: SparkSession, d: String): String =
     textIndexCache.computeIfAbsent(d, _ => {
       val dir = graft.core.Scratch.dir(
         s"graft_txt_idx_${d.hashCode & 0x7fffffff}_")
@@ -1735,6 +1701,51 @@ object TextOps {
   private[graft] def bm25IndexOracle(corpusWhere: String, probeId: Long): String =
     bm25IndexOracleOver(s"SELECT doc_id, text FROM documents$corpusWhere",
       probeId)
+
+  /** Oracle for the BATCH/STREAMING serving paths
+    * ([[TextIndex.probeTextIndexMulti]], st19): every probe doc
+    * selected by `probeWhere` gets its full th-keyed BM25 top-`k`
+    * replayed from raw documents — each query excludes itself,
+    * df/stats include it (the single-probe convention). Shared by
+    * tx42 (one batch plan) and st19 (micro-batch serving): the two
+    * must answer identically because each query is served
+    * independently against the same static store. */
+  private[graft] def bm25MultiOracle(probeWhere: String, k: Int): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+       |q AS (SELECT doc_id AS qid,
+       |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |      FROM documents WHERE $probeWhere),
+       |qt AS (SELECT DISTINCT qid,
+       |         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+       |       FROM q),
+       |posts AS (SELECT doc_id,
+       |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+       |          FROM tk2),
+       |dterms AS (SELECT DISTINCT th FROM qt),
+       |qposts AS (SELECT doc_id, th FROM posts JOIN dterms USING (th)),
+       |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+       |sc AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM tf JOIN qt USING (th) JOIN dfq USING (th)
+       |  JOIN dl USING (doc_id), stats
+       |  WHERE tf.doc_id <> qt.qid),
+       |agg AS (SELECT qid, doc_id, sum(q) AS iscore FROM sc GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, iscore,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY iscore DESC, doc_id) AS rn
+       |      FROM agg)
+       |SELECT qid, doc_id, CAST(rn AS BIGINT) AS rnk,
+       |  round(CAST(iscore AS DOUBLE) / 1000000, 4) AS score
+       |FROM r WHERE rn <= $k""".stripMargin
 
   /** [[bm25IndexOracle]] generalized to an arbitrary corpus SELECT
     * yielding (doc_id, text) — tx39's edited lake, tx40's surviving

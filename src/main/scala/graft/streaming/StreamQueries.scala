@@ -1000,6 +1000,64 @@ object StreamQueries {
             col("cid").as("pcid"))
         graft.ops.VectorOps.probeIvfIndex(s, s"$store/idx", probes, k = 3)
           .withColumn("cos", col("cos") + lit(0.0))
+      }),
+
+    QueryDef(
+      "st19_stream_index_serve",
+      // CONTINUOUS SERVING ([[TextIndexStream.textServe]]) — the
+      // fourth quadrant of the lifecycle matrix (batch ingest tx34 /
+      // streaming ingest st16 / batch serve tx42 / this): retrieval
+      // REQUESTS arrive as a stream — two mtime-ordered landing files
+      // (docs 50–53, then 54–57), one per trigger — and every
+      // micro-batch is answered top-3 against the SHARED READ-ONLY
+      // base index via probeTextIndexMulti, answers landing under
+      // exactly-once batch= dirs. Requests carry their own text; the
+      // serving path reads only the request and the index, never the
+      // lake. Because each request is served independently against a
+      // static store, the accumulated answers are slicing-invariant
+      // and must equal tx42's one-plan batch answer for the same probe
+      // set — which is exactly what the oracle replays.
+      Some(graft.ops.TextOps.bm25MultiOracle(
+        "doc_id BETWEEN 50 AND 57", k = 3)),
+      (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val inDir = landingCache.computeIfAbsent(s"$d/serve2", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_serve_landing_${d.hashCode & 0x7fffffff}_"))
+          val in = staged.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          Seq((0L, 50L, 53L), (1L, 54L, 57L)).foreach { case (b, lo, hi) =>
+            val tmp = java.nio.file.Files
+              .createTempDirectory(staged, s"stage$b")
+            docsDf.select("doc_id", "text")
+              .filter(col("doc_id").between(lo, hi))
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val target = in.resolve(f"b$b%d.parquet")
+            java.nio.file.Files.move(part.toPath, target)
+            java.nio.file.Files.setLastModifiedTime(target,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1600000000000L + b * 60000))
+          }
+          in.toString
+        })
+        val inSchema = s.read.parquet(inDir).schema
+        val indexDir = graft.ops.TextOps.baseTextIndex(s, d)
+        val out = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_serve_out_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_serve_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = TextIndexStream.textServe(s, inDir, inSchema,
+            indexDir, s"$out/res", ck, k = 3, filesPerTrigger = 1)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        s.read.parquet(s"$out/res")
+          .select("qid", "doc_id", "rnk", "score")
       })
   )
 }

@@ -96,4 +96,47 @@ object TextIndexStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** CONTINUOUS SERVING — the fourth quadrant of the index-lifecycle
+    * matrix (batch ingest tx34 / streaming ingest st16 / batch serve
+    * tx42 / THIS): retrieval REQUESTS arrive as a stream, each
+    * micro-batch is answered against the persisted index READ-ONLY
+    * via [[TextIndex.probeTextIndexMulti]], and answers land under
+    * `outDir/batch=<id>`.
+    *
+    * Contracts:
+    * - **Slicing invariance.** Every request is served independently
+    *   (per-qid terms, query-independent df/stats from the static
+    *   store), so the accumulated answer set is EXACTLY tx42's
+    *   one-plan batch answer wherever micro-batch boundaries fall —
+    *   st19's oracle holds the whole stream to that answer.
+    * - **Exactly-once per micro-batch.** Answers overwrite the
+    *   micro-batch's own `batch=` subdir, so a replayed trigger
+    *   replaces its previous attempt instead of double-serving.
+    * - Requests carry their own text (doc_id, text) — the serving
+    *   path never reads the lake, only the request and the index. */
+  def textServe(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      indexDir: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int,
+      filesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions.lit
+        val qterms = TextIndex.queryTermsMulti(batch, lit(true))
+        TextIndex.probeTextIndexMulti(spark, indexDir, qterms, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

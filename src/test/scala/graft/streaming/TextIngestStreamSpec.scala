@@ -90,4 +90,53 @@ class TextIngestStreamSpec extends AnyFunSuite {
       probe(rebuilt).collect().toSeq,
       "the windowed store must serve exactly the surviving classes")
   }
+
+  test("st19: streamed serving == one-plan batch serving, wherever batches fall") {
+    // one static store; the same 6 requests served (a) in one
+    // probeTextIndexMulti plan and (b) streamed 1 file per trigger in
+    // 3 files of 2 — the accumulated answers must be identical, the
+    // slicing-invariance contract of textServe
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_serve_idx_").toString + "/index"
+    TextIndex.buildTextIndex(docs, base)
+    val pred = col("doc_id").between(10, 15)
+    val oneShot = TextIndex.probeTextIndexMulti(spark, base,
+      TextIndex.queryTermsMulti(docs, pred), k = 4)
+      .collect().map(_.toSeq).toSet
+
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_serve_in_")
+    Seq((0L, 10L, 11L), (1L, 12L, 13L), (2L, 14L, 15L)).foreach {
+      case (b, lo, hi) =>
+        val tmp = java.nio.file.Files.createTempDirectory(landing, s"s$b")
+        docs.filter(col("doc_id").between(lo, hi))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val target = landing.resolve(s"in/b$b.parquet")
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.move(part.toPath, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1600000000000L + b * 60000))
+    }
+    val in = landing.resolve("in").toString
+    val schema = spark.read.parquet(in).schema
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_serve_res_").toString + "/res"
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_serve_ck_").toString
+    val q = TextIndexStream.textServe(spark, in, schema, base, out, ck,
+      k = 4, filesPerTrigger = 1)
+    q.awaitTermination()
+    // exactly-once layout: one batch= dir per trigger
+    val dirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=0", "batch=1", "batch=2"), dirs)
+    val streamed = spark.read.parquet(out)
+      .select("qid", "doc_id", "rnk", "score")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      "micro-batch serving must accumulate exactly the one-plan batch answer")
+  }
 }
