@@ -825,6 +825,82 @@ object Pipeline {
         TextIndex.buildTextIndex(dedup, idx)
         TextIndex.probeTextIndex(s, idx,
           TextIndex.queryTerms(docs(s, d), 43), k = 10)
+      }),
+
+    QueryDef(
+      "pp10_tokenizer_pipeline",
+      // TOKENIZER PIPELINE end to end — the day-0 build a pretraining
+      // run starts with: TRAIN the tokenizer (tx43's 6 BPE merges over
+      // the word-frequency dict), TOKENIZE the corpus under the
+      // learned merges (tx44's broadcast dict join, per-DOC totals
+      // this time, empty docs kept at t = 0 via the left join), then
+      // PACK the BPE-token stream into 256-token contexts (sp19's
+      // concat-then-chunk census over the distributed prefix sum).
+      // The composition is what the per-op gates can't see: a word
+      // the dict join drops, a zero-token doc the packer loses, or a
+      // train/tokenize drift all break the census. Scale shape: one
+      // corpus word-count shuffle (training), one corpus explode +
+      // broadcast join + per-doc rollup (tokenization), one two-phase
+      // prefix sum (packing) — no stage ever holds row-scale data in
+      // one task.
+      Some(Bpe.oracleStages(6) + """,
+             |tokc AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok FROM d6),
+             |wt AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |dt AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS t
+             |       FROM wt JOIN tokc USING (word) GROUP BY doc_id),
+             |t AS (SELECT d.doc_id, CAST(coalesce(dt.t, 0) AS BIGINT) AS t
+             |      FROM documents d LEFT JOIN dt USING (doc_id)),
+             |p AS (
+             |  SELECT doc_id, t,
+             |    coalesce(sum(t) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+             |  FROM t),
+             |tot AS (SELECT CAST(sum(t) AS BIGINT) AS total_tokens,
+             |               CAST((sum(t) + 255) // 256 AS BIGINT) AS n_bins
+             |        FROM t),
+             |x AS (
+             |  SELECT doc_id, t,
+             |    CASE WHEN t = 0 THEN 0
+             |         ELSE ((p + t - 1) // 256) - (p // 256) END AS spans
+             |  FROM p)
+             |SELECT CAST(spans AS BIGINT) AS spans,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  n_bins, total_tokens,
+             |  round(CAST(total_tokens AS DOUBLE) / (n_bins * 256), 4) AS fill
+             |FROM x, tot GROUP BY 1, 5, 6, 7""".stripMargin),
+      (s, d) => {
+        val (dict, _) = Bpe.train(docs(s, d), 6)
+        val perWord = dict.select(col("word"),
+          size(split(col("s"), " ")).cast("long").as("n_tok"))
+        val dt = docs(s, d)
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+          .join(broadcast(perWord), Seq("word"))
+          .groupBy("doc_id").agg(sum("n_tok").cast("long").as("t0"))
+        val t = docs(s, d).select("doc_id")
+          .join(dt, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("t0"), lit(0L)).as("t"))
+        val p = PrefixSum.byLongKey(t, "doc_id", Seq.empty,
+          col("t"), "p", inclusive = false)
+        val tot = t.agg(sum("t").cast("long").as("total_tokens"))
+          .withColumn("n_bins", expr("(total_tokens + 255) DIV 256"))
+        p.withColumn("spans",
+            when(col("t") === 0, lit(0L))
+              .otherwise(expr("((p + t - 1) DIV 256) - (p DIV 256)")))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("spans").cast("long").as("spans"),
+            col("n_bins"), col("total_tokens"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("t").cast("long").as("sum_tokens"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .withColumn("fill", round(col("total_tokens").cast("double")
+            / (col("n_bins") * 256), 4))
+          .select("spans", "n_docs", "sum_tokens", "id_sum",
+            "n_bins", "total_tokens", "fill")
       })
   )
 }

@@ -124,4 +124,32 @@ class RoundNineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("doc_id") % 3 != 0),
       "an expired batch's doc surfacing means a shard or stats row survived the drop")
   }
+
+  test("pp10: packing census conserves docs, tokens, and ids under the learned tokenizer") {
+    val rows = q("pp10_tokenizer_pipeline").collect()
+    assert(rows.nonEmpty)
+    val nDocs = docs.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every doc lands in exactly one spans class")
+    val totalTokens = rows.head.getAs[Long]("total_tokens")
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == totalTokens,
+      "per-class token mass must sum to the stream total")
+    val idSum = docs.agg(sum("doc_id")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("id_sum")).sum == idSum,
+      "membership checksum must cover the whole corpus")
+    val nBins = rows.head.getAs[Long]("n_bins")
+    assert(nBins == (totalTokens + 255) / 256)
+    val fill = rows.head.getAs[Double]("fill")
+    assert(fill > 0.0 && fill <= 1.0)
+    // BPE must compress: the packed stream is shorter than the
+    // character stream and at least as long as the whitespace stream
+    val wsTokens = docs.select(
+      sum(size(filter(split(col("text"), " "), x => x =!= "")))).head().getLong(0)
+    val chars = docs.select(
+      sum(length(replace(col("text"), lit(" "), lit(""))))).head().getLong(0)
+    assert(totalTokens >= wsTokens,
+      "6 merges cannot tokenize below one token per word")
+    assert(totalTokens < chars,
+      "6 merges over a real corpus must beat character-level packing")
+  }
 }
