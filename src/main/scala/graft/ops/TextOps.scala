@@ -1648,6 +1648,85 @@ object TextOps {
           .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
             expr("n_tokens * 10000 DIV n_words").as("fert_1e4"),
             expr("n_chars * 10000 DIV n_tokens").as("cpt_1e4"))
+      }),
+
+    QueryDef(
+      "tx45_gate_eval",
+      // QUALITY-GATE CALIBRATION EVAL — vs27's planted-ground-truth
+      // discipline applied to the FILTER family: nothing graded the
+      // tx12/st14 Gopher gate's actual catch rate until now. Four
+      // corruption classes are PLANTED from donor docs 0–9, each a
+      // real failure mode the gate exists for, each violating a known
+      // rule: `trunc` (first 5 tokens — under the 10-word floor),
+      // `digit_spam` (32 appended digit groups — 5·digits > len by a
+      // >70% margin at every SF, the corpus itself is digit-free),
+      // `nostop_spam` (50× a non-stopword token — passes length and
+      // word-shape, fails ONLY the stopword rule: the template-spam
+      // class), `char_smash` (spaces stripped — one 500-char "word").
+      // The gate is the SHARED gopherKeep predicate (tx12/st14's, so
+      // this eval grades the very definition the routers run), and
+      // the published census — per-class n / n_dropped / drop rate on
+      // the 1e-4 grid — is itself oracle-replayed: the metric
+      // pipeline is bit-exact, not just the number. The spec pins the
+      // calibration: every planted class drops at 10000, and `base`
+      // drops exactly tx12's keep-complement. Map-only over base ∪
+      // 4×10 planted rows; one census rollup.
+      Some("""WITH ev AS (
+             |  SELECT 'base' AS cls, text FROM documents
+             |  UNION ALL
+             |  SELECT 'trunc', array_to_string(
+             |    list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL
+             |  SELECT 'digit_spam', text || repeat(' 0123456789', 32)
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL
+             |  SELECT 'nostop_spam', trim(repeat('veryspam ', 50))
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL
+             |  SELECT 'char_smash', replace(text, ' ', '')
+             |  FROM documents WHERE doc_id < 10),
+             |m AS (
+             |  SELECT cls,
+             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             |    CAST(length(text) AS BIGINT) AS len,
+             |    CAST(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+             |       + CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END AS BIGINT) AS n_stop
+             |  FROM ev),
+             |g AS (
+             |  SELECT cls,
+             |    CASE WHEN n_words BETWEEN 10 AND 1000
+             |          AND n_chars >= 2 * n_words AND n_chars <= 12 * n_words
+             |          AND 5 * n_digits <= len AND n_stop >= 2
+             |         THEN 0 ELSE 1 END AS dropped
+             |  FROM m)
+             |SELECT cls, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+             |  CAST(sum(dropped) * 10000 // count(*) AS BIGINT) AS drop_1e4
+             |FROM g GROUP BY cls""".stripMargin),
+      (s, d) => {
+        val donors = docs(s, d).filter(col("doc_id") < 10)
+        val toks = filter(split(col("text"), " "), x => x =!= "")
+        val ev = docs(s, d).select(lit("base").as("cls"), col("text"))
+          .unionAll(donors.select(lit("trunc").as("cls"),
+            concat_ws(" ", slice(toks, 1, 5)).as("text")))
+          .unionAll(donors.select(lit("digit_spam").as("cls"),
+            concat(col("text"), lit(" 0123456789" * 32)).as("text")))
+          .unionAll(donors.select(lit("nostop_spam").as("cls"),
+            lit(("veryspam " * 50).trim).as("text")))
+          .unionAll(donors.select(lit("char_smash").as("cls"),
+            replace(col("text"), lit(" "), lit("")).as("text")))
+        ev.select(col("cls"),
+            when(gopherKeep(col("text")), 0L).otherwise(1L).as("dropped"))
+          .groupBy("cls")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("dropped").cast("long").as("n_dropped"))
+          .withColumn("drop_1e4", expr("n_dropped * 10000 DIV n"))
       })
   )
 

@@ -152,4 +152,30 @@ class RoundNineSpec extends AnyFunSuite {
     assert(totalTokens < chars,
       "6 merges over a real corpus must beat character-level packing")
   }
+
+  test("tx45: every planted corruption class is fully caught; base matches the live gate") {
+    val rows = q("tx45_gate_eval").collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_dropped"), r.getAs[Long]("drop_1e4")))
+      .toMap
+    assert(rows.keySet ==
+      Set("base", "trunc", "digit_spam", "nostop_spam", "char_smash"))
+    Seq("trunc", "digit_spam", "nostop_spam", "char_smash").foreach { cls =>
+      val (n, dropped, rate) = rows(cls)
+      assert(n == 10 && dropped == 10 && rate == 10000L,
+        s"$cls: the gate must catch every planted corruption, got $dropped/$n")
+    }
+    // the eval grades the SAME predicate the batch flags and the
+    // streaming router run — base's drop count must equal the live
+    // gate's keep-complement, or the eval is grading a drifted copy
+    val (nBase, droppedBase, _) = rows("base")
+    val kept = docs.filter(TextOps.gopherKeep(col("text"))).count()
+    assert(nBase == docs.count())
+    assert(droppedBase == nBase - kept,
+      "eval census must agree with gopherKeep on the uncorrupted corpus")
+    // a gate that dropped everything would also "catch every plant" —
+    // pin that it actually discriminates
+    assert(droppedBase < nBase / 2,
+      "the gate must keep most of the real corpus")
+  }
 }
