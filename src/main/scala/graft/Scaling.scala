@@ -189,7 +189,16 @@ object Scaling {
         val work = graft.core.Scratch.dir(s"graft_scaling_rev_${n}_") + "/idx"
         copyDir(spark, ivfPristine(n), work) // untimed: pristine copy
         () => VectorOps.reversionIvfIndex(spark, oldV, newV, centroids, work)
-      }))
+      }),
+      // tx43: full BPE training (6 merges) on a growing corpus. The
+      // expected regime is ONE O(corpus) word-count pass + 6
+      // VOCAB-bounded iterations (the vocabulary is size-invariant on
+      // these nested slices), so the exponent reads near-flat; a
+      // regression that drags corpus-scale work INSIDE the merge loop
+      // (training on the corpus instead of the dict) would read ~1
+      // with a 6x constant.
+      ("tx43_bpe_train", docSizes,
+        n => () => { graft.ops.Bpe.train(dslice(n), 6); () }))
 
     kernels.map { case (name, sizes, prep) =>
       val points = sizes.map { n =>
@@ -233,7 +242,11 @@ object Scaling {
       "growing store (O(batch) claim, asserted <= 0.8); tx36 vacuum, " +
       "dd20 delete and vs26 re-version are O(index)/O(touched cells) " +
       "BY DESIGN, so ~linear is their expected reading (vs26 runs " +
-      "against an untimed pristine copy per invocation)."
+      "against an untimed pristine copy per invocation). tx43 BPE " +
+      "training is one O(corpus) word-count pass + 6 vocab-bounded " +
+      "merge iterations: near-flat here (the vocabulary is " +
+      "size-invariant across the slices); corpus-scale work inside " +
+      "the loop would read ~1 with a 6x constant."
     val json = m.map { case (name, points, exp) =>
       val ps = points.map { case (n, t) =>
         f"""{"n": $n, "sec": $t%.3f}""" }.mkString("[", ", ", "]")
