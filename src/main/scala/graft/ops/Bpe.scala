@@ -117,19 +117,33 @@ object Bpe {
   private[ops] def applyMergeForTest(s: Column, pair: String, merged: String): Column =
     applyMerge(s, pair, merged)
 
+  /** The true BPE APPLY path: tokenize any word — including words the
+    * training corpus never saw — by re-playing the learned merge
+    * SEQUENCE in order over its character-level split. This is how a
+    * trained tokenizer transfers to new data (tx44's dict join only
+    * covers the training vocabulary); map-only, a chain of k literal
+    * replaces, no join anywhere. */
+  def tokenizeExpr(word: Column, merges: Seq[MergeRow]): Column =
+    merges.foldLeft(trim(regexp_replace(word, "(.)", "$1 "))) {
+      (s, m) => applyMerge(s, m.pair, m.merged)
+    }
+
   /** DuckDB replay of the training loop: the shared `WITH` prefix —
     * word dict `wd`, char-level `d0`, then for each step i the pair
     * counts `p_i`, the 1-row argmax `m_i` (count DESC, pair ASC), and
     * the rewritten dict `d_i` via the same space-doubling replace.
-    * Callers append their own final SELECT over `m_1..m_k` / `d_k`. */
-  def oracleStages(k: Int): String = {
+    * Callers append their own final SELECT over `m_1..m_k` / `d_k`.
+    * `corpusWhere` restricts the TRAINING corpus (e.g.
+    * " WHERE doc_id % 2 = 0" for tx46's transfer split); application
+    * stages downstream may still range over the full lake. */
+  def oracleStages(k: Int, corpusWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= """WITH wd AS (
-             |  SELECT word, CAST(count(*) AS BIGINT) AS f
-             |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-             |        FROM documents)
-             |  GROUP BY word),
-             |d0 AS (SELECT word, f, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s FROM wd)""".stripMargin
+    sb ++= s"""WITH wd AS (
+              |  SELECT word, CAST(count(*) AS BIGINT) AS f
+              |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              |        FROM documents$corpusWhere)
+              |  GROUP BY word),
+              |d0 AS (SELECT word, f, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s FROM wd)""".stripMargin
     for (i <- 1 to k) {
       sb ++= s""",
                 |p$i AS (
@@ -148,6 +162,33 @@ object Bpe {
                 |        (SELECT ' ' || merged || ' ' FROM m$i)),
                 |      '  ', ' ')) AS s
                 |  FROM d${i - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** DuckDB replay of [[tokenizeExpr]]: APPLY the k learned merges
+    * (the `m_1..m_k` stages of [[oracleStages]]) in order to the
+    * distinct words of the FULL lake — `aw`/`a0` char-init, then one
+    * rewrite stage per merge, ending at `a_k` with `(word, s)`.
+    * Unseen words (absent from the restricted training corpus) flow
+    * through the same chain — the transfer path tx46 grades. */
+  def oracleApplyStages(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """,
+             |aw AS (
+             |  SELECT DISTINCT word
+             |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+             |        FROM documents)),
+             |a0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s FROM aw)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |a$i AS (
+                |  SELECT word,
+                |    trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+                |        (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$i),
+                |        (SELECT ' ' || merged || ' ' FROM m$i)),
+                |      '  ', ' ')) AS s
+                |  FROM a${i - 1})""".stripMargin
     }
     sb.toString
   }

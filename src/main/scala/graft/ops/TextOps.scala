@@ -1727,6 +1727,52 @@ object TextOps {
           .agg(count(lit(1)).cast("long").as("n"),
             sum("dropped").cast("long").as("n_dropped"))
           .withColumn("drop_1e4", expr("n_dropped * 10000 DIV n"))
+      }),
+
+    QueryDef(
+      "tx46_tokenizer_transfer",
+      // TOKENIZER TRANSFER / DRIFT AUDIT: train tx43's 6 merges on
+      // HALF the lake (even doc_ids), then tokenize the WHOLE lake by
+      // replaying the learned merge SEQUENCE over each word's
+      // character split ([[Bpe.tokenizeExpr]]) — the true BPE apply
+      // path, which transfers to words the training corpus never saw
+      // (tx44's dict join only covers the training vocabulary). The
+      // published census — per-half fertility on the 1e-4 grid — is
+      // the drift monitor a tokenizer owner watches: fertility rising
+      // on the held-out half means the training snapshot no longer
+      // matches the lake. Scale shape: training as tx43 (one
+      // half-corpus shuffle + vocab-bounded loop); application is
+      // MAP-ONLY — a chain of 6 literal replaces per word occurrence,
+      // no join anywhere — then one 2-group rollup. The oracle replays
+      // training on the restricted corpus AND the apply chain over
+      // the full lake's distinct words.
+      Some(Bpe.oracleStages(6, " WHERE doc_id % 2 = 0") +
+        Bpe.oracleApplyStages(6) + """,
+             |tokc AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok FROM a6),
+             |cw AS (
+             |  SELECT doc_id % 2 AS half,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |ag AS (
+             |  SELECT half, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |  FROM cw JOIN tokc USING (word) GROUP BY half)
+             |SELECT CAST(half AS BIGINT) AS half, n_words, n_tokens,
+             |  CAST(n_tokens * 10000 // n_words AS BIGINT) AS fert_1e4
+             |FROM ag""".stripMargin),
+      (s, d) => {
+        val (_, merges) =
+          Bpe.train(docs(s, d).filter(col("doc_id") % 2 === 0), 6)
+        docs(s, d)
+          .select(pmod(col("doc_id"), lit(2)).cast("long").as("half"),
+            explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+          .withColumn("n_tok",
+            size(split(Bpe.tokenizeExpr(col("word"), merges), " ")).cast("long"))
+          .groupBy("half")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum("n_tok").cast("long").as("n_tokens"))
+          .select(col("half"), col("n_words"), col("n_tokens"),
+            expr("n_tokens * 10000 DIV n_words").as("fert_1e4"))
       })
   )
 

@@ -65,6 +65,40 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(docs, 6)._2 == Bpe.train(docs, 6)._2)
   }
 
+  test("tokenizeExpr (apply path) == trained dict on the training vocabulary") {
+    // the two tokenization paths — tx44's dict lookup and tx46's
+    // merge-sequence replay — must agree on every trained word, or
+    // the apply path has drifted from training
+    val (dict, merges) = Bpe.train(docs, 6)
+    val bad = dict.withColumn("s2",
+        Bpe.tokenizeExpr(col("word"), merges))
+      .filter(col("s2") =!= col("s")).count()
+    assert(bad == 0, "merge-sequence replay must reproduce the trained dict exactly")
+  }
+
+  test("tokenizeExpr transfers to unseen words: chars preserved, merges fire in order") {
+    import spark.implicits._
+    val (_, merges) = Bpe.train(docs, 6)
+    // words that cannot occur in the corpus (it is lowercase-alpha
+    // word soup with no 'zq' bigrams): the chain must still produce a
+    // valid tokenization that spells the word back
+    val unseen = Seq("zzqqzz", "q", "zq").toDF("word")
+      .select(col("word"), Bpe.tokenizeExpr(col("word"), merges).as("s"))
+    assert(unseen.filter(replace(col("s"), lit(" "), lit("")) =!= col("word"))
+      .count() == 0)
+    // a fabricated word CONTAINING the first learned merge's pair must
+    // have that merge applied (transfer is not a no-op)
+    val m1 = merges.head
+    val carrier = Seq("zq" + m1.merged + "qz").toDF("word")
+      .select(Bpe.tokenizeExpr(col("word"), merges).as("s"))
+      .head().getString(0)
+    assert(carrier.split(" ").contains(m1.merged) ||
+      // a later merge may have absorbed it further — the merged token
+      // must at least appear as a substring of some final token
+      carrier.split(" ").exists(_.contains(m1.merged)),
+      s"'${m1.merged}' should survive in the tokenization, got '$carrier'")
+  }
+
   test("empty corpus: zero merges, empty merge table with the contract schema") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
