@@ -570,6 +570,81 @@ object MultimodalOps {
               .as("n_kept"),
             sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
               .cast("long").as("kept_id_sum"))
+      }),
+
+    QueryDef(
+      "mm15_vlm_packing",
+      // VLM MULTIMODAL SEQUENCE PACKING — the interleaved image+text
+      // analog of sp19/pp10's text-only concat-then-chunk: in a
+      // vision-language training run every sample costs its TEXT
+      // tokens PLUS a patch budget for its media (a ViT tokenizes an
+      // image into ceil(w/32)·ceil(h/32) patch tokens), and the packer
+      // cuts that combined stream into 512-token contexts. Per-doc
+      // cost = whitespace tokens + the patch grid of the decoded dims
+      // (the [[decodeStub]] fakes, exactly mm02's) — pure integer
+      // math. Shape: the media→text alignment join is doc_id-keyed
+      // (the mm12 shape — co-keyed shuffle, no broadcast: both sides
+      // are lake-scale), then the census rides sp19's two-phase
+      // prefix sum; no row-scale data in one task. Output: the
+      // boundary-straddle census with id_sum membership checksum.
+      Some("""WITH f AS (
+             |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT d.doc_id,
+             |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT)
+             |      + ((f.n % 1920 + 31) // 32) * ((f.n % 1080 + 31) // 32) AS t
+             |  FROM documents d JOIN f USING (doc_id)),
+             |p AS (
+             |  SELECT doc_id, t,
+             |    coalesce(sum(t) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+             |  FROM c),
+             |tot AS (SELECT CAST(sum(t) AS BIGINT) AS total_cost,
+             |               CAST((sum(t) + 511) // 512 AS BIGINT) AS n_bins
+             |        FROM c),
+             |x AS (
+             |  SELECT doc_id, t,
+             |    CASE WHEN t = 0 THEN 0
+             |         ELSE ((p + t - 1) // 512) - (p // 512) END AS spans
+             |  FROM p)
+             |SELECT CAST(spans AS BIGINT) AS spans,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(t) AS BIGINT) AS sum_cost,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  n_bins, total_cost,
+             |  round(CAST(total_cost AS DOUBLE) / (n_bins * 512), 4) AS fill
+             |FROM x, tot GROUP BY 1, 5, 6, 7""".stripMargin),
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val feats = media(s, d).mapPartitions(decodeStub).toDF()
+          .select(col("doc_id"),
+            expr("((fake_width + 31) DIV 32) * ((fake_height + 31) DIV 32)")
+              .as("patches"))
+        val txt = Tables(s, d, "documents").select(col("doc_id"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("t_text"))
+        val cost = feats.join(txt, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("t_text") + col("patches")).cast("long").as("t"))
+        val p = PrefixSum.byLongKey(cost, "doc_id", Seq.empty,
+          col("t"), "p", inclusive = false)
+        val tot = cost.agg(sum("t").cast("long").as("total_cost"))
+          .withColumn("n_bins", expr("(total_cost + 511) DIV 512"))
+        p.withColumn("spans",
+            when(col("t") === 0, lit(0L))
+              .otherwise(expr("((p + t - 1) DIV 512) - (p DIV 512)")))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("spans").cast("long").as("spans"),
+            col("n_bins"), col("total_cost"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("t").cast("long").as("sum_cost"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .withColumn("fill", round(col("total_cost").cast("double")
+            / (col("n_bins") * 512), 4))
+          .select("spans", "n_docs", "sum_cost", "id_sum",
+            "n_bins", "total_cost", "fill")
       })
   )
 }

@@ -130,7 +130,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "tx42_text_index_batch_serve", "st17_stream_text_ttl",
       "pp08_day2_index_serving", "pp09_rag_passage_pipeline",
       // vs32: tx42's batch-probe stats cross (lexical leg)
-      "vs32_batch_hybrid_serve")
+      "vs32_batch_hybrid_serve",
+      // pp10/mm15: sp19's packing-census shape — the 1-row broadcast
+      // (total tokens/cost, n_bins) cross into the census rollup
+      "pp10_tokenizer_pipeline", "mm15_vlm_packing")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       !allowed(n) && plan(n).contains("BroadcastNestedLoopJoin")
     }

@@ -178,4 +178,21 @@ class RoundNineSpec extends AnyFunSuite {
     assert(droppedBase < nBase / 2,
       "the gate must keep most of the real corpus")
   }
+
+  test("mm15: packing census conserves docs/cost/ids; media patches actually cost") {
+    val rows = q("mm15_vlm_packing").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalCost = rows.head.getAs[Long]("total_cost")
+    assert(rows.map(_.getAs[Long]("sum_cost")).sum == totalCost)
+    assert(rows.map(_.getAs[Long]("id_sum")).sum ==
+      docs.agg(sum("doc_id")).head().getLong(0))
+    assert(rows.head.getAs[Long]("n_bins") == (totalCost + 511) / 512)
+    // the multimodal budget must exceed the text-only budget — if the
+    // patch term vanished, this packer silently degraded to sp19
+    val textOnly = docs.select(
+      sum(size(filter(split(col("text"), " "), x => x =!= "")))).head().getLong(0)
+    assert(totalCost > textOnly,
+      "per-doc cost must include a nonzero media patch budget")
+  }
 }
