@@ -136,6 +136,15 @@ object Bpe {
     * `corpusWhere` restricts the TRAINING corpus (e.g.
     * " WHERE doc_id % 2 = 0" for tx46's transfer split); application
     * stages downstream may still range over the full lake. */
+  /** The DuckDB char-level init fragment (word → space-joined chars),
+    * shared by [[oracleStages]] and [[oracleApplyStages]] so the two
+    * replay paths can never drift apart on the backreference spelling
+    * (r9 ADVICE: one side wrote `\\1` in an s-interpolated string, the
+    * other `\1` raw — same SQL, asymmetric source). Raw triple-quoted:
+    * the `\1` reaches DuckDB verbatim. */
+  private val charInitSql =
+    """trim(regexp_replace(word, '(.)', '\1 ', 'g'))"""
+
   def oracleStages(k: Int, corpusWhere: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH wd AS (
@@ -143,7 +152,7 @@ object Bpe {
               |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
               |        FROM documents$corpusWhere)
               |  GROUP BY word),
-              |d0 AS (SELECT word, f, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s FROM wd)""".stripMargin
+              |d0 AS (SELECT word, f, $charInitSql AS s FROM wd)""".stripMargin
     for (i <- 1 to k) {
       sb ++= s""",
                 |p$i AS (
@@ -174,12 +183,12 @@ object Bpe {
     * through the same chain — the transfer path tx46 grades. */
   def oracleApplyStages(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= """,
-             |aw AS (
-             |  SELECT DISTINCT word
-             |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-             |        FROM documents)),
-             |a0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s FROM aw)""".stripMargin
+    sb ++= s""",
+              |aw AS (
+              |  SELECT DISTINCT word
+              |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              |        FROM documents)),
+              |a0 AS (SELECT word, $charInitSql AS s FROM aw)""".stripMargin
     for (i <- 1 to k) {
       sb ++= s""",
                 |a$i AS (

@@ -1658,8 +1658,13 @@ object TextOps {
       // corruption classes are PLANTED from donor docs 0–9, each a
       // real failure mode the gate exists for, each violating a known
       // rule: `trunc` (first 5 tokens — under the 10-word floor),
-      // `digit_spam` (32 appended digit groups — 5·digits > len by a
-      // >70% margin at every SF, the corpus itself is digit-free),
+      // `digit_spam` (appended digit groups SCALED with donor length:
+      // r = max(32, ceil(L/10)) groups of " 0123456789" gives
+      // n_digits = 10r and len = L + 11r, and the 5·digits > len rule
+      // reduces to 39r > L — true by construction since r ≥ L/10 ⟹
+      // 39r ≥ 3.9L. The r9 ADVICE closed the old fixed-320-digit
+      // plant, which stopped violating once a donor exceeded ~1248
+      // chars; the corpus itself is digit-free),
       // `nostop_spam` (50× a non-stopword token — passes length and
       // word-shape, fails ONLY the stopword rule: the template-spam
       // class), `char_smash` (spaces stripped — one 500-char "word").
@@ -1678,7 +1683,8 @@ object TextOps {
              |    list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
              |  FROM documents WHERE doc_id < 10
              |  UNION ALL
-             |  SELECT 'digit_spam', text || repeat(' 0123456789', 32)
+             |  SELECT 'digit_spam', text || repeat(' 0123456789',
+             |    CAST(greatest(32, (length(text) + 9) // 10) AS INT))
              |  FROM documents WHERE doc_id < 10
              |  UNION ALL
              |  SELECT 'nostop_spam', trim(repeat('veryspam ', 50))
@@ -1716,7 +1722,9 @@ object TextOps {
           .unionAll(donors.select(lit("trunc").as("cls"),
             concat_ws(" ", slice(toks, 1, 5)).as("text")))
           .unionAll(donors.select(lit("digit_spam").as("cls"),
-            concat(col("text"), lit(" 0123456789" * 32)).as("text")))
+            concat(col("text"), expr(
+              "repeat(' 0123456789', CAST(greatest(32, (length(text) + 9) DIV 10) AS INT))"
+            )).as("text")))
           .unionAll(donors.select(lit("nostop_spam").as("cls"),
             lit(("veryspam " * 50).trim).as("text")))
           .unionAll(donors.select(lit("char_smash").as("cls"),

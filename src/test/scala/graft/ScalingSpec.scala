@@ -38,6 +38,14 @@ class ScalingSpec extends AnyFunSuite {
     // exponent near 1 means the append is re-reading the store
     assert(expOf("tx34_index_append") <= 0.8,
       "tx34 append cost is growing with the store, not the batch")
+    // the one-corpus-pass claim (r9 ADVICE): BPE's merge loop must run
+    // on the VOCAB-bounded dictionary, never the corpus — Scaling.scala
+    // documents that a corpus-scale step inside the loop would read
+    // exponent ~1 with a 6x constant, and this pin makes that exact
+    // regression fail the build (measured 0.06 idle; same headroom
+    // rationale as dd17/tx34)
+    assert(expOf("tx43_bpe_train") <= 0.8,
+      "tx43 merge-loop cost is growing with the corpus, not the vocab")
     // tx36 vacuum / dd20 delete / vs26 re-version are O(index) /
     // O(touched cells) BY DESIGN — the generic <= 1.7 above is their
     // claim (sub-quadratic, never all-pairs); no tighter pin because

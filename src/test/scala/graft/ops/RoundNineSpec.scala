@@ -177,6 +177,17 @@ class RoundNineSpec extends AnyFunSuite {
     // pin that it actually discriminates
     assert(droppedBase < nBase / 2,
       "the gate must keep most of the real corpus")
+    // r9 ADVICE: the digit_spam plant scales its digit mass with the
+    // donor (r = max(32, ceil(L/10)) groups), so 5·n_digits exceeds
+    // len by a wide margin for EVERY donor — assert the >70% margin
+    // actually holds on this fixture rather than leaving the claim in
+    // a comment (5·10r vs len = L + 11r; violated ⟺ 39r > L)
+    docs.filter(col("doc_id") < 10).select(length(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).foreach { l =>
+        val r = math.max(32L, (l + 9) / 10)
+        assert(50 * r > 1.7 * (l + 11 * r),
+          s"digit_spam margin under 70% for donor length $l")
+      }
   }
 
   test("mm15: packing census conserves docs/cost/ids; media patches actually cost") {
