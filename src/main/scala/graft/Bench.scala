@@ -18,6 +18,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // lifecycle queries publish their build/verb splits (r9 task 4);
+    // enabling here keeps Verify/tests/library callers at zero overhead
+    graft.core.PhaseTimer.enable()
     // Warmup: absorb one-time JVM/engine costs (Janino + whole-stage
     // codegen infrastructure, parquet reader + Hadoop FS init, JIT)
     // so the first measured query isn't charged ~7s of cold-start.
@@ -38,44 +41,123 @@ object Bench {
       System.err.println(s"[bench] warmup failed (non-fatal): ${e.getMessage}")
     }
     // One timed execution of a query; -1 marks failure (a failed query
-    // must not masquerade as a fast run).
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // must not masquerade as a fast run). Returns the PhaseTimer split
+    // the body published (empty for non-lifecycle queries).
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Map[String, Double]) = {
+      graft.core.PhaseTimer.reset()
       val t0 = System.nanoTime()
       // toRdd forces every output column to be computed (a plain count()
       // would let Catalyst prune the projections away).
-      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, graft.core.PhaseTimer.snapshot())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (-1.0, Map.empty)
       }
     }
     // Per query: ONE warm-up execution (excluded from timing — it
-    // absorbs that query's codegen/JIT compilation and parquet-footer
-    // caching) then THREE timed runs, keep the min ("agg" declares
-    // this in the output). The r4 bench proved min-of-2 with no
-    // per-query warm-up can't separate structural cost from JIT noise:
-    // run "a" was routinely 2-5x run "b" on unchanged code (e.g. vs11
-    // a=1.80 b=0.34), and queries early in the fixed order paid the
+    // absorbs that query's codegen/JIT compilation, parquet-footer
+    // caching, and any per-SF cached fixture construction: base
+    // indexes and streaming landing dirs build inside computeIfAbsent
+    // caches, so timed runs measure the engine, not the test rig)
+    // then THREE timed runs, keep the min ("agg" declares this in the
+    // output). The r4 bench proved min-of-2 with no per-query warm-up
+    // can't separate structural cost from JIT noise: run "a" was
+    // routinely 2-5x run "b" on unchanged code (e.g. vs11 a=1.80
+    // b=0.34), and queries early in the fixed order paid the
     // compilation of later queries' shared helper classes. Min-of-3
     // after a warm-up reports the engine's steady state.
     // Optional regex filter for local iteration on a subset
     // (e.g. SPARK_GRAFT_BENCH_FILTER='q3[789]|tx14'); unset = all.
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+
+    // ---- Contamination sentinel (r9 verdict task 1) ----------------
+    // r9 shipped three mutually contradictory totals for one engine
+    // (141.5s idle / 203.8s snapshot / 386.5s driver) because nothing
+    // in the artifact recorded whether the box was quiet. Two fixed
+    // cheap queries (scan+agg, scan+explode+agg — plans untouched
+    // since r1/r3) are re-timed min-of-3 at the start, every ~48
+    // queries, and at the end. The artifact marks ITSELF dirty when
+    // (a) any sentinel drifts >1.3x across passes — contention arrived
+    // mid-run — or (b) on the 32-cpu sf0.1 reference config, a
+    // sentinel exceeds 1.3x its recorded idle floor (floors measured
+    // r10 on the driver box class; see COVERAGE.md "Bench trust").
+    // A dirty artifact is still printed — the flag travels WITH the
+    // numbers so no downstream reader can quote them as a baseline.
+    val sentinelNames = Seq("q01_pricing_summary", "tx02_token_counts")
+    val sentinelFloorSf01 = Map(
+      "q01_pricing_summary" -> 0.16, "tx02_token_counts" -> 0.22)
+    val floorApplies = sfDir.contains("sf0.1") && cpus >= 16
+    val sentinelPasses =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def sentinelPass(): Unit = {
+      val pass = sentinelNames.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          once(n, fn) // warm-up, excluded
+          n -> Seq.fill(3)(once(n, fn)._1).filter(_ >= 0).minOption
+            .getOrElse(-1.0)
+        }
+      }.toMap
+      sentinelPasses += pass
+      System.err.println("[bench] sentinel " + pass.toSeq.sortBy(_._1)
+        .map { case (n, v) => f"$n=$v%.3f" }.mkString(" "))
+    }
+
+    sentinelPass()
+    var sinceSentinel = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
-        val w = once(name, fn) // warm-up, excluded
+        if (sinceSentinel >= 48) { sentinelPass(); sinceSentinel = 0 }
+        sinceSentinel += 1
+        val (w, _) = once(name, fn) // warm-up, excluded
         val runs = Seq.fill(timedRuns)(once(name, fn))
+        val timings = runs.map(_._1)
+        // the phase split travels with the run that produced the min
+        val best = runs.filter(_._1 >= 0).minByOption(_._1)
+        val phases = best.map(_._2).getOrElse(Map.empty)
+        val phaseStr = if (phases.isEmpty) "" else phases.toSeq.sortBy(_._1)
+          .map { case (p, t) => f"$p=$t%.3f" }.mkString(" phases{", ",", "}")
         System.err.println(f"[bench] $name%-24s w=$w%.3f " +
-          runs.zipWithIndex.map { case (t, i) => f"r${i + 1}=$t%.3f" }.mkString(" "))
-        name -> (if (w < 0 || runs.exists(_ < 0)) -1.0 else runs.min)
+          timings.zipWithIndex.map { case (t, i) => f"r${i + 1}=$t%.3f" }
+            .mkString(" ") + phaseStr)
+        (name,
+          if (w < 0 || timings.exists(_ < 0)) -1.0 else timings.min,
+          phases)
       }
+    sentinelPass()
+
+    // Dirty adjudication EXCLUDES pass 0: measured on an idle box,
+    // the opening pass reads ~2x its own end-of-run value because the
+    // JVM is still JIT-compiling the shared query machinery minutes
+    // into the run — that's warm-up physics, not contention, and
+    // adjudicating it would mark every clean run dirty. Pass 0 stays
+    // in the published record for the reader; passes 1..n (every ~48
+    // queries + the closing pass) are the steady-state signal.
+    val adjudicated = sentinelPasses.drop(1)
+    def ratioAcross(n: String): Double = {
+      val vs = adjudicated.flatMap(_.get(n)).filter(_ > 0)
+      if (vs.size < 2) 1.0 else vs.max / vs.min
+    }
+    val drift = sentinelNames.map(ratioAcross).max
+    val floorRatio =
+      if (!floorApplies) -1.0
+      else sentinelNames.map { n =>
+        val vs = adjudicated.flatMap(_.get(n)).filter(_ > 0)
+        if (vs.isEmpty) 1.0 else vs.min / sentinelFloorSf01(n)
+      }.max
+    val dirty = drift > 1.3 || (floorApplies && floorRatio > 1.3)
+
     // total covers successful queries only; -1 markers must not shrink it
     val total = results.map(_._2).filter(_ >= 0).sum
     // The consumer captures only the last ~2000 chars of output, so the
     // JSON line must stay well under that: per-query seconds for a fixed
     // headline subset + per-family subtotals over ALL queries. Full
-    // per-query detail is on stderr above ([bench] lines).
+    // per-query detail (incl. lifecycle phase splits) goes to the
+    // artifact file below and the [bench] stderr lines.
     val headline = Seq(
       "q01_pricing_summary", "q03_segment_revenue", "q04_region_customers",
       "q08_window_topk", "q25_salted_join", "q37_multiset_ops",
@@ -96,14 +178,39 @@ object Bench {
       "vs09_pq_codes", "vs10_mutual_knn", "dd03_simhash",
       "sp12_shuffled_shards", "q49_winsorize", "dd15_threshold_sweep")
     def f3(v: Double): String = f"$v%.3f"
-    val byName = results.toMap
+    val byName = results.map(r => r._1 -> r._2).toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s""""$n":${f3(v)}"""))
       .mkString("{", ",", "}")
     val fams = results.filter(_._2 >= 0)
-      .groupBy { case (n, _) => n.takeWhile(_.isLetter) }.toSeq.sortBy(_._1)
+      .groupBy { case (n, _, _) => n.takeWhile(_.isLetter) }.toSeq.sortBy(_._1)
       .map { case (fam, rs) => s""""$fam":${f3(rs.map(_._2).sum)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":$timedRuns,"warmup_runs":1,"agg":"min"}""")
+    val sentinelJson = {
+      val passes = sentinelPasses.map(p => p.toSeq.sortBy(_._1)
+        .map { case (n, v) => s""""${n.take(4)}":${f3(v)}""" }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+      s"""{"passes":$passes,"drift":${f3(drift)},"floor_ratio":${f3(floorRatio)},"dirty":$dirty}"""
+    }
+
+    // Full artifact: everything the 2000-char stdout line cannot carry
+    // (all per-query mins + runs + phase splits + the sentinel record).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_full.json")
+    try {
+      val perQuery = results.map { case (n, v, phases) =>
+        val ph = if (phases.isEmpty) ""
+          else phases.toSeq.sortBy(_._1)
+            .map { case (p, t) => s""""$p":${f3(t)}""" }
+            .mkString(""","phases":{""", ",", "}")
+        s""""$n":{"sec":${f3(v)}$ph}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":$timedRuns,"warmup_runs":1,"agg":"min","n_queries":${results.size},"sentinel":$sentinelJson,"queries":$perQuery}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed (non-fatal): ${e.getMessage}")
+    }
+
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":$timedRuns,"warmup_runs":1,"agg":"min","sentinel":$sentinelJson}""")
     spark.stop()
   }
 }

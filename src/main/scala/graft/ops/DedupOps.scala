@@ -1159,9 +1159,11 @@ object DedupOps {
         val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
         val tmp = graft.core.Scratch.dir("graft_lsh_del_")
-        writeLshIndexRows(
-          lshIndexDelete(s.table(baseLshIndex(s, d)), lshBandIndex(removed)),
-          "dd20_lsh_index_v2", s"$tmp/index_v2")
+        graft.core.PhaseTimer.phase("delete") {
+          writeLshIndexRows(
+            lshIndexDelete(s.table(baseLshIndex(s, d)), lshBandIndex(removed)),
+            "dd20_lsh_index_v2", s"$tmp/index_v2")
+        }
         lshIndexProbe(batch, s.table("dd20_lsh_index_v2"),
           survivors.unionByName(batch))
       }),
@@ -1234,10 +1236,12 @@ object DedupOps {
         val batch = docs(s, d).filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
         val tmp = graft.core.Scratch.dir("graft_lsh_upd_")
-        writeLshIndexRows(
-          lshIndexUpsert(s.table(baseLshIndex(s, d)),
-            lshBandIndex(oldU), lshBandIndex(newU)),
-          "dd21_lsh_index_v2", s"$tmp/index_v2")
+        graft.core.PhaseTimer.phase("update") {
+          writeLshIndexRows(
+            lshIndexUpsert(s.table(baseLshIndex(s, d)),
+              lshBandIndex(oldU), lshBandIndex(newU)),
+            "dd21_lsh_index_v2", s"$tmp/index_v2")
+        }
         lshIndexProbe(batch, s.table("dd21_lsh_index_v2"),
           lakeV2.unionByName(batch))
       }),
@@ -1753,8 +1757,10 @@ object DedupOps {
     * end result the DuckDB oracle replays. */
   def writePortableLshIndex(lake: DataFrame, table: String, path: String,
       bands: Int = 16, rowsPerBand: Int = 4): Unit =
-    writeBucketedIndex(lshBandIndex(lake, bands, rowsPerBand), table, path,
-      rowsPerBand)
+    graft.core.PhaseTimer.phase("build") {
+      writeBucketedIndex(lshBandIndex(lake, bands, rowsPerBand), table, path,
+        rowsPerBand)
+    }
 
   /** The lake's base posting-list index, built AT MOST ONCE per sf dir
     * and shared by the index-lifecycle queries (dd17 probe, dd18
@@ -1815,7 +1821,8 @@ object DedupOps {
     * noticeable, at O(index) cost amortized over the batches since
     * the last compaction. */
   def compactLshIndex(spark: SparkSession, indexDir: String, table: String,
-      path: String, rowsPerBand: Int = 4): Unit = {
+      path: String, rowsPerBand: Int = 4): Unit =
+      graft.core.PhaseTimer.phase("compact") {
     val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
     val consolidated = spark.read.parquet(indexDir)
       .groupBy(keyCols.head, keyCols.tail: _*)
@@ -1916,7 +1923,8 @@ object DedupOps {
     * probe parity with a rebuild over the surviving batches).
     * Idempotent; ignores non-shard entries. */
   def expireShards(spark: SparkSession, dir: String,
-      partitionCol: String, cutoff: Long): Unit = {
+      partitionCol: String, cutoff: Long): Unit =
+      graft.core.PhaseTimer.phase("expire") {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"$partitionCol="
@@ -2210,7 +2218,7 @@ object DedupOps {
     * (blank documents) are identical: 0/0 is defined as 1.0, not the
     * NULL Spark's division would produce (which would silently drop an
     * exact-duplicate pair of blank docs). */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+  private[ops] def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     // Set sizes are all Jaccard needs, and the shingle sets are already
     // distinct, so hash each shingle to a long first: the two pair
     // joins shuffle 8-byte array elements instead of ~25-byte strings

@@ -535,12 +535,14 @@ object Pipeline {
           .select((col("doc_id") + lit(100000L)).as("doc_id"),
             col("text"), col("n_chars"))
         // takedown first: the pruned index is what the ingest probes
-        DedupOps.writeLshIndexRows(
-          DedupOps.lshIndexDelete(
-            s.table(DedupOps.baseLshIndex(s, d)),
-            DedupOps.lshBandIndex(takedown)),
-          "pp06_index_v2",
-          graft.core.Scratch.dir("graft_pp06_idx_") + "/index_v2")
+        graft.core.PhaseTimer.phase("delete") {
+          DedupOps.writeLshIndexRows(
+            DedupOps.lshIndexDelete(
+              s.table(DedupOps.baseLshIndex(s, d)),
+              DedupOps.lshBandIndex(takedown)),
+            "pp06_index_v2",
+            graft.core.Scratch.dir("graft_pp06_idx_") + "/index_v2")
+        }
         val pairs = DedupOps.lshIndexProbe(
           batch.select("doc_id", "text"),
           s.table("pp06_index_v2"),

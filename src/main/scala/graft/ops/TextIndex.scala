@@ -95,7 +95,13 @@ object TextIndex {
     * writer serves the fresh build (batch 0) and every later append;
     * OVERWRITE of the batch's own subdirs makes a replayed batch
     * idempotent (the st12/st14 exactly-once contract). */
-  def appendTextIndex(docsDf: DataFrame, dir: String, batch: Long): Unit = {
+  def appendTextIndex(docsDf: DataFrame, dir: String, batch: Long): Unit =
+    graft.core.PhaseTimer.phase("append") { appendImpl(docsDf, dir, batch) }
+
+  // unlabeled shared writer: build and append must not nest each
+  // other's PhaseTimer labels (a build charged to both "build" and
+  // "append" would make the published phase sums exceed the total)
+  private def appendImpl(docsDf: DataFrame, dir: String, batch: Long): Unit = {
     postingsOf(docsDf).write.mode("overwrite").partitionBy("tp")
       .parquet(s"$dir/postings/batch=$batch")
     statsOf(docsDf).write.mode("overwrite")
@@ -103,16 +109,17 @@ object TextIndex {
   }
 
   def buildTextIndex(docsDf: DataFrame, dir: String): Unit =
-    appendTextIndex(docsDf, dir, batch = 0L)
+    graft.core.PhaseTimer.phase("build") { appendImpl(docsDf, dir, 0L) }
 
   /** Takedown: tombstone `removedDocs` (their own text supplies the dl
     * each one contributed — content-addressed, no index scan) into the
     * sidecar at `tombsPath`. The base snapshot is untouched. */
   def deleteFromTextIndex(removedDocs: DataFrame, tombsPath: String,
-      batch: Long = 0L): Unit =
+      batch: Long = 0L): Unit = graft.core.PhaseTimer.phase("delete") {
     tokenized(removedDocs)
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$tombsPath/batch=$batch")
+  }
 
   /** VACUUM: fold the posting shards minus the tombstone sidecar into
     * a fresh single-batch snapshot at `outDir`, after which probes
@@ -126,7 +133,7 @@ object TextIndex {
     * one log row; the output is byte-layout-fresh but answer-identical
     * (TextIndexSpec pins vacuumed-without-sidecar ≡ base-with-sidecar). */
   def vacuumTextIndex(spark: SparkSession, dir: String, tombsPath: String,
-      outDir: String): Unit = {
+      outDir: String): Unit = graft.core.PhaseTimer.phase("vacuum") {
     val tomb = spark.read.parquet(tombsPath)
     val visible = spark.read.schema(postingsSchema)
       .parquet(s"$dir/postings")
@@ -181,6 +188,8 @@ object TextIndex {
     * its mass from the stats fold. */
   def expireTextIndex(spark: SparkSession, dir: String,
       cutoffBatch: Long): Unit = {
+    // PhaseTimer "expire" label lives on DedupOps.expireShards (the
+    // shared kernel) — labeling here too would double-charge the phase
     DedupOps.expireShards(spark, s"$dir/postings", "batch", cutoffBatch)
     DedupOps.expireShards(spark, s"$dir/stats", "batch", cutoffBatch)
   }

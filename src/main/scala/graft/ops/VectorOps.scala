@@ -110,8 +110,10 @@ object VectorOps {
     * scanned — partition pruning does the index lookup. This is the
     * 100 TB path: the brute-force scan becomes a per-cell scan. */
   def writeIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String): Unit =
-    assignClusters(vectors, centroids)
-      .write.partitionBy("cid").mode("overwrite").parquet(path)
+    graft.core.PhaseTimer.phase("build") {
+      assignClusters(vectors, centroids)
+        .write.partitionBy("cid").mode("overwrite").parquet(path)
+    }
 
   /** Incremental index maintenance: assign NEW vectors against the
     * SAME centroids and append them into their cells — no rebuild, no
@@ -124,8 +126,10 @@ object VectorOps {
     * drift under appends is what vs12 audits; when it degrades, vs05's
     * refit + a one-time `writeIvfIndex` rebuild restore it. */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame, path: String): Unit =
-    assignClusters(newVectors, centroids)
-      .write.partitionBy("cid").mode("append").parquet(path)
+    graft.core.PhaseTimer.phase("append") {
+      assignClusters(newVectors, centroids)
+        .write.partitionBy("cid").mode("append").parquet(path)
+    }
 
   /** Fold a streaming ingest's `batch=<id>/cid=<cell>/` shard store
     * ([[graft.streaming.VectorStream.ivfIngest]]) back into the
@@ -168,8 +172,10 @@ object VectorOps {
     * order (IvfDeleteSpec pins both the safe composition and the
     * shadowing it avoids). */
   def tombstoneIvfDelete(removed: DataFrame, centroids: DataFrame, path: String): Unit =
-    assignClusters(removed, centroids).select("vec_id", "cid")
-      .write.mode("append").parquet(tombstoneDir(path))
+    graft.core.PhaseTimer.phase("delete") {
+      assignClusters(removed, centroids).select("vec_id", "cid")
+        .write.mode("append").parquet(tombstoneDir(path))
+    }
 
   /** Merge-on-read subtraction: drop tombstoned rows from a cell scan.
     * The sidecar is takedown-batch-sized by contract (bounded —
@@ -198,21 +204,23 @@ object VectorOps {
     * anti-join-free probes and re-bounds the sidecar so
     * [[minusTombstones]]' broadcast stays batch-sized. No-op when no
     * tombstones exist. */
-  def vacuumIvfIndex(spark: SparkSession, path: String): Unit = {
+  def vacuumIvfIndex(spark: SparkSession, path: String): Unit =
+      graft.core.PhaseTimer.phase("vacuum") {
     val (td, fs) = hadoopPath(spark, tombstoneDir(path))
-    if (!fs.exists(td)) return
-    val index = spark.read.parquet(path)
-    // bounded: at most one row per index cell
-    val touched = spark.read.parquet(td.toString)
-      .select(col("cid").cast(index.schema("cid").dataType).as("cid"))
-      .distinct().collect().map(_.get(0))
-    val tmp = graft.core.Scratch.dir("graft_ivf_vacuum_") + "/staged"
-    minusTombstones(spark, path, index.filter(col("cid").isin(touched: _*)))
-      .write.parquet(tmp) // flat: cid stays a data column while staged
-    touched.foreach(c =>
-      fs.delete(hadoopPath(spark, s"$path/cid=$c")._1, true))
-    fs.delete(td, true)
-    spark.read.parquet(tmp).write.partitionBy("cid").mode("append").parquet(path)
+    if (fs.exists(td)) { // no-op when no tombstones exist
+      val index = spark.read.parquet(path)
+      // bounded: at most one row per index cell
+      val touched = spark.read.parquet(td.toString)
+        .select(col("cid").cast(index.schema("cid").dataType).as("cid"))
+        .distinct().collect().map(_.get(0))
+      val tmp = graft.core.Scratch.dir("graft_ivf_vacuum_") + "/staged"
+      minusTombstones(spark, path, index.filter(col("cid").isin(touched: _*)))
+        .write.parquet(tmp) // flat: cid stays a data column while staged
+      touched.foreach(c =>
+        fs.delete(hadoopPath(spark, s"$path/cid=$c")._1, true))
+      fs.delete(td, true)
+      spark.read.parquet(tmp).write.partitionBy("cid").mode("append").parquet(path)
+    }
   }
 
   /** RE-VERSION (the UPDATE verb) on the IVF index — the vector-lake
