@@ -112,7 +112,7 @@ object StreamQueries {
         .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       // the memory sink holds the result in driver memory; the staged
@@ -321,7 +321,7 @@ object StreamQueries {
         try {
           val q = MergeStream.upsertStream(
             s, inDir.toString, raw.schema, table, "user_id", "event_id", 8, ckpt)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
           java.nio.file.Files.deleteIfExists(inDir.resolve(file.getFileName))
@@ -568,7 +568,7 @@ object StreamQueries {
           val q = DedupStream.lshIngest(s, inDir, docsDf.schema,
             s"$base/index", s"$base/pairs", s"$base/docs", ck.toString,
             filesPerTrigger = 2)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -646,7 +646,7 @@ object StreamQueries {
         try {
           val q = VectorStream.ivfIngest(s, inDir, raw.schema, centroids,
             s"$base/index", ck.toString, filesPerTrigger = 2)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -722,7 +722,7 @@ object StreamQueries {
         try {
           val q = RouterStream.qualityRoute(s, inDir, inSchema,
             s"$base/accept", s"$base/quarantine", ck, filesPerTrigger = 2)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -802,7 +802,7 @@ object StreamQueries {
         try {
           val q = RouterStream.predicateRoute(s, inDir, inSchema, gate,
             s"$base/clean", s"$base/flagged", ck, filesPerTrigger = 2)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -848,7 +848,7 @@ object StreamQueries {
         try {
           val q = TextIndexStream.textIngest(s, inDir, inSchema,
             s"$base/index", ck, filesPerTrigger = 2)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -909,7 +909,7 @@ object StreamQueries {
           val q = TextIndexStream.textIngestWithRetention(s, inDir,
             inSchema, s"$base/index", ck, keepBatches = 2,
             filesPerTrigger = 1)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -990,7 +990,7 @@ object StreamQueries {
           val q = VectorStream.ivfIngestWithRetention(s, inDir, inSchema,
             centroids, s"$store/idx", ck, keepBatches = 2,
             filesPerTrigger = 1)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
@@ -1052,12 +1052,67 @@ object StreamQueries {
         try {
           val q = TextIndexStream.textServe(s, inDir, inSchema,
             indexDir, s"$out/res", ck, k = 3, filesPerTrigger = 1)
-          q.awaitTermination()
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prev)
         }
         s.read.parquet(s"$out/res")
           .select("qid", "doc_id", "rnk", "score")
+      }),
+
+    QueryDef(
+      "st20_stream_tokenize",
+      // STREAMING TOKENIZATION ([[TokenizeStream.tokenizeIngest]]) —
+      // the fourth quadrant of the TOKENIZER lifecycle (batch train
+      // tx43 / dict apply tx44 / sequence apply tx46 / this): tx43's
+      // 6 merges are trained in BATCH on half the lake (even doc_ids,
+      // tx46's transfer split — the frozen artifact a serving stream
+      // ships with), then documents arrive as files and every
+      // micro-batch is tokenized by replaying the merge SEQUENCE over
+      // each word's character split — map-only, transfers to unseen
+      // words, nothing reads the training corpus at serve time. A
+      // doc's (n_words, n_tokens) is a pure function of its own text
+      // under the frozen merges, so the accumulated output is
+      // slicing-invariant and the oracle replays the WHOLE lifecycle
+      // from raw tables: the training loop (6 chained argmax+rewrite
+      // stages), the apply chain over the full lake's distinct words,
+      // and the per-doc rollup.
+      Some(graft.ops.Bpe.oracleStages(6, " WHERE doc_id % 2 = 0") +
+        graft.ops.Bpe.oracleApplyStages(6) + """,
+        |dw AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents)
+        |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(string_split(a6.s, ' '))) AS BIGINT) AS n_tokens
+        |FROM dw JOIN a6 USING (word) GROUP BY dw.doc_id""".stripMargin),
+      (s, d) => {
+        val docsDf = s.read.parquet(s"$d/documents.parquet")
+        val inDir = landingCache.computeIfAbsent(s"$d/documents.parquet", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_lsh_landing_${d.hashCode & 0x7fffffff}_"))
+          docsDf.select("doc_id", "text").repartition(4, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$staged/in")
+          s"$staged/in"
+        })
+        // batch-side training on the even half: the artifact is k=6
+        // MergeRows — vocab-bounded, frozen before the stream starts
+        val (_, merges) = graft.ops.Bpe.train(
+          docsDf.filter(pmod(col("doc_id"), lit(2)) === 0), 6)
+        val inSchema = s.read.parquet(inDir).schema
+        val out = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_tok_out_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_tok_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = TokenizeStream.tokenizeIngest(s, inDir, inSchema,
+            merges, s"$out/res", ck, filesPerTrigger = 2)
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        s.read.parquet(s"$out/res")
+          .select("doc_id", "n_words", "n_tokens")
       })
   )
 }
