@@ -645,6 +645,113 @@ object MultimodalOps {
             / (col("n_bins") * 512), 4))
           .select("spans", "n_docs", "sum_cost", "id_sum",
             "n_bins", "total_cost", "fill")
+      }),
+
+    QueryDef(
+      "mm16_payload_neardup",
+      // PAYLOAD-LEVEL NEAR-DEDUP — the banded near-dup tier for the
+      // media lake, closing the dedup symmetry mm14 (exact digest)
+      // left open: re-encoded / re-watermarked / trailer-appended
+      // assets share almost all their BYTES but no digest, and a
+      // codec-agnostic byte-shingle sketch catches them without
+      // decoding. Shingles are POSITIONAL 8-byte windows every 4
+      // bytes over the payload's lowercased hex encoding (map-only;
+      // one array expression per row), sketched with dd02's portable
+      // KM MinHash family ([[graft.functions.Md5MinHashSig]] — one
+      // md5 per window), banded 16×4, candidates from bucket
+      // co-membership (capped at 100 — dd02's degenerate-bucket
+      // knob), VERIFIED by exact Jaccard over the distinct window
+      // sets — no all-pairs anywhere.
+      // Sketch choice is MEASURED, not assumed: the dd03 SimHash
+      // kernel under its calibrated 4×15-band Hamming<=5 gate found
+      // only 25/50 planted trailer edits at sf0.001 — a 7-byte
+      // trailer on a sub-kB payload perturbs ~3% of windows, putting
+      // the pair at bit-flip rate θ/π ≈ 0.09 ⇒ E[Hamming] ≈ 5.4,
+      // straddling the gate — while MinHash banding collides a
+      // j >= 0.8 pair with prob >= 1-(1-0.8^4)^16 ≈ 0.9996
+      // (MediaNearDupSpec pins total planted recall at the >= 0.8
+      // tier). Positional windows are ALIGNMENT-sensitive by design:
+      // they catch append/truncate/tail edits (the planted
+      // re-arrivals here: every 10th asset re-uploaded with a 7-byte
+      // trailer) and same-bytes-different-metadata; an interior
+      // insertion that shifts alignment belongs to the content-aware
+      // tier behind the decode stub. The oracle re-derives hex
+      // windows, KM hashes, minima, band keys, buckets, candidates
+      // and verified pairs bit-for-bit from raw tables.
+      Some("""WITH u AS (
+             |  SELECT doc_id, encode(text) AS payload FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, encode(text || ' v2edit')
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |m AS (
+             |  SELECT doc_id, lower(hex(payload)) AS hx,
+             |    octet_length(payload) AS n
+             |  FROM u WHERE octet_length(payload) > 0),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8""".stripMargin),
+      (s, d) => {
+        val base = media(s, d).toDF().select(col("doc_id"), col("payload"))
+        // planted near-dups: every 10th asset re-arrives with a small
+        // appended trailer — near-identical bytes, different digest
+        val edited = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(col("payload"), encode(lit(" v2edit"), "UTF-8")).as("payload"))
+        val u = base.unionByName(edited)
+          .filter(length(col("payload")) > 0)
+        // per-row DISTINCT window set: 8-byte windows every 4 bytes
+        // over the lowercased hex image (ragged tail included)
+        val sets = u
+          .select(col("doc_id"), lower(hex(col("payload"))).as("hx"),
+            length(col("payload")).cast("long").as("n"))
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(0L), expr("(n + 3) DIV 4 - 1")),
+              i => col("hx").substr((i * lit(8L) + 1).cast("int"), lit(16))))
+              .as("shs"))
+        val sig = sets.select(col("doc_id"),
+          graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh"))
+        val bandCols = (0 until 16).map { b =>
+          struct((0 until 4)
+            .map(r => element_at(col("mh"), b * 4 + r + 1).as(s"k${r + 1}")): _*)
+        }
+        val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+          .toDF("doc_id", "band", "bk")
+        val buckets = banded.groupBy("band", "bk")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 100))
+        val cand = buckets
+          .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
+          .distinct()
+        DedupOps.verifyJaccard(cand, sets, threshold = 0.8)
       })
   )
 }
