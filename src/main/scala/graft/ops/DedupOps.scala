@@ -2018,6 +2018,20 @@ object DedupOps {
     * batch's ids in it, csz: combined size); `texts` = the doc_id+text
     * store the verify stage reads. */
   private def probePairs(merged: DataFrame, texts: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame =
+    probePairsOver(merged,
+      ids => shingleSets(texts.join(ids, Seq("doc_id"), "left_semi")),
+      threshold, maxBucket)
+
+  /** [[probePairs]] generalized over the verify-set derivation so
+    * non-text stores can ride the same probe tail (mm17's payload
+    * byte-window index): `setsOfCandidates` receives the candidate
+    * doc_ids and must return their DISTINCT comparison sets
+    * (doc_id, shs). The callback contract preserves the pruning
+    * discipline below: derive sets for CANDIDATE docs only, never
+    * the store. */
+  private[ops] def probePairsOver(merged: DataFrame,
+      setsOfCandidates: DataFrame => DataFrame,
       threshold: Double, maxBucket: Int): DataFrame = {
     val cand = merged
       .filter(col("csz").between(2, maxBucket))
@@ -2025,7 +2039,7 @@ object DedupOps {
       .filter(array_contains(col("bids"), col("a")) ||
         array_contains(col("bids"), col("b")))
       .select("a", "b").distinct()
-    // Shingle CANDIDATE docs only: prune the text store to candidate
+    // Shingle CANDIDATE docs only: prune the store to candidate
     // ids BEFORE the shingle pass, keeping per-probe verify CPU
     // O(candidates), never O(store) — the probe's whole point. (A
     // semi-join ABOVE an already-shingled relation would not help:
@@ -2033,8 +2047,33 @@ object DedupOps {
     // cand appears in two subtrees; its shuffles are ReusedExchange.
     val candIds = cand
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val sets = shingleSets(texts.join(candIds, Seq("doc_id"), "left_semi"))
-    verifyJaccard(cand, sets, threshold)
+    verifyJaccard(cand, setsOfCandidates(candIds), threshold)
+  }
+
+  /** The band-key join half of [[lshIndexProbe]], generalized over
+    * the key derivation: probe a persisted posting index with
+    * PRECOMPUTED batch band keys (doc_id, band, bk struct). Used by
+    * [[graft.ops.MultimodalOps.payloadIndexProbe]] (byte-window keys)
+    * with the same combined-cap semantics as the text probe, so the
+    * incremental result equals the one-shot kernel over store ∪ batch
+    * restricted to batch-involving pairs. */
+  private[ops] def indexProbeWithKeys(batchKeys: DataFrame, index: DataFrame,
+      setsOfCandidates: DataFrame => DataFrame, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxBucket: Int = 100): DataFrame = {
+    val keyCols = Seq("band") ++ (1 to rowsPerBand).map(r => s"k$r")
+    val bb = batchKeys
+      .groupBy("band", "bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("bids"))
+      .select(Seq(col("band")) ++
+        (1 to rowsPerBand).map(r => col(s"bk.k$r").as(s"k$r")) ++
+        Seq(col("bids")): _*)
+    val merged = bb.join(index, keyCols, "left")
+      .select(
+        sort_array(concat(coalesce(col("ids"),
+          array().cast("array<long>")), col("bids"))).as("all_ids"),
+        col("bids"),
+        (coalesce(col("sz"), lit(0L)) + size(col("bids"))).as("csz"))
+    probePairsOver(merged, setsOfCandidates, threshold, maxBucket)
   }
 
   /** [[lshIndexProbe]] against a SHARDED posting index: the append-only

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -726,33 +726,166 @@ object MultimodalOps {
         val edited = base.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select((col("doc_id") + lit(100000L)).as("doc_id"),
             concat(col("payload"), encode(lit(" v2edit"), "UTF-8")).as("payload"))
-        val u = base.unionByName(edited)
-          .filter(length(col("payload")) > 0)
-        // per-row DISTINCT window set: 8-byte windows every 4 bytes
-        // over the lowercased hex image (ragged tail included)
-        val sets = u
-          .select(col("doc_id"), lower(hex(col("payload"))).as("hx"),
-            length(col("payload")).cast("long").as("n"))
-          .select(col("doc_id"),
-            array_distinct(transform(sequence(lit(0L), expr("(n + 3) DIV 4 - 1")),
-              i => col("hx").substr((i * lit(8L) + 1).cast("int"), lit(16))))
-              .as("shs"))
-        val sig = sets.select(col("doc_id"),
-          graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh"))
-        val bandCols = (0 until 16).map { b =>
-          struct((0 until 4)
-            .map(r => element_at(col("mh"), b * 4 + r + 1).as(s"k${r + 1}")): _*)
-        }
-        val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-          .toDF("doc_id", "band", "bk")
-        val buckets = banded.groupBy("band", "bk")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")).between(2, 100))
-        val cand = buckets
-          .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
-          .distinct()
-        DedupOps.verifyJaccard(cand, sets, threshold = 0.8)
+        payloadNearDups(base.unionByName(edited))
+      }),
+
+    QueryDef(
+      "mm17_payload_index_probe",
+      // INCREMENTAL media near-dedup — dd17's daily-ingest discipline
+      // for the asset lake: the lake's byte-window band keys are
+      // materialized ONCE as a bucketed posting index
+      // ([[payloadLshIndex]] via [[DedupOps.writeLshIndexRows]] —
+      // ~150 B/asset, the index never ships payload bytes), and each
+      // arriving batch (every 10th asset re-uploaded with mm16's
+      // 7-byte trailer under a new id) derives its own keys — a
+      // batch-sized signature pass — and probes for every near-dup
+      // pair it introduces. The combined per-bucket cap makes the
+      // result EXACTLY the one-shot mm16 kernel over lake ∪ batch
+      // restricted to batch-involving pairs (MediaNearDupSpec pins
+      // the set identity; this oracle replays that definition, so
+      // the incremental path is held to the full-recompute answer —
+      // it is mm16's oracle plus the b >= 100000 restriction).
+      // Scale: probe cost is O(batch signatures + touched buckets +
+      // candidate verifies); multi-MB payloads never cross the wire —
+      // the index holds band keys, and the verify reads only the
+      // CANDIDATES' windows.
+      Some("""WITH u AS (
+             |  SELECT doc_id, encode(text) AS payload FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, encode(text || ' v2edit')
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |m AS (
+             |  SELECT doc_id, lower(hex(payload)) AS hx,
+             |    octet_length(payload) AS n
+             |  FROM u WHERE octet_length(payload) > 0),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val lake = media(s, d).toDF().select(col("doc_id"), col("payload"))
+        val batch = lake.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(col("payload"), encode(lit(" v2edit"), "UTF-8")).as("payload"))
+        payloadIndexProbe(batch, s.table(basePayloadIndex(s, d)),
+          lake.unionByName(batch))
       })
   )
+
+  /** Per-asset DISTINCT byte-window set (doc_id, shs): 8-byte windows
+    * every 4 bytes over the payload's lowercased hex image (ragged
+    * tail included; empty payloads dropped) — the comparison universe
+    * of the mm16/mm17 near-dup tier. One array expression per row. */
+  private def payloadWindowSets(assets: DataFrame): DataFrame =
+    assets.filter(length(col("payload")) > 0)
+      .select(col("doc_id"), lower(hex(col("payload"))).as("hx"),
+        length(col("payload")).cast("long").as("n"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0L), expr("(n + 3) DIV 4 - 1")),
+          i => col("hx").substr((i * lit(8L) + 1).cast("int"), lit(16))))
+          .as("shs"))
+
+  /** MinHash band keys of each asset's window set — (doc_id, band,
+    * bk struct of k1..k4), dd02's portable KM family over bytes. */
+  private def payloadBandKeys(assets: DataFrame): DataFrame = {
+    val sig = payloadWindowSets(assets).select(col("doc_id"),
+      graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh"))
+    val bandCols = (0 until 16).map { b =>
+      struct((0 until 4)
+        .map(r => element_at(col("mh"), b * 4 + r + 1).as(s"k${r + 1}")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bk")
+  }
+
+  /** The mm16 kernel over any (doc_id, payload binary) frame: byte-
+    * window MinHash-LSH near-dup pairs verified by exact window-set
+    * Jaccard. Factored out so [[graft.Scaling]] can measure its
+    * growth exponent on nested slices (the dd02 discipline applied to
+    * the media lake). See the mm16 QueryDef note for the full design
+    * rationale, including the measured SimHash-vs-MinHash recall
+    * comparison that picked this sketch. */
+  def payloadNearDups(assets: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sets = payloadWindowSets(assets)
+    val buckets = payloadBandKeys(assets).groupBy("band", "bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 100))
+    val cand = buckets
+      .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
+      .distinct()
+    DedupOps.verifyJaccard(cand, sets, threshold)
+  }
+
+  /** The media lake's band-key posting index in
+    * [[DedupOps.lshBandIndex]] layout — (band, k1..k4, ids, sz) —
+    * ready for [[DedupOps.writeLshIndexRows]]' bucketed persistence:
+    * the artifact that turns media near-dedup from a lake-cost into a
+    * batch-cost daily job (mm17). */
+  def payloadLshIndex(lake: DataFrame): DataFrame =
+    payloadBandKeys(lake).groupBy("band", "bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(Seq(col("band")) ++
+        (1 to 4).map(r => col(s"bk.k$r").as(s"k$r")) ++
+        Seq(col("ids"), size(col("ids")).cast("long").as("sz")): _*)
+
+  /** Probe the persisted payload index with an arriving batch —
+    * dd17's incremental discipline on the media lake: batch-sized
+    * window/signature pass, band-key join against the bucketed index
+    * (no Exchange on the index side), combined-cap candidate
+    * generation restricted to batch-involving pairs, exact
+    * window-Jaccard verify over CANDIDATE assets only. Result ==
+    * the one-shot [[payloadNearDups]] over store ∪ batch restricted
+    * to batch-involving pairs (MediaNearDupSpec pins the identity). */
+  def payloadIndexProbe(batch: DataFrame, index: DataFrame,
+      assets: DataFrame, threshold: Double = 0.8): DataFrame =
+    DedupOps.indexProbeWithKeys(payloadBandKeys(batch), index,
+      ids => payloadWindowSets(assets.join(ids, Seq("doc_id"), "left_semi")),
+      threshold = threshold)
+
+  /** The lake's base payload index, built at most once per sf dir —
+    * the same input-fixture rationale as [[DedupOps.baseLshIndex]]:
+    * a production probe runs against an index that already exists.
+    * Bounded: one entry per sf dir per JVM. */
+  private val payloadIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def basePayloadIndex(s: SparkSession, d: String): String =
+    payloadIndexCache.computeIfAbsent(d, _ => {
+      val table = s"mm17_payload_idx_${d.hashCode & 0x7fffffff}"
+      val tmp = graft.core.Scratch.dir(
+        s"graft_payload_idx_${d.hashCode & 0x7fffffff}_")
+      DedupOps.writeLshIndexRows(
+        payloadLshIndex(media(s, d).toDF().select("doc_id", "payload")),
+        table, s"$tmp/index")
+      table
+    })
 }
 

@@ -55,4 +55,19 @@ class MediaNearDupSpec extends AnyFunSuite {
     assert(missed.isEmpty,
       s"planted pairs with true window-Jaccard >= 0.8 not recovered: $missed")
   }
+
+  test("mm17: incremental probe == one-shot mm16 restricted to batch-involving pairs") {
+    // the IncrementalLshSpec identity on the media side: the persisted
+    // index + combined-cap probe must reproduce the full-recompute
+    // answer exactly, not approximately
+    def pairSet(name: String) = q(name).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val oneShot = pairSet("mm16_payload_neardup")
+      .filter { case (_, b, _) => b >= 100000L }
+    val probe = pairSet("mm17_payload_index_probe")
+    assert(probe == oneShot,
+      s"probe diverges from one-shot: extra=${probe -- oneShot} missing=${oneShot -- probe}")
+    assert(probe.nonEmpty)
+  }
 }
