@@ -903,6 +903,142 @@ object Pipeline {
             / (col("n_bins") * 256), 4))
           .select("spans", "n_docs", "sum_tokens", "id_sum",
             "n_bins", "total_tokens", "fill")
+      }),
+
+    QueryDef(
+      "pp11_media_pipeline",
+      // MEDIA-LAKE DAY-1 CURATION — pp02's composition discipline for
+      // the asset lake, chaining the whole mm family in one plan: the
+      // day's ingest holds the lake plus EXACT re-uploads (every 10th
+      // asset, same bytes under a new id) and RE-ENCODED re-uploads
+      // (every 15th, mm16's 7-byte trailer — new digest, near-same
+      // bytes). Stage 1, exact tier (mm14's digest): md5 of the
+      // payload bytes map-side, keeper = min doc_id per digest — the
+      // +100k copies fold into their sources. Stage 2, near tier
+      // (mm16's kernel over the exact survivors): byte-window MinHash
+      // pairs at j >= 0.8 become edges, connected components close
+      // them transitively (a re-encode of a re-encode must still fold
+      // — dd05's argument), final keeper = the asset whose component
+      // label is its own id. Stage 3, the training-ready census: per
+      // source, raw arrivals / exact survivors / final keepers / the
+      // keepers' ViT patch budget (mm15's integer grid over the
+      // decode-stub dims) — the numbers a VLM data team reports after
+      // every ingest day. The oracle replays all three stages from
+      // raw tables (digest window, the full MinHash chain, a
+      // recursive-CTE closure, the patch grid), so the composition —
+      // not just each stage — is held bit-exact.
+      Some("""WITH u0 AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, source, text
+             |  FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 200000, source, text || ' v2edit'
+             |  FROM documents WHERE doc_id % 15 = 0),
+             |u1 AS (
+             |  SELECT doc_id, source, text, encode(text) AS payload
+             |  FROM u0 WHERE octet_length(encode(text)) > 0),
+             |ek AS (
+             |  SELECT doc_id, source, payload,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM u1),
+             |sv AS (SELECT doc_id, source, payload FROM ek WHERE rn = 1),
+             |m AS (
+             |  SELECT doc_id, lower(hex(payload)) AS hx,
+             |    octet_length(payload) AS n
+             |  FROM sv),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |      len(sa.shs) AS na, len(sb.shs) AS nb
+             |    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8),
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM sv
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, min(lbl) AS lbl FROM r GROUP BY node),
+             |kept AS (
+             |  SELECT sv.doc_id, sv.source, m.n
+             |  FROM sv JOIN reach ON reach.node = sv.doc_id
+             |  JOIN m ON m.doc_id = sv.doc_id
+             |  WHERE reach.lbl = sv.doc_id),
+             |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+             |        FROM u1 GROUP BY source),
+             |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact_kept
+             |       FROM sv GROUP BY source),
+             |fin AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_final_kept,
+             |    CAST(sum(((n % 1920 + 31) // 32) * ((n % 1080 + 31) // 32)) AS BIGINT) AS patch_sum
+             |  FROM kept GROUP BY source)
+             |SELECT source, n_raw, n_exact_kept, n_final_kept, patch_sum
+             |FROM raw JOIN ex USING (source) JOIN fin USING (source)""".stripMargin),
+      (s, d) => {
+        val lake = Tables(s, d, "documents").select(col("doc_id"),
+          col("source"), encode(col("text"), "UTF-8").as("payload"))
+        val u = lake
+          .unionByName(lake.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + lit(100000L)).as("doc_id"),
+              col("source"), col("payload")))
+          .unionByName(lake.filter(pmod(col("doc_id"), lit(15)) === 0)
+            .select((col("doc_id") + lit(200000L)).as("doc_id"), col("source"),
+              concat(col("payload"), encode(lit(" v2edit"), "UTF-8")).as("payload")))
+          .filter(length(col("payload")) > 0)
+        // stage 1: exact tier — digest map-side, keeper = min id
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val sv = u.withColumn("fp", md5(col("payload")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("fp", "rn")
+        // stage 2: near tier — mm16's kernel + transitive closure
+        val pairs = MultimodalOps
+          .payloadNearDups(sv.select("doc_id", "payload"))
+          .select("a", "b")
+        val cc = DedupOps.connectedComponents(
+          sv.select(col("doc_id").as("id")), pairs)
+        val kept = sv
+          .join(cc, sv("doc_id") === cc("id"))
+          .filter(col("label") === col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            length(col("payload")).cast("long").as("n"))
+        // stage 3: the per-source census
+        val raw = u.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        val ex = sv.groupBy("source").agg(count(lit(1)).as("n_exact_kept"))
+        val fin = kept.groupBy("source")
+          .agg(count(lit(1)).as("n_final_kept"),
+            sum(expr("((n % 1920 + 31) DIV 32) * ((n % 1080 + 31) DIV 32)"))
+              .cast("long").as("patch_sum"))
+        raw.join(ex, Seq("source")).join(fin, Seq("source"))
+          .select("source", "n_raw", "n_exact_kept", "n_final_kept",
+            "patch_sum")
       })
   )
 }
