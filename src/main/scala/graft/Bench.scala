@@ -87,9 +87,19 @@ object Bench {
     // r10 on the driver box class; see COVERAGE.md "Bench trust").
     // A dirty artifact is still printed — the flag travels WITH the
     // numbers so no downstream reader can quote them as a baseline.
+    // Floors measured r10 on an idle 32-cpu box (q01 0.267/0.276,
+    // tx02 0.193/0.218 across a full run's steady-state passes and a
+    // quiet filtered run). NOTE the floor is HOST-CLASS-relative: the
+    // r9 box ran q01 at 0.192 — ~1.5x faster — and that same 1.51x
+    // sentinel ratio predicted the r10/r9 full-registry total ratio
+    // (1.54x over 274 common queries, median per-query 1.46x), which
+    // is exactly the cross-box normalization the sentinel exists to
+    // expose: totals are only comparable through the sentinel ratio.
+    // A faster box reads floor_ratio < 1 (clean); a contended or
+    // slower-than-class box breaches 1.3 and the artifact says so.
     val sentinelNames = Seq("q01_pricing_summary", "tx02_token_counts")
     val sentinelFloorSf01 = Map(
-      "q01_pricing_summary" -> 0.16, "tx02_token_counts" -> 0.22)
+      "q01_pricing_summary" -> 0.26, "tx02_token_counts" -> 0.19)
     val floorApplies = sfDir.contains("sf0.1") && cpus >= 16
     val sentinelPasses =
       scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]

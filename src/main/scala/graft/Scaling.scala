@@ -198,7 +198,21 @@ object Scaling {
       // (training on the corpus instead of the dict) would read ~1
       // with a 6x constant.
       ("tx43_bpe_train", docSizes,
-        n => () => { graft.ops.Bpe.train(dslice(n), 6); () }))
+        n => () => { graft.ops.Bpe.train(dslice(n), 6); () }),
+      // mm16: byte-window MinHash near-dedup over a growing media
+      // lake (payload = encoded text bytes, every 10th asset
+      // re-arriving with a trailer edit — the registered query's
+      // plant). Same regime as dd02: per-row signatures + band-key
+      // equi-join on capped buckets — near-linear, never all-pairs.
+      ("mm16_payload_minhash", docSizes, { n =>
+        val assets = dslice(n)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val withEdits = assets.unionByName(
+          assets.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + lit(100000L)).as("doc_id"),
+              concat(col("payload"), encode(lit(" v2edit"), "UTF-8")).as("payload")))
+        () => force(graft.ops.MultimodalOps.payloadNearDups(withEdits))
+      }))
 
     kernels.map { case (name, sizes, prep) =>
       val points = sizes.map { n =>
@@ -246,7 +260,10 @@ object Scaling {
       "training is one O(corpus) word-count pass + 6 vocab-bounded " +
       "merge iterations: near-flat here (the vocabulary is " +
       "size-invariant across the slices); corpus-scale work inside " +
-      "the loop would read ~1 with a 6x constant."
+      "the loop would read ~1 with a 6x constant. mm16 is dd02's " +
+      "regime on the media lake: per-row byte-window signatures + " +
+      "band-key equi-join on capped buckets — near-linear, never " +
+      "all-pairs."
     val json = m.map { case (name, points, exp) =>
       val ps = points.map { case (n, t) =>
         f"""{"n": $n, "sec": $t%.3f}""" }.mkString("[", ", ", "]")

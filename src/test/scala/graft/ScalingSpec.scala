@@ -19,7 +19,7 @@ class ScalingSpec extends AnyFunSuite {
     assert(m.map(_._1).toSet == Set("dd02_minhash_lsh", "dd06_exact_ppjoin",
       "dd17_index_probe", "vs02_ivf_probe", "tx33_text_probe",
       "tx34_index_append", "tx36_index_vacuum", "dd20_index_delete",
-      "vs26_ivf_reversion", "tx43_bpe_train"))
+      "vs26_ivf_reversion", "tx43_bpe_train", "mm16_payload_minhash"))
     for ((name, points, exp) <- m) {
       assert(points.forall(_._2 > 0), s"$name: non-positive timing $points")
       assert(exp <= 1.7, s"$name exponent $exp (points $points) — " +
