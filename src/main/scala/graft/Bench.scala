@@ -147,10 +147,23 @@ object Bench {
     // adjudicating it would mark every clean run dirty. Pass 0 stays
     // in the published record for the reader; passes 1..n (every ~48
     // queries + the closing pass) are the steady-state signal.
+    //
+    // Drift compares each pass to the run's MEDIAN pass, not max/min:
+    // a ~0.25s sentinel min-of-3 carries ±15-20% ambient timer noise
+    // in BOTH directions, and max/min double-counts it (one
+    // lucky-fast pass marks an ordinary run dirty — observed on four
+    // same-day r10 runs whose max/min read 1.32-1.38 while every
+    // pass sat within 1.26x of the median). Max/median asks the
+    // actual contamination question — "was any section slower than
+    // this run's typical state by >1.3x?" — and re-classifies those
+    // four runs correctly: the genuinely blipped run (one pass 1.65x
+    // median) and the loaded run (floor 1.72x) stay dirty, the
+    // merely-noisy ones read clean. The floor check anchors the
+    // typical state itself against the recorded idle baseline.
     val adjudicated = sentinelPasses.drop(1)
     def ratioAcross(n: String): Double = {
-      val vs = adjudicated.flatMap(_.get(n)).filter(_ > 0)
-      if (vs.size < 2) 1.0 else vs.max / vs.min
+      val vs = adjudicated.flatMap(_.get(n)).filter(_ > 0).sorted
+      if (vs.size < 2) 1.0 else vs.max / vs(vs.size / 2)
     }
     val drift = sentinelNames.map(ratioAcross).max
     val floorRatio =
