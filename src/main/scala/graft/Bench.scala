@@ -116,29 +116,86 @@ object Bench {
         .map { case (n, v) => f"$n=$v%.3f" }.mkString(" "))
     }
 
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Map[String, Double]) = {
+      val (w, _) = once(name, fn) // warm-up, excluded
+      val runs = Seq.fill(timedRuns)(once(name, fn))
+      val timings = runs.map(_._1)
+      // the phase split travels with the run that produced the min
+      val best = runs.filter(_._1 >= 0).minByOption(_._1)
+      val phases = best.map(_._2).getOrElse(Map.empty)
+      val phaseStr = if (phases.isEmpty) "" else phases.toSeq.sortBy(_._1)
+        .map { case (p, t) => f"$p=$t%.3f" }.mkString(" phases{", ",", "}")
+      System.err.println(f"[bench] $name%-24s w=$w%.3f " +
+        timings.zipWithIndex.map { case (t, i) => f"r${i + 1}=$t%.3f" }
+          .mkString(" ") + phaseStr)
+      (name,
+        if (w < 0 || timings.exists(_ < 0)) -1.0 else timings.min,
+        phases)
+    }
+
+    // ---- Self-healing sections (r10 verdict task 1) ----------------
+    // The driver box produced a contaminated artifact two rounds
+    // running; r10's sentinel made the artifact CONFESS, but confession
+    // is not a clean number. The run is therefore segmented into ~48-
+    // query sections, each closed by a sentinel pass that is
+    // adjudicated IN-FLIGHT: if the closing pass reads >1.3x the best
+    // value any earlier pass recorded for that sentinel (the run's own
+    // best-known quiet state — the opening pass only ever LOWERS
+    // sensitivity, since JIT warm-up inflates it), or breaches the
+    // recorded idle floor on the reference config, the section it
+    // closes is re-run ONCE and the per-query min across both attempts
+    // kept — a transient mid-run blip then yields a recovered-CLEAN
+    // artifact instead of a dirty one. The breached pass is replaced by
+    // the elementwise min of (breached, post-retry) passes — the box's
+    // demonstrated best state — and recorded verbatim in the artifact's
+    // `breaches` list, so recovery never hides that the blip happened.
+    // Sustained contention still reads dirty: the retry is bounded to
+    // one per section, and a still-elevated merged pass fails the final
+    // median/floor adjudication exactly as before.
+    val breaches =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, Double])]
+    def closingPassBreached(): Boolean = {
+      val cur = sentinelPasses.last
+      sentinelNames.exists { n =>
+        val v = cur.getOrElse(n, -1.0)
+        val ref = sentinelPasses.dropRight(1).flatMap(_.get(n))
+          .filter(_ > 0).minOption
+        (v > 0 && ref.exists(r => v / r > 1.3)) ||
+          (floorApplies && v > 1.3 * sentinelFloorSf01(n))
+      }
+    }
+
     sentinelPass()
-    var sinceSentinel = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
-      .map { case (name, fn) =>
-        if (sinceSentinel >= 48) { sentinelPass(); sinceSentinel = 0 }
-        sinceSentinel += 1
-        val (w, _) = once(name, fn) // warm-up, excluded
-        val runs = Seq.fill(timedRuns)(once(name, fn))
-        val timings = runs.map(_._1)
-        // the phase split travels with the run that produced the min
-        val best = runs.filter(_._1 >= 0).minByOption(_._1)
-        val phases = best.map(_._2).getOrElse(Map.empty)
-        val phaseStr = if (phases.isEmpty) "" else phases.toSeq.sortBy(_._1)
-          .map { case (p, t) => f"$p=$t%.3f" }.mkString(" phases{", ",", "}")
-        System.err.println(f"[bench] $name%-24s w=$w%.3f " +
-          timings.zipWithIndex.map { case (t, i) => f"r${i + 1}=$t%.3f" }
-            .mkString(" ") + phaseStr)
-        (name,
-          if (w < 0 || timings.exists(_ < 0)) -1.0 else timings.min,
-          phases)
+      .grouped(48).toSeq.flatMap { section =>
+        val first = section.map { case (n, fn) => runOne(n, fn) }
+        sentinelPass()
+        if (!closingPassBreached()) first
+        else {
+          System.err.println(s"[bench] sentinel breach — re-running the " +
+            s"${section.size}-query section once (bounded retry)")
+          val second = section.map { case (n, fn) => runOne(n, fn) }
+          sentinelPass()
+          // merge the breached and post-retry closing passes into the
+          // box's best demonstrated state; keep the breached values
+          val post = sentinelPasses.remove(sentinelPasses.size - 1)
+          val breached = sentinelPasses.remove(sentinelPasses.size - 1)
+          breaches += ((sentinelPasses.size, breached))
+          val merged = sentinelNames.map { n =>
+            n -> Seq(breached.getOrElse(n, -1.0), post.getOrElse(n, -1.0))
+              .filter(_ >= 0).minOption.getOrElse(-1.0)
+          }.toMap
+          sentinelPasses += merged
+          System.err.println("[bench] sentinel-merge " + merged.toSeq
+            .sortBy(_._1).map { case (n, v) => f"$n=$v%.3f" }.mkString(" "))
+          first.zip(second).map { case ((n, v1, p1), (_, v2, p2)) =>
+            if (v2 >= 0 && (v1 < 0 || v2 < v1)) (n, v2, p2) else (n, v1, p1)
+          }
+        }
       }
-    sentinelPass()
 
     // Dirty adjudication EXCLUDES pass 0: measured on an idle box,
     // the opening pass reads ~2x its own end-of-run value because the
@@ -161,10 +218,21 @@ object Bench {
     // merely-noisy ones read clean. The floor check anchors the
     // typical state itself against the recorded idle baseline.
     val adjudicated = sentinelPasses.drop(1)
+    // true median (average of the two middle values for even sizes —
+    // r10 ADVICE: the upper-middle pick biased leniently, and 2-pass
+    // runs read max/max = 1.0 unconditionally; those short runs are
+    // now MARKED underpowered instead of implying a clean verdict)
     def ratioAcross(n: String): Double = {
       val vs = adjudicated.flatMap(_.get(n)).filter(_ > 0).sorted
-      if (vs.size < 2) 1.0 else vs.max / vs(vs.size / 2)
+      if (vs.size < 2) 1.0
+      else {
+        val med =
+          if (vs.size % 2 == 1) vs(vs.size / 2)
+          else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2
+        vs.max / med
+      }
     }
+    val underpowered = adjudicated.size < 3
     val drift = sentinelNames.map(ratioAcross).max
     val floorRatio =
       if (!floorApplies) -1.0
@@ -209,10 +277,16 @@ object Bench {
       .map { case (fam, rs) => s""""$fam":${f3(rs.map(_._2).sum)}""" }
       .mkString("{", ",", "}")
     val sentinelJson = {
-      val passes = sentinelPasses.map(p => p.toSeq.sortBy(_._1)
+      def passJson(p: Map[String, Double]) = p.toSeq.sortBy(_._1)
         .map { case (n, v) => s""""${n.take(4)}":${f3(v)}""" }
-        .mkString("{", ",", "}")).mkString("[", ",", "]")
-      s"""{"passes":$passes,"drift":${f3(drift)},"floor_ratio":${f3(floorRatio)},"dirty":$dirty}"""
+        .mkString("{", ",", "}")
+      val passes = sentinelPasses.map(passJson).mkString("[", ",", "]")
+      // breaches: the raw pre-retry closing passes the self-healing
+      // loop replaced (empty on an undisturbed run) — recovery is
+      // recorded, never hidden
+      val br = breaches.map { case (i, p) =>
+        s"""{"pass":$i,"values":${passJson(p)}}""" }.mkString("[", ",", "]")
+      s"""{"passes":$passes,"drift":${f3(drift)},"floor_ratio":${f3(floorRatio)},"dirty":$dirty,"underpowered":$underpowered,"retried_sections":${breaches.size},"breaches":$br}"""
     }
 
     // Full artifact: everything the 2000-char stdout line cannot carry
@@ -233,7 +307,7 @@ object Bench {
       System.err.println(s"[bench] artifact write failed (non-fatal): ${e.getMessage}")
     }
 
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":$timedRuns,"warmup_runs":1,"agg":"min","sentinel":$sentinelJson}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"families":$fams,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"runs_per_query":$timedRuns,"warmup_runs":1,"agg":"min","sentinel":$sentinelJson}""")
     spark.stop()
   }
 }
