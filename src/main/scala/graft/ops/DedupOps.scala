@@ -1687,6 +1687,16 @@ object DedupOps {
       else sets
     val sig = spread.select(col("doc_id"),
       graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), numHashes).as("mh"))
+    bandExplode(sig, bands, rowsPerBand)
+  }
+
+  /** Explode a (doc_id, mh signature array) frame into one row per
+    * (doc, band) with the band's `rowsPerBand` minima as a `bk` struct
+    * of longs — the banding stage shared by [[portableBandKeys]], the
+    * single-pass [[minHashNearDupsPortable]] path, and
+    * [[graft.ops.MultimodalOps]]' payload kernel. */
+  private[ops] def bandExplode(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct((0 until rowsPerBand)
         .map(r => element_at(col("mh"), b * rowsPerBand + r + 1).as(s"k${r + 1}")): _*)
@@ -1715,14 +1725,39 @@ object DedupOps {
     * applies the same cap). */
   def minHashNearDupsPortable(corpus: DataFrame, bands: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val banded = portableBandKeys(corpus, bands, rowsPerBand)
+    val numHashes = bands * rowsPerBand
+    val sets = shingleSets(corpus).filter(size(col("shs")) > 0)
+    // spread rationale: see [[portableBandKeys]] — deterministic
+    // doc_id hash partitioning when the scan yields fewer partitions
+    // than cores; a no-op at lake scale
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (sets.rdd.getNumPartitions < target) sets.repartition(target, col("doc_id"))
+      else sets
+    // ONE shingle pass (r10 verdict task 4, the payload kernel's audit
+    // extended here): pre-r11 this kernel shingled the corpus once for
+    // the band keys and AGAIN for the verify side (plus the verify's
+    // own per-join recompute unless exchange reuse caught it). The
+    // (signature, hashed-shingle-set) projection is materialized with
+    // an eager localCheckpoint so the band path and both verify joins
+    // read stored blocks — the shingle+hash pass over the corpus text,
+    // the CPU-dominant stage, runs exactly once per invocation. The
+    // empty-shingle docs dropped above can never be candidates (no
+    // band keys), so excluding them from the verify side too is
+    // value-identical to the old unfiltered verify input.
+    val base = spread.select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), numHashes).as("mh"),
+        sort_array(transform(col("shs"), x => xxhash64(x))).as("hshs"))
+      .localCheckpoint()
+    val banded = bandExplode(base.select("doc_id", "mh"), bands, rowsPerBand)
     val buckets = banded.groupBy("band", "bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 100))
     val cand = buckets
       .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
       .distinct()
-    verifyJaccard(cand, shingleSets(corpus), threshold)
+    verifyJaccardHashed(cand,
+      base.select(col("doc_id"), col("hshs").as("shs")), threshold)
   }
 
   /** The LSH band-key index of a corpus in POSTING-LIST form: one row
@@ -2257,17 +2292,25 @@ object DedupOps {
     * (blank documents) are identical: 0/0 is defined as 1.0, not the
     * NULL Spark's division would produce (which would silently drop an
     * exact-duplicate pair of blank docs). */
-  private[ops] def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+  private[ops] def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     // Set sizes are all Jaccard needs, and the shingle sets are already
     // distinct, so hash each shingle to a long first: the two pair
     // joins shuffle 8-byte array elements instead of ~25-byte strings
     // and the intersect/union compare longs (dd06's hashed-posting
     // move applied to the verify stage).
+    verifyJaccardHashed(cand, sets.select(col("doc_id"),
+      sort_array(transform(col("shs"), x => xxhash64(x))).as("shs")), threshold)
+
+  /** [[verifyJaccard]] over PRE-HASHED sets — `hsets` is (doc_id, shs
+    * sorted array<long> of per-element xxhash64 values). The entry
+    * point for single-pass kernels ([[minHashNearDupsPortable]],
+    * [[MultimodalOps.payloadNearDups]]) that hash their sets once in
+    * the same projection as the MinHash signature instead of paying a
+    * second set-construction pass here. */
+  private[ops] def verifyJaccardHashed(cand: DataFrame, hsets: DataFrame, threshold: Double): DataFrame = {
     // sorted per-doc hash arrays: the per-pair intersect is then the
     // allocation-free merge count, and |A ∪ B| = |A| + |B| − |A ∩ B|
     // (shs is distinct per doc) replaces the array_union materialization
-    val hsets = sets.select(col("doc_id"),
-      sort_array(transform(col("shs"), x => xxhash64(x))).as("shs"))
     val inter = graft.functions.GraftFunctions
       .sorted_intersect_count(col("shs_a"), col("shs_b"))
     cand

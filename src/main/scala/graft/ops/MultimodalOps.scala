@@ -816,16 +816,11 @@ object MultimodalOps {
 
   /** MinHash band keys of each asset's window set — (doc_id, band,
     * bk struct of k1..k4), dd02's portable KM family over bytes. */
-  private def payloadBandKeys(assets: DataFrame): DataFrame = {
-    val sig = payloadWindowSets(assets).select(col("doc_id"),
-      graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh"))
-    val bandCols = (0 until 16).map { b =>
-      struct((0 until 4)
-        .map(r => element_at(col("mh"), b * 4 + r + 1).as(s"k${r + 1}")): _*)
-    }
-    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bk")
-  }
+  private def payloadBandKeys(assets: DataFrame): DataFrame =
+    DedupOps.bandExplode(
+      payloadWindowSets(assets).select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh")),
+      bands = 16, rowsPerBand = 4)
 
   /** The mm16 kernel over any (doc_id, payload binary) frame: byte-
     * window MinHash-LSH near-dup pairs verified by exact window-set
@@ -835,14 +830,35 @@ object MultimodalOps {
     * rationale, including the measured SimHash-vs-MinHash recall
     * comparison that picked this sketch. */
   def payloadNearDups(assets: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sets = payloadWindowSets(assets)
-    val buckets = payloadBandKeys(assets).groupBy("band", "bk")
+    // ONE windowing pass over the payload bytes (r10 verdict task 4):
+    // at lake scale the hex-encode + window pass over raw bytes IS the
+    // dominant cost of a near-dup run, and the pre-r11 shape paid it
+    // twice at plan level (window sets for the verify, window sets
+    // again under the signatures) — plus once more per verify join
+    // when exchange reuse missed. The (signature, hashed-window-set)
+    // projection is materialized with an eager localCheckpoint, so the
+    // band path and both verify joins read stored blocks instead of
+    // re-scanning + re-windowing the lake (MediaNearDupSpec pins the
+    // returned plan to ZERO file scans — every payload byte is read
+    // exactly once, in the staging job). The stored form is ~2 bytes
+    // per payload byte (8-byte hashes of half-overlapping windows);
+    // a deployment needing executor-loss fault tolerance swaps the
+    // localCheckpoint for a reliable checkpoint dir, same shape.
+    val base = payloadWindowSets(assets)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh"),
+        sort_array(transform(col("shs"), x => xxhash64(x))).as("hshs"))
+      .localCheckpoint()
+    val buckets = DedupOps.bandExplode(base.select("doc_id", "mh"),
+        bands = 16, rowsPerBand = 4)
+      .groupBy("band", "bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, 100))
     val cand = buckets
       .select(graft.functions.GraftFunctions.pair_ids(col("ids")))
       .distinct()
-    DedupOps.verifyJaccard(cand, sets, threshold)
+    DedupOps.verifyJaccardHashed(cand,
+      base.select(col("doc_id"), col("hshs").as("shs")), threshold)
   }
 
   /** The media lake's band-key posting index in
