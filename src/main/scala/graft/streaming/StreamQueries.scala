@@ -1113,6 +1113,91 @@ object StreamQueries {
         }
         s.read.parquet(s"$out/res")
           .select("doc_id", "n_words", "n_tokens")
+      }),
+
+    QueryDef(
+      "st21_stream_payload_ingest",
+      // STREAMING MEDIA PAYLOAD-INDEX INGEST
+      // ([[MediaStream.payloadIngest]]) — the media family's missing
+      // streaming quadrant (r10 verdict task 2): text (st16), LSH
+      // (st12) and IVF (st13) all maintain their persisted index from
+      // a stream; this does the same for mm17's byte-window posting
+      // index. Assets arrive as files of (doc_id, payload binary);
+      // every micro-batch derives its band keys — one windowing pass
+      // per asset, payload bytes never enter the store — and lands
+      // one idempotent batch=<id> shard. Because band keys are a pure
+      // per-asset function and consolidation is a pure regroup of
+      // disjoint-id shards, the accumulated store equals the one-shot
+      // [[graft.ops.MultimodalOps.payloadLshIndex]] wherever the
+      // micro-batch boundaries fell (MediaIngestStreamSpec re-slices
+      // to prove it). The emitted per-band audit (distinct keys,
+      // posting mass, id checksum) is replayed by the oracle from raw
+      // bytes through the full hex-window → KM-hash → minima → band
+      // chain, so the gate holds the whole streaming pipeline to the
+      // from-scratch derivation.
+      Some("""WITH m AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |keys AS (
+             |  SELECT bd, k1, k2, k3, k4, count(*) AS c, sum(doc_id) AS s
+             |  FROM bands GROUP BY bd, k1, k2, k3, k4)
+             |SELECT CAST(bd AS BIGINT) AS band,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS n_postings,
+             |  CAST(sum(s) AS BIGINT) AS id_sum
+             |FROM keys GROUP BY bd""".stripMargin),
+      (s, d) => {
+        val assetsDf = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        // 4 landing files of (doc_id, payload), 2 per trigger → the
+        // index must accumulate across micro-batch boundaries; the
+        // staged dir is an input fixture (see st12's landing note)
+        val inDir = landingCache.computeIfAbsent(s"$d/payload-landing", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_payload_landing_${d.hashCode & 0x7fffffff}_"))
+          assetsDf.repartition(4, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$staged/in")
+          s"$staged/in"
+        })
+        val inSchema = s.read.parquet(inDir).schema
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_payload_ingest_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_payload_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = MediaStream.payloadIngest(s, inDir, inSchema,
+            s"$base/index", ck, filesPerTrigger = 2)
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        MediaStream.consolidate(s, s"$base/index")
+          .groupBy(col("band").cast("long").as("band"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum("sz").cast("long").as("n_postings"),
+            sum(aggregate(col("ids"), lit(0L), (a, x) => a + x))
+              .cast("long").as("id_sum"))
       })
   )
 }
