@@ -1039,6 +1039,205 @@ object Pipeline {
         raw.join(ex, Seq("source")).join(fin, Seq("source"))
           .select("source", "n_raw", "n_exact_kept", "n_final_kept",
             "patch_sum")
+      }),
+
+    QueryDef(
+      "pp12_media_day2_pipeline",
+      // MEDIA-LAKE DAY-2 CURATION — pp11's composition run the way day
+      // two actually runs (the pp06/pp08 incremental discipline): the
+      // lake was curated yesterday, so today's arrivals (every 10th
+      // asset re-uploaded byte-identical under a new id, every 15th
+      // re-encoded with mm16's 7-byte trailer) must be adjudicated at
+      // O(batch) cost against PERSISTED day-1 state, never by
+      // re-curating the lake. Exact tier: the batch's map-side digests
+      // anti-join the bucketed digest store (batch-sized shuffle, the
+      // store never exchanges) plus an intra-batch min-id window.
+      // Near tier: exact survivors probe the persisted byte-window
+      // posting index built over the lake's exact survivors (mm17's
+      // combined-cap probe — O(batch signatures + touched buckets +
+      // candidate verifies)), and the closure runs over BATCH-INVOLVING
+      // edges only: any path from an arrival reaches its first lake
+      // node through a batch-involving edge, and any reached lake node
+      // folds the arrival (lake ids < arrival ids), so lake-lake edges
+      // can never change an arrival's keeper status — the incremental
+      // closure provably equals the full recompute's, restricted to
+      // arrivals. The ORACLE IS that full recompute: pp11's entire
+      // chain (digest window, MinHash banding, recursive-CTE closure,
+      // patch census) over lake ∪ arrivals, with the census restricted
+      // to the day's arrivals — so the gate holds the day-2 shortcut
+      // bit-exactly to the day-1 definition (MediaDay2Spec pins the
+      // same identity engine-side at a second SF).
+      Some("""WITH u0 AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, source, text
+             |  FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 200000, source, text || ' v2edit'
+             |  FROM documents WHERE doc_id % 15 = 0),
+             |u1 AS (
+             |  SELECT doc_id, source, text, encode(text) AS payload
+             |  FROM u0 WHERE octet_length(encode(text)) > 0),
+             |ek AS (
+             |  SELECT doc_id, source, payload,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM u1),
+             |sv AS (SELECT doc_id, source, payload FROM ek WHERE rn = 1),
+             |m AS (
+             |  SELECT doc_id, lower(hex(payload)) AS hx,
+             |    octet_length(payload) AS n
+             |  FROM sv),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |pairs AS (
+             |  SELECT a, b FROM (
+             |    SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |      len(sa.shs) AS na, len(sb.shs) AS nb
+             |    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8),
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE r(node, lbl) AS (
+             |    SELECT doc_id, doc_id FROM sv
+             |    UNION
+             |    SELECT s.src, r.lbl FROM r JOIN sym s ON s.dst = r.node)
+             |  SELECT node, min(lbl) AS lbl FROM r GROUP BY node),
+             |kept AS (
+             |  SELECT sv.doc_id, sv.source, m.n
+             |  FROM sv JOIN reach ON reach.node = sv.doc_id
+             |  JOIN m ON m.doc_id = sv.doc_id
+             |  WHERE reach.lbl = sv.doc_id),
+             |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_arrived
+             |        FROM u1 WHERE doc_id >= 100000 GROUP BY source),
+             |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact_kept
+             |       FROM sv WHERE doc_id >= 100000 GROUP BY source),
+             |fin AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_final_kept,
+             |    CAST(sum(((n % 1920 + 31) // 32) * ((n % 1080 + 31) // 32)) AS BIGINT) AS patch_sum
+             |  FROM kept WHERE doc_id >= 100000 GROUP BY source)
+             |SELECT source, n_arrived,
+             |  CAST(coalesce(n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
+             |  CAST(coalesce(n_final_kept, 0) AS BIGINT) AS n_final_kept,
+             |  CAST(coalesce(patch_sum, 0) AS BIGINT) AS patch_sum
+             |FROM raw LEFT JOIN ex USING (source) LEFT JOIN fin USING (source)""".stripMargin),
+      (s, d) => {
+        val lakeAll = docs(s, d).select(col("doc_id"), col("source"),
+          encode(col("text"), "UTF-8").as("payload"))
+        // the day's arrivals: exact re-uploads + trailer re-encodes
+        // (a trailer on an empty payload is non-empty, so the
+        // emptiness gate applies AFTER the edit — pp11's u1 semantics)
+        val arrivals = lakeAll.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            col("source"), col("payload"))
+          .unionByName(lakeAll.filter(pmod(col("doc_id"), lit(15)) === 0)
+            .select((col("doc_id") + lit(200000L)).as("doc_id"), col("source"),
+              concat(col("payload"), encode(lit(" v2edit"), "UTF-8"))
+                .as("payload")))
+          .filter(length(col("payload")) > 0)
+        // day-1 curated state: bucketed digest store + payload posting
+        // index over the lake's exact survivors (persisted fixtures —
+        // in production they already exist from yesterday's run)
+        val (digestTable, idxTable) = day1MediaState(s, d)
+        // exact tier: batch digests map-side; the store never shuffles
+        val bsv = arrivals.withColumn("fp", md5(col("payload")))
+          .join(s.table(digestTable).select("fp"), Seq("fp"), "left_anti")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1).drop("fp", "rn")
+        // near tier: probe the persisted index; verify reads only the
+        // CANDIDATES' windows (semi-join prune inside the probe)
+        val pairs = MultimodalOps.payloadIndexProbe(
+          bsv.select("doc_id", "payload"), s.table(idxTable),
+          lakeExactSurvivors(s, d).select("doc_id", "payload")
+            .unionByName(bsv.select("doc_id", "payload")))
+          .select("a", "b")
+        // incremental closure over batch-involving edges only (see the
+        // note above for why this equals the full closure restricted)
+        val nodes = bsv.select(col("doc_id").as("id"))
+          .unionByName(pairs.select(col("a").as("id")))
+          .unionByName(pairs.select(col("b").as("id")))
+          .distinct()
+        val cc = DedupOps.connectedComponents(nodes, pairs)
+        val kept = bsv.join(cc, bsv("doc_id") === cc("id"))
+          .filter(col("label") === col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            length(col("payload")).cast("long").as("n"))
+        // the day's census update
+        val raw = arrivals.groupBy("source").agg(count(lit(1)).as("n_arrived"))
+        val ex = bsv.groupBy("source").agg(count(lit(1)).as("n_exact_kept"))
+        val fin = kept.groupBy("source")
+          .agg(count(lit(1)).as("n_final_kept"),
+            sum(expr("((n % 1920 + 31) DIV 32) * ((n % 1080 + 31) DIV 32)"))
+              .cast("long").as("patch_sum"))
+        raw.join(ex, Seq("source"), "left").join(fin, Seq("source"), "left")
+          .select(col("source"), col("n_arrived"),
+            coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
+            coalesce(col("n_final_kept"), lit(0L)).as("n_final_kept"),
+            coalesce(col("patch_sum"), lit(0L)).as("patch_sum"))
       })
   )
+
+  /** The lake's EXACT-dedup survivors with payloads — pp11's stage-1
+    * output for the lake alone, i.e. the curated store a day-2 run
+    * starts from. Derived here from raw documents (one digest window);
+    * a production lake reads yesterday's materialized survivor table
+    * directly. */
+  private[ops] def lakeExactSurvivors(s: SparkSession, d: String): DataFrame = {
+    val lake = docs(s, d).select(col("doc_id"), col("source"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .filter(length(col("payload")) > 0)
+    lake.withColumn("fp", md5(col("payload")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("fp", "rn")
+  }
+
+  /** pp12's persisted day-1 state, built at most once per sf dir (the
+    * input-fixture rationale of [[DedupOps.baseLshIndex]] — day-2 runs
+    * against state that already exists): (digest table, payload index
+    * table), both over the lake's exact survivors and both bucketed so
+    * a day-2 probe joins them without exchanging the store side. */
+  private val day1StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private[ops] def day1MediaState(s: SparkSession, d: String): (String, String) =
+    day1StateCache.computeIfAbsent(d, _ => {
+      val tag = d.hashCode & 0x7fffffff
+      val tmp = graft.core.Scratch.dir(s"graft_pp12_state_${tag}_")
+      val sv = lakeExactSurvivors(s, d)
+      val digestTable = s"pp12_digests_$tag"
+      sv.select(md5(col("payload")).as("fp"), col("doc_id").as("keeper_id"))
+        .write.bucketBy(8, "fp").sortBy("fp")
+        .option("path", s"$tmp/digests").mode("overwrite")
+        .saveAsTable(digestTable)
+      val idxTable = s"pp12_payload_idx_$tag"
+      DedupOps.writeLshIndexRows(
+        MultimodalOps.payloadLshIndex(sv.select("doc_id", "payload")),
+        idxTable, s"$tmp/index")
+      (digestTable, idxTable)
+    })
 }
