@@ -798,6 +798,132 @@ object MultimodalOps {
             concat(col("payload"), encode(lit(" v2edit"), "UTF-8")).as("payload"))
         payloadIndexProbe(batch, s.table(basePayloadIndex(s, d)),
           lake.unionByName(batch))
+      }),
+
+    QueryDef(
+      "mm18_crossmodal_serve",
+      // CROSS-MODAL RETRIEVAL SERVING — the mm family's missing verb
+      // (r10 verdict task 7): a TEXT query answered with MEDIA ASSETS
+      // through the shared embedding space, assembled entirely from
+      // vs29/vs32's index-served kernels over mm's tables. The query
+      // is doc 42's terms plus its embedding (standing in for the
+      // text-encoder output; assets pair with embeddings by id — the
+      // mm12 alignment). Lexical leg: a tx33 BM25 probe of the
+      // persisted inverted index over the assets' CAPTIONS (pruned
+      // posting partitions, exact full-lake ranking). Dense leg: a
+      // probeIvfIndex read of the persisted IVF store over the ASSET
+      // embeddings (cell-restricted; the exact lexical leg backstops
+      // its nprobe=1 recall — vs29's argument). Fusion is vs25's
+      // integer-grid RRF (Σ 10⁹ DIV (60 + rank)). What makes it
+      // media serving rather than a vs29 alias: candidates then pass
+      // the DECODABILITY gate (stub dims w, h > 0 — an asset the
+      // decode stage can't size is unservable) and the survivors are
+      // returned WITH their media serving payload — the ViT patch
+      // budget (mm15's integer grid) and byte size a downstream
+      // renderer/packer needs. No corpus scan at query time: two
+      // index reads, a ≤100-row fusion, and a point-lookup metadata
+      // join (broadcast of the fused candidate ids).
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+             |terms AS (
+             |  SELECT DISTINCT CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |  FROM tk2 WHERE doc_id = 42),
+             |posts AS (SELECT doc_id,
+             |            CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS th
+             |          FROM tk2),
+             |qposts AS (SELECT doc_id, th FROM posts JOIN terms USING (th)),
+             |tf AS (SELECT doc_id, th, count(*) AS tf FROM qposts GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk2),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM qposts GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), stats),
+             |bagg AS (SELECT doc_id, sum(q) AS iscore FROM sc
+             |         WHERE doc_id <> 42 GROUP BY doc_id),
+             |btop AS (SELECT doc_id,
+             |           row_number() OVER (ORDER BY iscore DESC, doc_id) AS r
+             |         FROM bagg QUALIFY r <= 50),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |pcell AS (SELECT cid FROM asg WHERE vec_id = 42),
+             |p AS (SELECT v AS pv FROM e WHERE vec_id = 42),
+             |ctop AS (SELECT e.vec_id AS doc_id,
+             |           row_number() OVER (
+             |             ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS r
+             |         FROM e JOIN asg ON e.vec_id = asg.vec_id
+             |         JOIN pcell ON asg.cid = pcell.cid, p
+             |         WHERE e.vec_id <> 42
+             |         QUALIFY r <= 50),
+             |fused AS (
+             |  SELECT doc_id,
+             |    coalesce(1000000000 // (60 + b.r), 0)
+             |      + coalesce(1000000000 // (60 + c2.r), 0) AS rrf
+             |  FROM btop b FULL OUTER JOIN ctop c2 USING (doc_id)),
+             |meta AS (
+             |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    octet_length(encode(text)) % 1920 AS w,
+             |    octet_length(encode(text)) % 1080 AS h
+             |  FROM documents),
+             |g AS (SELECT doc_id, n_bytes,
+             |        ((w + 31) // 32) * ((h + 31) // 32) AS patches
+             |      FROM meta WHERE w > 0 AND h > 0),
+             |r AS (SELECT f.doc_id, rrf, patches, n_bytes,
+             |        row_number() OVER (ORDER BY rrf DESC, f.doc_id) AS rn
+             |      FROM fused f JOIN g USING (doc_id))
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, CAST(rrf AS BIGINT) AS rrf,
+             |  CAST(patches AS BIGINT) AS patches, n_bytes
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        import graft.ops.PrefixSum.onePart
+        graft.functions.GraftFunctions.register(s)
+        val docsDf = Tables(s, d, "documents")
+        // lexical leg: persisted inverted index over the captions
+        val btop = TextIndex.probeTextIndex(s, TextOps.baseTextIndex(s, d),
+            TextIndex.queryTerms(docsDf, 42), k = 50, excludeDocId = Some(42L))
+          .select(col("doc_id"), col("rnk").as("rb"))
+        // dense leg: persisted IVF store over the asset embeddings
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val probes = VectorOps
+          .assignClusters(e.filter(col("vec_id") === 42), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        val ctop = VectorOps
+          .probeIvfIndex(s, VectorOps.baseIvfIndexDir(s, d), probes, k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rnk").as("rc"))
+        // media serving metadata + decodability gate (stub dims)
+        val meta = docsDf
+          .select(col("doc_id"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+          .select(col("doc_id"), col("n_bytes"),
+            (col("n_bytes") % 1920).as("w"), (col("n_bytes") % 1080).as("h"))
+          .filter(col("w") > 0 && col("h") > 0)
+          .select(col("doc_id"), col("n_bytes"),
+            expr("((w + 31) DIV 32) * ((h + 31) DIV 32)").cast("long")
+              .as("patches"))
+        val wF = Window.partitionBy(onePart(col("doc_id")))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        btop.join(ctop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 DIV (60 + rb)"), lit(0L)) +
+             coalesce(expr("1000000000 DIV (60 + rc)"), lit(0L))).as("rrf"))
+          .join(meta, Seq("doc_id"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(wF).cast("long"))
+          .select("doc_id", "rnk", "rrf", "patches", "n_bytes")
       })
   )
 
