@@ -260,10 +260,15 @@ object Scaling {
       "training is one O(corpus) word-count pass + 6 vocab-bounded " +
       "merge iterations: near-flat here (the vocabulary is " +
       "size-invariant across the slices); corpus-scale work inside " +
-      "the loop would read ~1 with a 6x constant. mm16 is dd02's " +
-      "regime on the media lake: per-row byte-window signatures + " +
-      "band-key equi-join on capped buckets — near-linear, never " +
-      "all-pairs."
+      "the loop would read ~1 with a 6x constant. mm16 is a FULL-LAKE " +
+      "op (unlike the fixed-batch probes whose flat rows pin O(batch) " +
+      "claims): one single-pass byte-window + signature scan over " +
+      "every payload, then band-key equi-join on capped buckets — its " +
+      "EXPECTED reading is ~linear in lake bytes, deflated toward ~0.7 " +
+      "by the fixed per-invocation floor at the 1x point (the r10 row " +
+      "read 0.78 on the pre-single-pass kernel, which double-windowed " +
+      "the lake; ScalingSpec pins <= 1.3: linear-by-design with load " +
+      "margin, far below all-pairs ~1.9)."
     val json = m.map { case (name, points, exp) =>
       val ps = points.map { case (n, t) =>
         f"""{"n": $n, "sec": $t%.3f}""" }.mkString("[", ", ", "]")

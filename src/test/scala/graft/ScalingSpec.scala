@@ -46,6 +46,15 @@ class ScalingSpec extends AnyFunSuite {
     // rationale as dd17/tx34)
     assert(expOf("tx43_bpe_train") <= 0.8,
       "tx43 merge-loop cost is growing with the corpus, not the vocab")
+    // the media near-dup kernel is a FULL-LAKE op whose single-pass
+    // windowing scan is ~linear in lake bytes BY DESIGN (r10 verdict
+    // task 5: the r10 row's 0.78 was measured on a kernel that
+    // windowed the lake twice; the single-pass kernel reads 0.69 with
+    // clean point-to-point growth). 1.3 = linear plus load margin —
+    // an all-pairs regression in the banding reads ~1.9 and fails
+    // both this and the generic bound.
+    assert(expOf("mm16_payload_minhash") <= 1.3,
+      "mm16 payload kernel is growing faster than its linear-in-bytes design")
     // tx36 vacuum / dd20 delete / vs26 re-version are O(index) /
     // O(touched cells) BY DESIGN — the generic <= 1.7 above is their
     // claim (sub-quadratic, never all-pairs); no tighter pin because
