@@ -801,6 +801,134 @@ object MultimodalOps {
       }),
 
     QueryDef(
+      "mm19_payload_index_delete",
+      // TAKEDOWN in the media near-dedup cycle — dd20's verb on the
+      // payload posting index: every 7th asset is deleted from the
+      // persisted index ([[DedupOps.lshIndexDelete]] — band keys are
+      // a pure function of the BYTES, so re-windowing the removed
+      // assets names exactly the buckets holding them, and the
+      // targeted posting-list rewrite provably equals a full rebuild
+      // over the survivors), the pruned index is persisted back in
+      // the bucketed layout, and an arriving batch (every 10th asset
+      // re-uploaded byte-identical under a new id) probes it. Assets
+      // with id % 70 == 0 are in BOTH sets — their exact-copy source
+      // is gone, so the probe must NOT report those pairs: the
+      // takedown has to change answers, not just shrink postings.
+      // The oracle replays the full chain over lake ∖ removed ∪
+      // batch, so the delete path is held to the full-recompute
+      // answer.
+      Some("""WITH u AS (
+             |  SELECT doc_id, encode(text) AS payload FROM documents
+             |  WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, encode(text)
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |m AS (
+             |  SELECT doc_id, lower(hex(payload)) AS hx,
+             |    octet_length(payload) AS n
+             |  FROM u WHERE octet_length(payload) > 0),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |bc AS (SELECT bd, k1, k2, k3, k4 FROM bands
+             |       GROUP BY bd, k1, k2, k3, k4 HAVING count(*) BETWEEN 2 AND 100),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bc USING (bd, k1, k2, k3, k4)
+             |  JOIN bands y ON y.bd = x.bd AND y.k1 = x.k1 AND y.k2 = x.k2
+             |    AND y.k3 = x.k3 AND y.k4 = x.k4 AND x.doc_id < y.doc_id),
+             |v AS (
+             |  SELECT a, b, len(list_intersect(sa.shs, sb.shs)) AS i,
+             |    len(sa.shs) AS na, len(sb.shs) AS nb
+             |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+             |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+             |  AND b >= 100000""".stripMargin),
+      (s, d) => {
+        val all = media(s, d).toDF().select("doc_id", "payload")
+        val removed = all.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val survivors = all.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val batch = all.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"), col("payload"))
+        val tmp = graft.core.Scratch.dir("graft_payload_del_")
+        graft.core.PhaseTimer.phase("delete") {
+          DedupOps.writeLshIndexRows(
+            DedupOps.lshIndexDelete(s.table(basePayloadIndex(s, d)),
+              payloadLshIndex(removed)),
+            "mm19_payload_idx_v2", s"$tmp/index_v2")
+        }
+        payloadIndexProbe(batch, s.table("mm19_payload_idx_v2"),
+          survivors.unionByName(batch))
+      }),
+
+    QueryDef(
+      "mm20_payload_index_audit",
+      // INDEX HEALTH AUDIT for the payload posting index — dd24's
+      // monitoring verb on the media family: the posting-size
+      // histogram of the persisted byte-window index, each size class
+      // annotated with the probe policy (the mm16/mm17 kernels skip
+      // combined buckets over 100 — degenerate byte-pattern
+      // collisions). Reads ONLY the index's key + sz columns (a
+      // column-pruned scan of the posting store, never the asset
+      // lake); the oracle re-derives the whole histogram from raw
+      // payload bytes, making the audit an end-to-end index-integrity
+      // check — a lost or duplicated posting row shifts a bucket
+      // count.
+      Some("""WITH m AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |k AS (SELECT bd, k1, k2, k3, k4, count(*) AS sz FROM bands
+             |      GROUP BY 1, 2, 3, 4, 5)
+             |SELECT CAST(sz AS BIGINT) AS sz,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(sz) AS BIGINT) AS postings,
+             |  CASE WHEN sz > 100 THEN 'cap' ELSE 'probe' END AS policy
+             |FROM k GROUP BY sz""".stripMargin),
+      (s, d) =>
+        s.table(basePayloadIndex(s, d))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("sz")).as("postings"))
+          .select(col("sz"), col("n_keys"), col("postings"),
+            when(col("sz") > 100, lit("cap")).otherwise(lit("probe"))
+              .as("policy"))),
+
+    QueryDef(
       "mm18_crossmodal_serve",
       // CROSS-MODAL RETRIEVAL SERVING — the mm family's missing verb
       // (r10 verdict task 7): a TEXT query answered with MEDIA ASSETS
