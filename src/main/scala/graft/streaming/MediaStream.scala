@@ -74,6 +74,42 @@ object MediaStream {
       .start()
   }
 
+  /** [[payloadIngest]] with a RETENTION WINDOW — the TTL'd media
+    * index service (st17/st18's verb on the fourth family): after each
+    * micro-batch's shard lands, every batch older than the window is
+    * expired by [[graft.ops.DedupOps.expireShards]]' partition drop —
+    * O(1) metadata per dropped shard, no rewrite, no tombstone debt —
+    * so the store is bounded by the window however long the stream
+    * runs: the rolling "last N ingest days" near-dup tier. Retention
+    * keys on arrival batching BY DEFINITION (any time-based TTL
+    * does); st22 pins the file→batch assignment exactly as st17 does
+    * to make the survivor set oracle-replayable. Idempotent per
+    * batch: a replayed batch re-writes its own shard and re-issues
+    * the same cutoff. */
+  def payloadIngestWithRetention(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      indexDir: String,
+      checkpointDir: String,
+      keepBatches: Int,
+      filesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        MultimodalOps.payloadLshIndex(batch.select("doc_id", "payload"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$id")
+        graft.ops.DedupOps.expireShards(spark, indexDir, "batch",
+          id - keepBatches + 1)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Consolidate an ingest's append-only shard store back into the
     * one-row-per-band-key posting layout: a pure regroup — shards hold
     * disjoint ids (exactly-once contract), so sort-flatten rebuilds

@@ -1198,6 +1198,104 @@ object StreamQueries {
             sum("sz").cast("long").as("n_postings"),
             sum(aggregate(col("ids"), lit(0L), (a, x) => a + x))
               .cast("long").as("id_sum"))
+      }),
+
+    QueryDef(
+      "st22_stream_payload_ttl",
+      // TTL'd CONTINUOUS MEDIA INDEX SERVICE
+      // ([[MediaStream.payloadIngestWithRetention]]): st21's rolling
+      // payload-index ingest composed with partition-drop retention
+      // INSIDE the service loop — after each shard lands, batches
+      // older than the window (keep 2) are expired, so the store is
+      // bounded by the window however long the stream runs: the
+      // rolling "last N ingest days" near-dup tier, completing the
+      // retention symmetry across all four index families (dd22 LSH,
+      // tx40/st17 text, vs31/st18 IVF, this). Retention keys on
+      // arrival batching BY DEFINITION, so the fixture pins the
+      // file→batch assignment exactly as st17 does: four landing
+      // files, file b = the doc_id % 4 = b class, mtime-ordered, one
+      // per trigger — batches 0–3 are the classes in order, the
+      // window keeps {2, 3}, and the oracle replays the per-band
+      // audit over exactly those classes from raw bytes. A shard that
+      // out-lives its TTL or an expiry that clips a survivor breaks
+      // the hash.
+      Some("""WITH m AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) > 0 AND doc_id % 4 >= 2),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, (n + 3) // 4),
+             |    i -> substr(hx, CAST(i * 8 + 1 AS INT), 16))) AS shs
+             |  FROM m),
+             |hp AS (
+             |  SELECT doc_id, list_transform(shs, s -> struct_pack(
+             |    h1 := CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) % 144115188075855859,
+             |    h2 := CAST(concat('0x', substr(md5(concat('0:', s)), 16, 15)) AS BIGINT) % 144115188075855859)) AS hs
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), g ->
+             |      list_min(list_transform(hs, t ->
+             |        (t.h1 + (g * t.h2) % 144115188075855859) % 144115188075855859))) AS mh
+             |  FROM hp),
+             |bands AS (
+             |  SELECT doc_id, bd, mh[4*bd + 1] AS k1, mh[4*bd + 2] AS k2,
+             |    mh[4*bd + 3] AS k3, mh[4*bd + 4] AS k4
+             |  FROM sig, range(0, 16) t(bd)),
+             |keys AS (
+             |  SELECT bd, k1, k2, k3, k4, count(*) AS c, sum(doc_id) AS s
+             |  FROM bands GROUP BY bd, k1, k2, k3, k4)
+             |SELECT CAST(bd AS BIGINT) AS band,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS n_postings,
+             |  CAST(sum(s) AS BIGINT) AS id_sum
+             |FROM keys GROUP BY bd""".stripMargin),
+      (s, d) => {
+        val assetsDf = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        // st17's pinned fixture on the payload landing: four single
+        // parquet files, file b = the doc_id % 4 = b class, distinct
+        // mtimes so the source ingests them oldest-first
+        val inDir = landingCache.computeIfAbsent(s"$d/payload-ttl4", _ => {
+          val staged = java.nio.file.Paths.get(graft.core.Scratch.dir(
+            s"graft_payload_ttl_landing_${d.hashCode & 0x7fffffff}_"))
+          val in = staged.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          (0L to 3L).foreach { b =>
+            val tmp = java.nio.file.Files
+              .createTempDirectory(staged, s"stage$b")
+            assetsDf.filter(pmod(col("doc_id"), lit(4)) === b)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val target = in.resolve(f"b$b%d.parquet")
+            java.nio.file.Files.move(part.toPath, target)
+            java.nio.file.Files.setLastModifiedTime(target,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1600000000000L + b * 60000))
+          }
+          in.toString
+        })
+        val inSchema = s.read.parquet(inDir).schema
+        val base = java.nio.file.Paths.get(
+          graft.core.Scratch.dir("graft_payload_ttl_idx_"))
+        val ck = graft.core.Scratch.dirAt("/dev/shm", "graft_payload_ttl_ck_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = MediaStream.payloadIngestWithRetention(s, inDir, inSchema,
+            s"$base/index", ck, keepBatches = 2, filesPerTrigger = 1)
+          graft.core.PhaseTimer.phase("stream") { q.awaitTermination() }
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        MediaStream.consolidate(s, s"$base/index")
+          .groupBy(col("band").cast("long").as("band"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum("sz").cast("long").as("n_postings"),
+            sum(aggregate(col("ids"), lit(0L), (a, x) => a + x))
+              .cast("long").as("id_sum"))
       })
   )
 }
