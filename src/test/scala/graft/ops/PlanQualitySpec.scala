@@ -118,6 +118,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "st16_stream_text_ingest",
       // vs29: the text-index probe's 1-row stats cross (lexical leg)
       "vs29_index_served_rrf",
+      // mm18: vs29's serving shape over media assets — the same
+      // 1-row stats cross in its caption-index lexical leg
+      "mm18_crossmodal_serve",
       // pp07: sp21's quota computation inside it (1-row broadcast
       // budget/weight-sum/leftover crosses over the language table)
       "pp07_temperature_mix_build",
