@@ -57,14 +57,25 @@ object VectorOps {
     * changing group MEMBERSHIP, which no amount of output rounding
     * repairs (the r2/r3 vs05 hash fail). On the grid both engines rank
     * identically; `cid` breaks exact grid ties. */
-  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    rankCellsCos(vectors, centroids)
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+
+  /** Full cosine-grid centroid ranking per vector — (vec_id, v, cid,
+    * arn) with arn = 1 the home cell, 2 the runner-up, … Multiprobe
+    * SERVING callers keep `arn <= P` as probe cells against an index
+    * built with [[assignClusters]] (which keeps arn == 1) — the two
+    * must share this ranking or a probe can miss its own home cell.
+    * Cosine-grid determinism argument as on [[assignClusters]];
+    * [[rankCellsL2Exact]] remains the engine-independent L2 variant. */
+  def rankCellsCos(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(floor(col("ccos") * 1e6 + lit(0.5)).desc, col("cid"))
     vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
       .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .select(col("vec_id"), col("v"), col("cid"), col("arn"))
   }
 
   /** Quantize each component to the 1e-4 integer grid. floor(x*1e4+0.5)
@@ -251,14 +262,38 @@ object VectorOps {
     * collected ONCE into a local relation — otherwise the
     * (possibly expensive) probe derivation would execute twice: for the
     * cid pruning list and again inside the join. */
-  def probeIvfIndex(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame = {
+  def probeIvfIndex(spark: SparkSession, path: String, probes: DataFrame, k: Int): DataFrame =
+    probeIvfIndexImpl(spark, path, probes, k, lit(true))
+
+  /** FILTERED serving probe — [[probeIvfIndex]] with a metadata
+    * predicate over the index rows (the filtered-ANN production shape:
+    * "nearest ENGLISH docs", "nearest assets from this source"). The
+    * predicate evaluates against attribute columns DENORMALIZED INTO
+    * the index at build time (see vs33's fixture), so a filtered probe
+    * is still two physical steps — partition-prune to the probed
+    * cells, then a predicate-pushed columnar scan of just those cells
+    * — with NO query-time join against a metadata table. The filter
+    * applies to the candidate set BEFORE the rank window (pre-filter,
+    * then rank), so top-k is computed among qualifying rows rather
+    * than post-filtering an unfiltered top-k short; callers counter
+    * filter-induced candidate loss by probing MORE cells (multi-probe
+    * `arn <= P` probes — the vs17 recall lever, filtered analog). */
+  def probeIvfIndexWhere(spark: SparkSession, path: String, probes: DataFrame,
+      k: Int, pred: Column): DataFrame =
+    probeIvfIndexImpl(spark, path, probes, k, pred)
+
+  private def probeIvfIndexImpl(spark: SparkSession, path: String,
+      probes: DataFrame, k: Int, pred: Column): DataFrame = {
+    // bounded: a probe BATCH (collected once — otherwise the possibly
+    // expensive probe derivation would execute twice: for the cid
+    // pruning list and again inside the join), never the corpus.
     val rows = probes.collect()
     val cidIdx = probes.schema.fieldIndex("pcid")
     val cids = rows.map(_.get(cidIdx)).distinct.toIndexedSeq
     val localProbes = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), probes.schema)
     val cells = minusTombstones(spark, path,
-      spark.read.parquet(path).filter(col("cid").isin(cids: _*)))
+      spark.read.parquet(path).filter(col("cid").isin(cids: _*)).filter(pred))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
     cells.join(broadcast(localProbes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -2272,8 +2307,65 @@ object VectorOps {
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
           .select(col("qid"), col("doc_id"),
             col("rn").cast("long").as("rnk"), col("rrf").cast("long").as("rrf"))
+      }),
+
+    QueryDef(
+      "vs33_filtered_index_serve",
+      // Metadata-FILTERED ANN served FROM THE PERSISTED INDEX — vs20's
+      // production sibling. vs20 establishes the semantics (pre-filter,
+      // then rank) with a brute-force corpus scan + a query-time
+      // metadata join; this is the serving path a vector lake actually
+      // runs: the index stores each vector's filterable attributes IN
+      // ITS ROWS (lang, denormalized at build — the attrIvfIndexDir
+      // fixture), so a filtered probe is (1) partition-prune to the
+      // probed cells, (2) predicate-pushed columnar scan of just those
+      // cells, (3) rank — no join, no corpus scan. Filtering SHRINKS
+      // the per-cell candidate pool, so serving probes MORE cells to
+      // hold k: nprobe=2 multi-probe via rankCellsCos(arn <= 2) — the
+      // recall lever vs17 curves, here as the filtered-serving
+      // operating point. The filter applies BEFORE the rank window
+      // (top-k among qualifying candidates — a post-filtered
+      // unfiltered top-k can come back short even when the cells hold
+      // k qualifying rows). At 100 TB: probe cost = 2 cells' pruned +
+      // filtered scan per batch, independent of lake size; the
+      // attribute column adds bytes ONLY to the cells scanned.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |pc AS (SELECT vec_id AS probe_id, cid AS pcid FROM a
+             |       WHERE arn <= 2 AND vec_id BETWEEN 200 AND 204),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 200 AND 204),
+             |cand AS (SELECT pc.probe_id, e.vec_id AS neighbor_id,
+             |           list_cosine_similarity(pv, e.v) AS c
+             |         FROM pc JOIN asg ON asg.cid = pc.pcid
+             |         JOIN e ON e.vec_id = asg.vec_id
+             |         JOIN documents d2 ON d2.doc_id = e.vec_id AND d2.lang = 'en'
+             |         JOIN p ON p.probe_id = pc.probe_id
+             |         WHERE e.vec_id <> pc.probe_id),
+             |r AS (SELECT probe_id, neighbor_id, c,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY c DESC, neighbor_id) AS rn FROM cand)
+             |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+             |  round(c, 4) AS cos
+             |FROM r WHERE rn <= 10""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val probes = rankCellsCos(e.filter(col("vec_id").between(200, 204)), centroids)
+          .filter(col("arn") <= 2)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        probeIvfIndexWhere(s, attrIvfIndexDir(s, d), probes, k = 10,
+          col("lang") === "en")
       })
   )
+
 
   /** vs30's QueryDef body, kept beside the fixture helpers: the
     * EMBEDDING-LAKE QA AUDIT — per-dimension statistics on the 1e-6
@@ -2310,6 +2402,34 @@ object VectorOps {
       val centroids = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       writeIvfIndex(e, centroids, dir)
+      dir
+    })
+
+  /** Per-sf cached ATTRIBUTE-carrying IVF index (vs33's fixture): the
+    * same cells as [[baseIvfIndexDir]], but every stored row also
+    * carries the vector's filterable metadata (`lang`, denormalized
+    * from `documents` at BUILD time). This is the filtered-ANN
+    * production layout: predicates evaluate inside the pruned cells'
+    * columnar scan — pushdown on a stored column — and query time
+    * never joins a metadata table. Build cost is one broadcast-dim
+    * join folded into the index write; the attribute is immutable
+    * with the vector (a metadata change is a re-version, vs26's
+    * verb). */
+  private val attrIvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[ops] def attrIvfIndexDir(s: SparkSession, d: String): String =
+    attrIvfIndexCache.computeIfAbsent(d, _ => {
+      val dir = graft.core.Scratch.dir(
+        s"graft_ivf_attr_${d.hashCode & 0x7fffffff}_") + "/index"
+      val e = emb(s, d)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val lang = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      graft.core.PhaseTimer.phase("build") {
+        assignClusters(e, centroids)
+          .join(lang, col("vec_id") === col("doc_id")).drop("doc_id")
+          .write.partitionBy("cid").mode("overwrite").parquet(dir)
+      }
       dir
     })
 }

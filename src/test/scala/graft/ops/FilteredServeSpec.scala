@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** vs33 — metadata-filtered ANN served from the persisted
+  * attribute-carrying IVF index: the filtered probe must equal the
+  * brute-force filtered ranking restricted to its probed cells, honor
+  * the predicate row-for-row, and widen monotonically with nprobe
+  * (the k-under-filter recovery lever). */
+class FilteredServeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  private lazy val cents = e.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("cid"), col("v").as("cv"))
+  private lazy val lang = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("lang"))
+
+  private def probesAt(nprobe: Int): DataFrame =
+    VectorOps.rankCellsCos(e.filter(col("vec_id").between(200, 204)), cents)
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("cid").as("pcid"))
+
+  private def served(nprobe: Int): DataFrame =
+    VectorOps.probeIvfIndexWhere(spark, VectorOps.attrIvfIndexDir(spark, sf),
+      probesAt(nprobe), k = 10, col("lang") === "en")
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Double)] =
+    df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rnk"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("filtered index probe == brute-force filtered rank over the probed cells") {
+    val asg = VectorOps.assignClusters(e, cents)
+    val pr = probesAt(2)
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+    val ref = asg
+      .join(broadcast(pr), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+      .join(lang, col("doc_id") === col("vec_id"))
+      .filter(col("lang") === "en")
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosine(col("pv"), col("v")).as("c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"),
+        round(col("c"), 4).as("cos"))
+    assert(rows(served(2)) == rows(ref))
+  }
+
+  test("every served neighbor satisfies the predicate; self excluded; ranks dense <= k") {
+    val out = served(2)
+    val en = lang.filter(col("lang") === "en").select("doc_id")
+    assert(out.join(en, col("neighbor_id") === col("doc_id"), "left_anti").count() == 0)
+    assert(out.filter(col("neighbor_id") === col("probe_id")).count() == 0)
+    val perProbe = out.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+      .collect()
+    assert(perProbe.nonEmpty)
+    perProbe.foreach { r =>
+      val (n, mx, mn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n <= 10 && mn == 1L && mx == n) // dense 1..n, never over k
+    }
+  }
+
+  test("multi-probe widens monotonically: nprobe=2 dominates nprobe=1 rank-for-rank") {
+    val one = rows(served(1)); val two = rows(served(2))
+    val n1 = one.groupBy(_._1).view.mapValues(_.size).toMap
+    val n2 = two.groupBy(_._1).view.mapValues(_.size).toMap
+    n1.foreach { case (p, n) => assert(n2.getOrElse(p, 0) >= n) } // candidate pool nests
+    // ranking over a superset dominates: at every rank held by both,
+    // the nprobe=2 score is >= the nprobe=1 score (same probe)
+    val c2 = two.map(t => (t._1, t._3) -> t._4).toMap
+    one.foreach { case (p, _, r, c) => assert(c2((p, r)) >= c) }
+  }
+
+  test("the predicate pushes into the pruned cells' parquet scan (no query-time join)") {
+    val p = SparkEntry.queries("vs33_filtered_index_serve")(spark, sf)
+      .queryExecution.executedPlan.treeString
+    assert(p.contains("EqualTo(lang,en)"), "lang predicate not pushed to the scan")
+    assert(p.contains("PartitionFilters"), "cell pruning missing from the index scan")
+  }
+}
