@@ -2363,8 +2363,88 @@ object VectorOps {
             col("cid").as("pcid"))
         probeIvfIndexWhere(s, attrIvfIndexDir(s, d), probes, k = 10,
           col("lang") === "en")
+      }),
+
+    QueryDef(
+      "vs34_mmr_rerank",
+      // MMR-DIVERSIFIED serving (maximal marginal relevance, Carbonell
+      // & Goldstein SIGIR'98) — the post-retrieval pass a RAG stack
+      // runs so its context window isn't k near-copies of one
+      // passage: from each probe's index-served top-50 slate, greedily
+      // keep the 10 items maximizing λ·relevance − (1−λ)·max-sim-to-
+      // already-kept (λ = 0.7 → integer key 7·rel_q − 3·maxsim_q on
+      // the 1e-6 cosine grid; every engine comparison is 64-bit
+      // integer, ties on neighbor id). The greedy is sequential in k
+      // BY DEFINITION, but its state is one probe's ≤50-struct slate,
+      // so it runs as a single HOF fold in one projection — see
+      // [[mmrServe]]. The oracle replays the exact greedy as 10
+      // unrolled argmax CTE steps over the same integer grid.
+      Some(mmrOracle(100, 102, kSlate = 50, kOut = 10)),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val probes = assignClusters(e.filter(col("vec_id").between(100, 102)), centroids)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("cid").as("pcid"))
+        mmrServe(s, baseIvfIndexDir(s, d), probes, kSlate = 50, kOut = 10)
       })
   )
+
+  /** vs34's oracle: the MMR greedy unrolled as `kOut` argmax steps in
+    * plain SQL — each step picks, per probe, the not-yet-selected
+    * slate member with the max integer key (7·rel_q − 3·max pairwise
+    * sim to the selected set), tie on nid, exactly [[mmrServe]]'s
+    * fold. Generated, not hand-written: the steps are mechanical.
+    * `sl`/`ps` are MATERIALIZED: DuckDB inlines plain CTEs, so the
+    * correlated per-candidate max-sim subquery would otherwise
+    * re-execute the whole slate pipeline (and re-open the parquet)
+    * per row — the fd exhaustion that failed the first cut. */
+  private def mmrOracle(pLo: Int, pHi: Int, kSlate: Int, kOut: Int): String = {
+    val steps = (2 to kOut).map { n =>
+      s"""p$n AS MATERIALIZED (SELECT c.probe_id, c.nid, CAST($n AS BIGINT) AS rnk,
+         |  7 * c.rel_q - 3 * coalesce((
+         |      SELECT max(ps.s) FROM ps JOIN sel${n - 1} t
+         |        ON ps.pb = t.nid AND ps.probe_id = t.probe_id
+         |      WHERE ps.pa = c.nid AND ps.probe_id = c.probe_id), 0) AS key
+         |  FROM sl c
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} t
+         |    WHERE t.probe_id = c.probe_id AND t.nid = c.nid)
+         |  QUALIFY row_number() OVER (PARTITION BY c.probe_id
+         |    ORDER BY key DESC, c.nid) = 1),
+         |sel$n AS MATERIALIZED (SELECT * FROM sel${n - 1}
+         |  UNION ALL SELECT probe_id, nid, rnk, key FROM p$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |a AS (SELECT e.vec_id, cid,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+       |      FROM e, c),
+       |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+       |p AS (SELECT e.vec_id AS probe_id, e.v AS pv, asg.cid AS pcid
+       |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+       |      WHERE e.vec_id BETWEEN $pLo AND $pHi),
+       |sl AS MATERIALIZED (SELECT probe_id, e.vec_id AS nid,
+       |         CAST(floor(list_cosine_similarity(pv, e.v) * 1000000 + 0.5) AS BIGINT) AS rel_q,
+       |         e.v
+       |       FROM p JOIN asg ON asg.cid = p.pcid
+       |       JOIN e ON e.vec_id = asg.vec_id
+       |       WHERE e.vec_id <> probe_id
+       |       QUALIFY row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) <= $kSlate),
+       |ps AS MATERIALIZED (SELECT x.probe_id, x.nid AS pa, y.nid AS pb,
+       |         CAST(floor(list_cosine_similarity(x.v, y.v) * 1000000 + 0.5) AS BIGINT) AS s
+       |       FROM sl x JOIN sl y
+       |         ON x.probe_id = y.probe_id AND x.nid <> y.nid),
+       |sel1 AS MATERIALIZED (SELECT probe_id, nid, CAST(1 AS BIGINT) AS rnk,
+       |           7 * rel_q AS key FROM sl
+       |         QUALIFY row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY 7 * rel_q DESC, nid) = 1),
+       |$steps
+       |SELECT probe_id, rnk, nid AS neighbor_id, CAST(key AS BIGINT) AS mmr
+       |FROM sel$kOut""".stripMargin
+  }
 
 
   /** vs30's QueryDef body, kept beside the fixture helpers: the
@@ -2388,6 +2468,75 @@ object VectorOps {
         min("qv").as("min_q"), max("qv").as("max_q"),
         sum(when(col("qv") === 0, 1L).otherwise(0L)).cast("long")
           .as("n_zero"))
+
+  /** MMR-diversified serving (Carbonell & Goldstein, SIGIR 1998) from
+    * the persisted IVF index: gather each probe's cell-restricted
+    * top-`kSlate` candidate slate, then greedily pick `kOut` items
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    * the diversification pass a RAG serving stack runs so the context
+    * window isn't filled with near-identical passages. λ = 0.7 on the
+    * 1e-6 cosine grid as INTEGER weights (key = 7·rel_q − 3·maxsim_q,
+    * the ranking scaled by 10), so every comparison both engines make
+    * is 64-bit-integer exact; ties break on neighbor id.
+    *
+    * Shape: the greedy is inherently sequential in kOut, but its state
+    * is one probe's slate — ≤ kSlate structs — so it runs as a single
+    * HOF fold (`aggregate(sequence(1,kOut), …)`) in ONE projection per
+    * probe row: the plan is cell-pruned scan → rank window → one
+    * aggregation gathering the slate → one codegen'd projection. Zero
+    * extra shuffles, nothing driver-side, per-probe cost independent
+    * of lake size. Pairwise sims are recomputed inside the fold
+    * (kOut·kSlate cosines ≈ 500 per probe) rather than materialized as
+    * a kSlate² join — cheaper below kSlate ≈ 1000 and join-free. */
+  def mmrServe(spark: SparkSession, path: String, probes: DataFrame,
+      kSlate: Int, kOut: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // bounded: a probe BATCH (collected once for the cid pruning list
+    // and the broadcast side), never the corpus.
+    val rows = probes.collect()
+    val cidIdx = probes.schema.fieldIndex("pcid")
+    val cids = rows.map(_.get(cidIdx)).distinct.toIndexedSeq
+    val localProbes = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
+    val cells = minusTombstones(spark, path,
+      spark.read.parquet(path).filter(col("cid").isin(cids: _*)))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("nid"))
+    val slate = cells
+      .join(broadcast(localProbes), col("cid") === col("pcid") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("nid"), col("v"),
+        cosine(col("pv"), col("v")).as("c"))
+      .withColumn("srn", row_number().over(w)).filter(col("srn") <= kSlate)
+      .select(col("probe_id"), col("nid"),
+        floor(col("c") * lit(1e6) + lit(0.5)).cast("long").as("rel_q"), col("v"))
+      .groupBy("probe_id")
+      .agg(collect_list(struct(col("nid"), col("rel_q"), col("v"))).as("cands"))
+    // The greedy fold. `array_max` over struct(key, -nid) is the
+    // deterministic argmax (max key, then min nid) regardless of
+    // collect_list's arrival order; the transform-of-singleton wrap
+    // binds the winner once instead of recomputing it per field.
+    val fold = s"""
+      aggregate(
+        sequence(1, $kOut),
+        cast(array() as array<struct<nid:bigint,key:bigint,v:array<double>>>),
+        (sel, step) -> if(size(sel) >= size(cands), sel,
+          concat(sel, transform(
+            array(array_max(transform(
+              filter(cands, c -> NOT exists(sel, s -> s.nid = c.nid)),
+              c -> named_struct(
+                'key', 7L * c.rel_q - 3L * coalesce(
+                  array_max(transform(sel, s ->
+                    cast(floor(cosine_sim(c.v, s.v) * 1000000.0D + 0.5D) as bigint))),
+                  0L),
+                'negnid', -c.nid)))),
+            b -> named_struct(
+              'nid', -b.negnid,
+              'key', b.key,
+              'v', element_at(filter(cands, c -> c.nid = -b.negnid), 1).v)))))
+    """
+    slate.select(col("probe_id"), posexplode(expr(fold)))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.nid").as("neighbor_id"), col("col.key").as("mmr"))
+  }
 
   /** Per-sf cached base IVF index (input-fixture rationale, like
     * dd17's baseLshIndex / tx33's baseTextIndex: a serving probe runs
