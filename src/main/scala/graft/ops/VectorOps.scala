@@ -2366,6 +2366,104 @@ object VectorOps {
       }),
 
     QueryDef(
+      "vs35_filtered_recall",
+      // The TUNING CURVE behind vs33's operating point — what the
+      // filtered serving approximation costs, measured (the vs17
+      // discipline on the filtered path): recall@10 of the filtered
+      // index probe at nprobe 1 and 2 against the brute-force filtered
+      // TRUTH (vs20's semantics: global pre-filter-then-rank over the
+      // whole corpus). Per probe: n_true (global filtered top-10 size),
+      // hit1/hit2 (how many of them the nprobe=1/2 serve returns) —
+      // all integers, no float in the output. hit2 >= hit1 is a
+      // THEOREM (nested candidate pools + a total order: a truth item
+      // can only be displaced from a pool's top-10 by globally-better
+      // items, and fewer than 10 of those exist by truth membership) —
+      // FilteredServeSpec asserts it; the recall LEVEL is data-
+      // dependent and belongs in the artifact, not an assertion. The
+      // truth leg is an eval-time corpus scan — offline calibration,
+      // amortized across serving (vs06/vs17's framing), never the
+      // query path.
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, cid,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY floor(list_cosine_similarity(v, cv) * 1000000 + 0.5) DESC, cid) AS arn
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM a WHERE arn = 1),
+             |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+             |      WHERE vec_id BETWEEN 200 AND 204),
+             |tr AS (SELECT probe_id, e.vec_id AS nid
+             |       FROM p, e
+             |       JOIN documents d2 ON d2.doc_id = e.vec_id AND d2.lang = 'en'
+             |       WHERE e.vec_id <> probe_id
+             |       QUALIFY row_number() OVER (PARTITION BY probe_id
+             |         ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) <= 10),
+             |s1 AS (SELECT pc.probe_id, e.vec_id AS nid
+             |       FROM (SELECT vec_id AS probe_id, cid AS pcid FROM a
+             |             WHERE arn <= 1 AND vec_id BETWEEN 200 AND 204) pc
+             |       JOIN asg ON asg.cid = pc.pcid
+             |       JOIN e ON e.vec_id = asg.vec_id
+             |       JOIN documents d2 ON d2.doc_id = e.vec_id AND d2.lang = 'en'
+             |       JOIN p ON p.probe_id = pc.probe_id
+             |       WHERE e.vec_id <> pc.probe_id
+             |       QUALIFY row_number() OVER (PARTITION BY pc.probe_id
+             |         ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) <= 10),
+             |s2 AS (SELECT pc.probe_id, e.vec_id AS nid
+             |       FROM (SELECT vec_id AS probe_id, cid AS pcid FROM a
+             |             WHERE arn <= 2 AND vec_id BETWEEN 200 AND 204) pc
+             |       JOIN asg ON asg.cid = pc.pcid
+             |       JOIN e ON e.vec_id = asg.vec_id
+             |       JOIN documents d2 ON d2.doc_id = e.vec_id AND d2.lang = 'en'
+             |       JOIN p ON p.probe_id = pc.probe_id
+             |       WHERE e.vec_id <> pc.probe_id
+             |       QUALIFY row_number() OVER (PARTITION BY pc.probe_id
+             |         ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) <= 10),
+             |b AS (SELECT probe_id, count(*) AS n_true FROM tr GROUP BY 1),
+             |h1 AS (SELECT tr.probe_id, count(*) AS c FROM tr
+             |       JOIN s1 ON s1.probe_id = tr.probe_id AND s1.nid = tr.nid
+             |       GROUP BY 1),
+             |h2 AS (SELECT tr.probe_id, count(*) AS c FROM tr
+             |       JOIN s2 ON s2.probe_id = tr.probe_id AND s2.nid = tr.nid
+             |       GROUP BY 1)
+             |SELECT b.probe_id, CAST(b.n_true AS BIGINT) AS n_true,
+             |  CAST(coalesce(h1.c, 0) AS BIGINT) AS hit1,
+             |  CAST(coalesce(h2.c, 0) AS BIGINT) AS hit2
+             |FROM b LEFT JOIN h1 USING (probe_id) LEFT JOIN h2 USING (probe_id)""".stripMargin),
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val en = Tables(s, d, "documents")
+          .filter(col("lang") === "en").select(col("doc_id"))
+        val probesAll = e.filter(col("vec_id").between(200, 204))
+        // truth: vs20's brute-force pre-filtered global top-10
+        val pv = probesAll.select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val wT = Window.partitionBy("probe_id").orderBy(col("c").desc, col("neighbor_id"))
+        val truth = e.join(en, col("vec_id") === col("doc_id"), "left_semi")
+          .join(broadcast(pv), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("pv"), col("v")).as("c"))
+          .withColumn("rnk", row_number().over(wT)).filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        def servedAt(np: Int) = probeIvfIndexWhere(s, attrIvfIndexDir(s, d),
+            rankCellsCos(probesAll, centroids).filter(col("arn") <= np)
+              .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+                col("cid").as("pcid")),
+            k = 10, col("lang") === "en")
+          .select(col("probe_id").as("sp"), col("neighbor_id").as("sn"))
+        def hits(np: Int, name: String) = truth
+          .join(servedAt(np), col("probe_id") === col("sp") &&
+            col("neighbor_id") === col("sn"), "left_semi")
+          .groupBy("probe_id").agg(count(lit(1)).as(name))
+        truth.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
+          .join(hits(1, "h1"), Seq("probe_id"), "left_outer")
+          .join(hits(2, "h2"), Seq("probe_id"), "left_outer")
+          .select(col("probe_id"), col("n_true"),
+            coalesce(col("h1"), lit(0L)).as("hit1"),
+            coalesce(col("h2"), lit(0L)).as("hit2"))
+      }),
+
+    QueryDef(
       "vs34_mmr_rerank",
       // MMR-DIVERSIFIED serving (maximal marginal relevance, Carbonell
       // & Goldstein SIGIR'98) — the post-retrieval pass a RAG stack

@@ -83,6 +83,19 @@ class FilteredServeSpec extends AnyFunSuite {
     one.foreach { case (p, _, r, c) => assert(c2((p, r)) >= c) }
   }
 
+  test("vs35: recall dominance hit2 >= hit1 and hit2 <= n_true <= k hold per probe") {
+    // nested candidate pools + the total (c desc, nid) order make
+    // nprobe=2 recall >= nprobe=1 recall a THEOREM (a truth item is
+    // displaced from a pool's top-10 only by globally-better items,
+    // and truth membership caps those below 10) — vs35's comment
+    val out = SparkEntry.queries("vs35_filtered_recall")(spark, sf).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (n, h1, h2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h2 >= h1 && h2 <= n && n <= 10)
+    }
+  }
+
   test("the predicate pushes into the pruned cells' parquet scan (no query-time join)") {
     val p = SparkEntry.queries("vs33_filtered_index_serve")(spark, sf)
       .queryExecution.executedPlan.treeString
