@@ -39,7 +39,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pin the JVM zone too: java.sql.Timestamp/Date literals in tests are
   // built in the default zone and must agree with the UTC session
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs driver + all executors in ONE JVM: the heap must
+  // hold N concurrent tasks' operator buffers PLUS the storage pool
+  // (Pin persists, loop checkpoints). 8g on a 32-core/128 GiB box kept
+  // old-gen at 99% with the storage pool evicting mid-query — measured
+  // full-registry bench: 285.8s at 8g vs 247.3s at 24g, with the 8g
+  // run's worst per-query spikes (dd20 12.2s vs 2.1s) caused by
+  // storage eviction, not compute. Production-cluster analog: size
+  // executor memory to cores x per-task working set; here that is
+  // 30 tasks x ~0.5g + storage headroom. Override via SPARK_DRIVER_MEM
+  // for smaller boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // ~110 queries × whole-stage-codegen classes overflow the default
   // 240m code cache mid-bench; the JIT then silently disables itself
   // and every later query runs interpreted (the r2 tail queries showed

@@ -96,9 +96,15 @@ object Bpe {
         val cnt = best(0).getLong(1)
         val merged = pair.replace(" ", "")
         merges += MergeRow(step.toLong, pair, merged, cnt)
-        dict = dict
+        val next = dict
           .withColumn("s", applyMerge(col("s"), pair, merged))
           .localCheckpoint()
+        // the new dict is materialized (localCheckpoint is eager), so
+        // the superseded round's blocks can be freed now — k leaked
+        // dict copies per train() call otherwise (callers run train 4x
+        // back-to-back under the bench's min-of-3)
+        Pin.releaseCheckpoint(dict)
+        dict = next
         step += 1
       }
     }

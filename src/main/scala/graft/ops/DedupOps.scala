@@ -1592,11 +1592,15 @@ object DedupOps {
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       // release the superseded round's checkpoint blocks — without this
-      // every iteration pins a full labels copy in the block manager
-      labels.rdd.unpersist()
+      // every iteration pins a full labels copy in the block manager.
+      // NOTE `labels.rdd.unpersist()` (the pre-r11 form) built a NEW
+      // deserializing wrapper RDD and unpersisted that — a silent
+      // no-op; Pin.releaseCheckpoint frees the LogicalRDD's actual
+      // blocks.
+      Pin.releaseCheckpoint(labels)
       labels = next
     }
-    sym.rdd.unpersist()
+    Pin.releaseCheckpoint(sym)
     labels
   }
 
@@ -1745,10 +1749,13 @@ object DedupOps {
     // empty-shingle docs dropped above can never be candidates (no
     // band keys), so excluding them from the verify side too is
     // value-identical to the old unfiltered verify input.
-    val base = spread.select(col("doc_id"),
+    // Pin.checkpointed (not a bare localCheckpoint): the stored blocks
+    // are reaped a bounded number of checkpoints later, so back-to-back
+    // invocations (min-of-3 bench, pipeline compositions) can't pile
+    // dead block copies into the storage pool and evict live frames.
+    val base = Pin.checkpointed(spread.select(col("doc_id"),
         graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), numHashes).as("mh"),
-        sort_array(transform(col("shs"), x => xxhash64(x))).as("hshs"))
-      .localCheckpoint()
+        sort_array(transform(col("shs"), x => xxhash64(x))).as("hshs")))
     val banded = bandExplode(base.select("doc_id", "mh"), bands, rowsPerBand)
     val buckets = banded.groupBy("band", "bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))

@@ -1098,11 +1098,14 @@ object MultimodalOps {
     // per payload byte (8-byte hashes of half-overlapping windows);
     // a deployment needing executor-loss fault tolerance swaps the
     // localCheckpoint for a reliable checkpoint dir, same shape.
-    val base = payloadWindowSets(assets)
+    // Pin.checkpointed bounds the stored blocks' lifetime (the bare
+    // localCheckpoint this had until r11 leaked one full windowed-lake
+    // copy per invocation — 4 per benched query — until a JVM GC let
+    // the ContextCleaner find them).
+    val base = Pin.checkpointed(payloadWindowSets(assets)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.md5_minhash_sig(col("shs"), 64).as("mh"),
-        sort_array(transform(col("shs"), x => xxhash64(x))).as("hshs"))
-      .localCheckpoint()
+        sort_array(transform(col("shs"), x => xxhash64(x))).as("hshs")))
     val buckets = DedupOps.bandExplode(base.select("doc_id", "mh"),
         bands = 16, rowsPerBand = 4)
       .groupBy("band", "bk")

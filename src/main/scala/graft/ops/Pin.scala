@@ -65,7 +65,7 @@ object Pin {
   def once(df: DataFrame): DataFrame = {
     val nondet = df.queryExecution.analyzed.exists(
       _.expressions.exists(_.exists(!_.deterministic)))
-    if (nondet) df.localCheckpoint(true)
+    if (nondet) checkpointed(df)
     else cached.synchronized {
       pinCount.incrementAndGet()
       // Dataset.storageLevel consults the CacheManager by plan
@@ -88,5 +88,47 @@ object Pin {
       while (cached.size > Keep) cached.removeFirst().unpersist(false)
       p
     }
+  }
+
+  /** The block-holding RDD of a localCheckpoint'ed frame. A
+    * checkpointed Dataset's plan is a [[LogicalRDD]] leaf over the
+    * internal row RDD that actually owns the stored blocks;
+    * `df.rdd.unpersist()` builds a NEW deserializing wrapper RDD and
+    * unpersists THAT (no blocks, so it is a silent no-op — the bug the
+    * pre-r11 connectedComponents release had). Extracting the leaf RDD
+    * is the only handle that really frees the blocks. */
+  private def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Release a frame produced by [[checkpointed]] (or any
+    * `localCheckpoint`) whose consumers are all done — loop-style
+    * callers (connectedComponents, Bpe.train) release each superseded
+    * round themselves, which is why this is public to the package. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(false))
+
+  /** Eagerly `localCheckpoint` a deterministic-or-not plan and bound
+    * the STORED BLOCKS' lifetime the way [[once]] bounds persist
+    * entries. Unlike a persist, an evicted checkpoint cannot recompute
+    * (the lineage is truncated), so entries are only reaped `KeepCk`
+    * checkpoints later — by which time the bench/Verify's sequential
+    * consume-then-build discipline guarantees the frame is dead (at
+    * most ~2 checkpoints are live inside any single query; see the
+    * Pin release-policy note above). Without this, every kernel
+    * invocation leaks its blocks until a JVM GC lets the
+    * ContextCleaner find them — across a 298-query bench pass the
+    * leaked blocks fill the storage pool and evict the LIVE frames,
+    * which then re-read from disk or recompute mid-measurement (the
+    * r11-baseline dd19/dd20 4-6x full-run-only spikes). */
+  private val KeepCk = 6
+  private val ckpts = new java.util.ArrayDeque[DataFrame]
+  def checkpointed(df: DataFrame): DataFrame = ckpts.synchronized {
+    val c = df.localCheckpoint(true)
+    ckpts.addLast(c)
+    while (ckpts.size > KeepCk) releaseCheckpoint(ckpts.removeFirst())
+    c
   }
 }
