@@ -105,9 +105,29 @@ object DedupOps {
       explode(col("hs")).as("sh"))
     val dfreq = post.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = post.join(dfreq, "sh")
+    // df=1 shingles can never generate a candidate (their posting list
+    // is one doc), but under the (df ASC, sh) order they sort FIRST and
+    // on a mostly-unique corpus they are the bulk of every prefix — so
+    // the pre-r11 shape shuffled them through the doc-partitioned rank
+    // window AND the candidate groupBy for nothing. Rank only the
+    // df >= 2 postings (dfreq is filtered BEFORE the inner join, so
+    // df=1 postings drop inside the join instead of traveling through
+    // two more exchanges) and account for the df=1 slots each doc's
+    // prefix spends arithmetically: the doc has u = n - m unique
+    // shingles (m = its df>=2 posting count, a frameless count over
+    // the SAME window partitioning — no extra exchange), all of which
+    // precede every df>=2 posting in the global order, so a df>=2
+    // posting is in the prefix iff u + rank-among-df>=2 <= k. The
+    // candidate set is EXACTLY the old prefix's df>=2 members
+    // (DedupEdgeSpec pins final-pair equality with the naive posting
+    // join; the doubled-corpus fixtures have no df=1 shingles and are
+    // bit-identical through here).
+    val prefix = post
+      .join(dfreq.filter(col("df") >= 2), "sh")
       .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= col("n") - expr("(4 * n + 4) DIV 5") + 1)
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") + (col("n") - col("m")) <=
+        col("n") - expr("(4 * n + 4) DIV 5") + 1)
     val cand = prefix.groupBy("sh")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
       .select(graft.functions.GraftFunctions.pair_sized(col("ids")))
