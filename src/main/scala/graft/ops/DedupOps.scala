@@ -1584,10 +1584,18 @@ object DedupOps {
     * every iteration). Converges in O(diameter) rounds. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // nodes: (id); edges: (a, b)
+    // LAZY checkpoints throughout the loop: an eager localCheckpoint
+    // is a dedicated materialization job, and the loop's frames are
+    // all consumed by an aggregate in the same round — marking them
+    // for checkpoint and letting THAT aggregate materialize the blocks
+    // halves the loop's job count (2 jobs/round -> 1), which dominates
+    // the loop's cost at small diameters where each round's data is
+    // tiny and per-job overhead is the bill.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+      .localCheckpoint(false)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
     // Convergence check: labels only ever DECREASE (min propagation), so
     // sum(label) strictly decreases until the fixed point — one cheap
     // aggregate per round instead of a join+filter+count over all nodes.
@@ -1607,7 +1615,9 @@ object DedupOps {
         .select(col("src").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      // this aggregate materializes next's checkpoint blocks in the
+      // same job that computes the convergence sum
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
